@@ -1,0 +1,48 @@
+"""apda_fft_tpu - TPU-native adaptive spectral peak detection framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of APDA-FFT
+("Adaptive Peak Detection for FFT-based Structural Monitoring"): batched
+windowed radix-2 FFT plus the full adaptive peak-detection chain as one jitted
+XLA program per acquisition epoch, with the gateway's protocol / file / egress
+surface re-implemented around it.
+
+Quick start::
+
+    import apda_fft_tpu as apda
+    result = apda.analyze_epoch(samples, fs=500.0, mode="flexible")
+    result.freq, result.mag, result.count
+"""
+
+from apda_fft_tpu.models.pipeline import (
+    PipelineConfig,
+    SpectralPipeline,
+    analyze_epoch,
+    default_k,
+)
+from apda_fft_tpu.models.results import EpochResult
+from apda_fft_tpu.ops.fft import (
+    center_and_pad,
+    full_spectrum,
+    halfspec_magnitudes,
+    next_pow2,
+)
+from apda_fft_tpu.ops.peaks_prominence import ProminencePeaks, prominence_peaks
+from apda_fft_tpu.ops.peaks_resolution import ResolutionPeaks, resolution_peaks
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "EpochResult",
+    "PipelineConfig",
+    "ProminencePeaks",
+    "ResolutionPeaks",
+    "SpectralPipeline",
+    "analyze_epoch",
+    "center_and_pad",
+    "default_k",
+    "full_spectrum",
+    "halfspec_magnitudes",
+    "next_pow2",
+    "prominence_peaks",
+    "resolution_peaks",
+]

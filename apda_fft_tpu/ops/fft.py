@@ -1,0 +1,208 @@
+"""TPU-native spectral front end: centering, padding, and batched FFT backends.
+
+Behavioral contract (reference ``metrics/fft_iterativa.py:74-88``):
+
+1. subtract the *median* (not the mean) of the raw samples,
+2. zero-pad to the next power of two,
+3. radix-2 DFT,
+4. zero the DC bin after the transform.
+
+The reference implements step 3 as an in-place, sequential, twiddle-accumulating
+radix-2 loop (``metrics/fft_iterativa.py:38-70``, ~7 ms at N=4096 on one CPU
+core).  On TPU we provide two mathematically equivalent backends:
+
+* ``backend="xla"`` - ``jnp.fft.fft`` / ``jnp.fft.rfft`` lowered to XLA's FFT.
+* ``backend="matmul"`` - a Bailey four-step factorization N = N1*N2 expressed
+  as two batched complex matrix products against precomputed DFT matrices with
+  an elementwise twiddle in between.  All FLOPs land on the MXU, making the
+  batch dimension essentially free; twiddle/DFT tables are computed in float64
+  at trace time and stored in the compute dtype (better accuracy than the
+  reference's sequentially accumulated ``w *= w_m``).
+
+Both return spectra matching ``numpy.fft`` to float32 roundoff (normwise
+relative error ~1e-7 .. 1e-6; see ``tests/test_fft.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from apda_fft_tpu.ops.stats import median_lastaxis
+
+#: N at or below which a single DFT matrix product beats the four-step split.
+_DIRECT_DFT_MAX = 512
+
+
+def next_pow2(n: int) -> int:
+    """Smallest power of two >= n (reference ``metrics/fft_iterativa.py:13-22``)."""
+    if n <= 1:
+        return 1
+    return 1 << (n - 1).bit_length()
+
+
+def is_pow2(n: int) -> bool:
+    return n >= 1 and (n & (n - 1)) == 0
+
+
+def center_and_pad(
+    samples: jnp.ndarray,
+    n_fft: int,
+    length: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Median-center each window and zero-pad/mask to ``n_fft``.
+
+    ``samples`` is ``[..., L]`` with ``L <= n_fft``.  If ``length`` is given,
+    only the first ``length`` entries of each row are real data; the median is
+    computed over that prefix and everything past it is forced to zero, exactly
+    reproducing "center then zero-pad" (``metrics/fft_iterativa.py:74-79``).
+    """
+    if not is_pow2(n_fft):
+        raise ValueError(f"n_fft must be a power of two, got {n_fft}")
+    L = samples.shape[-1]
+    if L > n_fft:
+        raise ValueError(f"window length {L} exceeds n_fft {n_fft}")
+
+    # Barrier: stop XLA from contracting the median's (lo+hi)*0.5 into an FMA
+    # with the subtraction, which would perturb the last bits vs the
+    # reference's "compute median, then subtract" order.
+    med = jax.lax.optimization_barrier(median_lastaxis(samples, length))[..., None]
+    centered = samples - med
+    if length is not None:
+        mask = jnp.arange(L) < jnp.asarray(length)[..., None]
+        centered = jnp.where(mask, centered, jnp.zeros((), samples.dtype))
+    if L < n_fft:
+        pad = [(0, 0)] * (centered.ndim - 1) + [(0, n_fft - L)]
+        centered = jnp.pad(centered, pad)
+    return centered
+
+
+# ---------------------------------------------------------------------------
+# DFT / twiddle tables (float64 at trace time, stored in compute dtype)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_tables(n: int, dtype_name: str) -> tuple[np.ndarray, np.ndarray]:
+    """(cos, sin) tables of W_n^{jk} = exp(-2i*pi*jk/n) = cos + i*sin."""
+    # Reduce jk mod n in exact integer arithmetic first for table accuracy.
+    jk = np.outer(np.arange(n, dtype=np.int64), np.arange(n, dtype=np.int64)) % n
+    ang = (-2.0 * np.pi / n) * jk.astype(np.float64)
+    return np.cos(ang).astype(dtype_name), np.sin(ang).astype(dtype_name)
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddle_tables(n1: int, n2: int, dtype_name: str) -> tuple[np.ndarray, np.ndarray]:
+    """(cos, sin) of W_N^{k1*m2}, shape [n1, n2], N = n1*n2."""
+    n = n1 * n2
+    jk = np.outer(np.arange(n1, dtype=np.int64), np.arange(n2, dtype=np.int64)) % n
+    ang = (-2.0 * np.pi / n) * jk.astype(np.float64)
+    return np.cos(ang).astype(dtype_name), np.sin(ang).astype(dtype_name)
+
+
+def split_pow2(n: int) -> tuple[int, int]:
+    """Factor a power of two as N1*N2 with N1 >= N2, both powers of two."""
+    log = n.bit_length() - 1
+    l1 = (log + 1) // 2
+    return 1 << l1, 1 << (log - l1)
+
+
+# ---------------------------------------------------------------------------
+# Four-step (matmul) FFT - real input, MXU friendly
+# ---------------------------------------------------------------------------
+
+
+def fft_matmul_real(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Full complex DFT of real ``x`` [..., N] as (re, im), via four-step matmuls.
+
+    Decomposition: with n = m2 + N2*m1, k = k1 + N1*k2,
+        X[k1 + N1*k2] = sum_{m2} W_N^{m2*k1} W_{N2}^{m2*k2}
+                         sum_{m1} x[m2 + N2*m1] W_{N1}^{m1*k1}
+    i.e. column DFT (matmul) -> twiddle (elementwise) -> row DFT (matmul).
+    """
+    n = x.shape[-1]
+    if not is_pow2(n):
+        raise ValueError(f"four-step FFT requires power-of-two length, got {n}")
+    dtype = x.dtype.name
+
+    if n <= _DIRECT_DFT_MAX:
+        c, s = _dft_tables(n, dtype)
+        c = jnp.asarray(c)
+        s = jnp.asarray(s)
+        re = jnp.einsum("kn,...n->...k", c, x)
+        im = jnp.einsum("kn,...n->...k", s, x)
+        return re, im
+
+    n1, n2 = split_pow2(n)
+    c1, s1 = (jnp.asarray(t) for t in _dft_tables(n1, dtype))
+    c2, s2 = (jnp.asarray(t) for t in _dft_tables(n2, dtype))
+    tc, ts = (jnp.asarray(t) for t in _twiddle_tables(n1, n2, dtype))
+
+    a = x.reshape(*x.shape[:-1], n1, n2)  # a[..., m1, m2]
+    # Step 1: DFT over m1 (real input -> two real matmuls).
+    br = jnp.einsum("kn,...nm->...km", c1, a)
+    bi = jnp.einsum("kn,...nm->...km", s1, a)
+    # Step 2: twiddle W_N^{k1*m2}.
+    cr = br * tc - bi * ts
+    ci = br * ts + bi * tc
+    # Step 3: DFT over m2 (complex x complex -> four real matmuls).
+    dr = jnp.einsum("...km,mj->...kj", cr, c2) - jnp.einsum("...km,mj->...kj", ci, s2)
+    di = jnp.einsum("...km,mj->...kj", cr, s2) + jnp.einsum("...km,mj->...kj", ci, c2)
+    # Step 4: output index k = k1 + N1*k2 -> transpose (k1,k2) -> (k2,k1) and flatten.
+    re = jnp.swapaxes(dr, -1, -2).reshape(*x.shape[:-1], n)
+    im = jnp.swapaxes(di, -1, -2).reshape(*x.shape[:-1], n)
+    return re, im
+
+
+# ---------------------------------------------------------------------------
+# Backend dispatch
+# ---------------------------------------------------------------------------
+
+BACKENDS = ("xla", "matmul", "pallas")
+
+
+def full_spectrum(x: jnp.ndarray, backend: str = "xla") -> jnp.ndarray:
+    """Full complex spectrum of real windows ``x`` [..., N], DC bin zeroed.
+
+    Parity with ``start_fft`` (``metrics/fft_iterativa.py:74-88``): the caller
+    is expected to have centered/padded via :func:`center_and_pad`; the DC bin
+    is zeroed *after* the transform (``fft_iterativa.py:85``).
+    """
+    if backend == "xla":
+        spec = jnp.fft.fft(x.astype(_complex_for(x.dtype)))
+    elif backend in ("matmul", "pallas"):
+        re, im = fft_matmul_real(x)
+        spec = jax.lax.complex(re, im)
+    else:
+        raise ValueError(f"unknown FFT backend {backend!r}; expected one of {BACKENDS}")
+    return spec.at[..., 0].set(0)
+
+
+def halfspec_magnitudes(x: jnp.ndarray, backend: str = "xla") -> jnp.ndarray:
+    """|FFT| over the first N/2 bins of real windows ``x`` [..., N], DC zeroed.
+
+    This is what the peak detectors consume (``utils/get_peak_prominence.py:159``,
+    ``utils/get_peak_resolution.py:84``): magnitudes of the positive-frequency
+    half, with bin 0 forced to zero.
+    """
+    n = x.shape[-1]
+    if backend == "xla":
+        spec = jnp.fft.rfft(x)[..., : n // 2]
+        mags = jnp.abs(spec).astype(x.dtype)
+    elif backend == "matmul":
+        re, im = fft_matmul_real(x)
+        mags = jnp.sqrt(re[..., : n // 2] ** 2 + im[..., : n // 2] ** 2)
+    elif backend == "pallas":
+        from apda_fft_tpu.ops.fft_pallas import halfspec_magnitudes_pallas
+
+        return halfspec_magnitudes_pallas(x)
+    else:
+        raise ValueError(f"unknown FFT backend {backend!r}; expected one of {BACKENDS}")
+    return mags.at[..., 0].set(0)
+
+
+def _complex_for(dtype) -> jnp.dtype:
+    return jnp.complex128 if jnp.dtype(dtype) == jnp.float64 else jnp.complex64

@@ -1,0 +1,151 @@
+"""Branchless resolution-based peak detector ("rigid structures" mode).
+
+Re-expresses the reference's destructive greedy loop
+(``utils/get_peak_resolution.py:80-128``) as a ``lax.while_loop`` over a
+mutable magnitude vector, jit-compatible and vmappable.
+
+Semantics replicated exactly:
+
+* dynamic threshold ``mean + 2*stdev`` (ddof=1) computed once on the original
+  magnitudes (``:88-90``),
+* each round picks the highest strict local maximum above threshold, first
+  index winning ties (``:99-103``),
+* -3 dB width measured against ``0.707 * peak`` absolute, scanning to the
+  first bin at or below that level on each side (``:30-44``) - evaluated on
+  the *current, partially-zeroed* magnitudes, including for already-accepted
+  peaks (whose neighborhoods are zeroed, so their width is 0: the Rayleigh
+  criterion then reduces to ``1.18*|di|/w_new >= 1.5``),
+* acceptance requires resolution ``1.18*|di|/(w1+w2) >= 1.5`` against every
+  accepted peak, with ``w1+w2 == 0`` counting as unresolvable (``:48-62``),
+* whether or not the candidate is accepted, ``round(freq*0.02/df)`` bins on
+  each side of it are zeroed before the next round (``:116-123``),
+* the loop ends at k accepted peaks or when no candidate remains (``:94,124-126``);
+  it always terminates because every round zeroes at least its own argmax bin.
+
+Frequencies are returned unrounded (``freq = idx * fs/n``, ``:105``), matching
+the reference's rigid-mode output.
+
+Precision note: the reference computes ``round(freq*0.02/df)`` in float64 with
+banker's rounding.  For the dyadic sampling rates the hardware uses
+(31.25..500 Hz against power-of-two N) that expression lands exactly on
+half-integers whenever ``idx % 25 == 0``; float32 would land an ulp away and
+round differently.  We therefore snap near-half values to the exact half
+before rounding (see ``_discard_count``), restoring bit-identical behavior for
+dyadic rates.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from apda_fft_tpu.ops.stats import noise_threshold
+
+RESOLUTION_NORMALIZATION = 1.18
+RESOLUTION_MIN = 1.5
+EXCLUSION_FRACTION = 0.02
+
+
+class ResolutionPeaks(NamedTuple):
+    """Top-k resolved peaks for one window (fixed k slots, ``count`` valid)."""
+
+    count: jnp.ndarray  # [] int32
+    idx: jnp.ndarray  # [k] int32, bin index (-1 for empty slots)
+    freq: jnp.ndarray  # [k] unrounded idx * fs/n
+    mag: jnp.ndarray  # [k] magnitude at pick time
+
+
+def _width_half_magnitude(m: jnp.ndarray, iota: jnp.ndarray, j: jnp.ndarray) -> jnp.ndarray:
+    """Reference ``width_half_magnitude`` (``get_peak_resolution.py:30-44``).
+
+    Nearest index at or below ``0.707*m[j]`` on each side; left defaults to 0,
+    right to H (one past the end), width = right - left.
+    """
+    h = m.shape[-1]
+    half = jnp.asarray(0.707, m.dtype) * jnp.take(m, j)
+    at_or_below = m <= half
+    left = jnp.max(jnp.where((iota <= j) & at_or_below, iota, 0))
+    right = jnp.min(jnp.where((iota >= j) & at_or_below, iota, h))
+    return right - left
+
+
+def _discard_count(freq: jnp.ndarray, ds: jnp.ndarray) -> jnp.ndarray:
+    """``round(freq * 0.02 / df)`` with float64-faithful rounding at halves."""
+    x = freq * jnp.asarray(EXCLUSION_FRACTION, freq.dtype) / ds
+    doubled = x + x
+    nearest = jnp.round(doubled)
+    near_half = jnp.abs(doubled - nearest) < jnp.asarray(1e-3, freq.dtype)
+    snapped = jnp.where(near_half, nearest * jnp.asarray(0.5, freq.dtype), x)
+    return jnp.round(snapped).astype(jnp.int32)
+
+
+def resolution_peaks(
+    mags: jnp.ndarray,
+    fs: jnp.ndarray,
+    n_fft: int,
+    k: int = 5,
+) -> ResolutionPeaks:
+    """Detect top-k resolution-separated peaks in one half-spectrum ``mags`` [H].
+
+    Equivalent of ``get_top_peaks_resolution`` (``utils/get_peak_resolution.py:80-128``).
+    vmap over leading axes for batches.
+    """
+    h = mags.shape[-1]
+    dtype = mags.dtype
+    fs = jnp.asarray(fs, dtype)
+    ds = fs / jnp.asarray(n_fft, dtype)
+    iota = jnp.arange(h)
+    slots = jnp.arange(k)
+
+    thr, _ = noise_threshold(mags)
+    interior = (iota >= 1) & (iota <= h - 2)
+
+    def cond(state):
+        return ~state["done"]
+
+    def body(state):
+        m = state["m"]
+        local_max = interior & (m > jnp.roll(m, 1)) & (m > jnp.roll(m, -1))
+        eligible = local_max & (m > thr)
+        found = jnp.any(eligible)
+        score = jnp.where(eligible, m, -jnp.inf)
+        j = jnp.argmax(score).astype(jnp.int32)
+        peak_val = jnp.take(m, j)
+
+        w_new = _width_half_magnitude(m, iota, j)
+        w_acc = jax.vmap(lambda s: _width_half_magnitude(m, iota, s))(state["idx"])
+        wsum = (w_acc + w_new).astype(dtype)
+        di = jnp.abs(state["idx"] - j).astype(dtype)
+        rs = jnp.where(wsum != 0, jnp.asarray(RESOLUTION_NORMALIZATION, dtype) * di / wsum, 0.0)
+        active = slots < state["count"]
+        separated = jnp.all(~active | (rs >= RESOLUTION_MIN))
+
+        take = found & separated
+        write = take & (slots == state["count"])
+        idx = jnp.where(write, j, state["idx"])
+        mag = jnp.where(write, peak_val, state["mag"])
+        count = state["count"] + take.astype(jnp.int32)
+
+        freq = j.astype(dtype) * ds
+        nd = _discard_count(freq, ds)
+        start = jnp.maximum(0, j - nd)
+        end = jnp.minimum(h, j + nd + 1)
+        wipe = found & (iota >= start) & (iota < end)
+        m = jnp.where(wipe, jnp.zeros((), dtype), m)
+
+        done = ~found | (count >= k)
+        return {"m": m, "count": count, "idx": idx, "mag": mag, "done": done}
+
+    init = {
+        "m": mags,
+        "count": jnp.asarray(0, jnp.int32),
+        "idx": jnp.full((k,), -1, jnp.int32),
+        "mag": jnp.zeros((k,), dtype),
+        "done": jnp.asarray(False),
+    }
+    final = jax.lax.while_loop(cond, body, init)
+
+    freq = jnp.where(final["idx"] >= 0, final["idx"].astype(dtype) * ds, 0.0)
+    return ResolutionPeaks(count=final["count"], idx=final["idx"], freq=freq, mag=final["mag"])

@@ -1,0 +1,119 @@
+"""Headline benchmark: batched N=4096 FFT + flexible peak-detect throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "windows/s", "vs_baseline": N/103}
+
+Baseline: the reference numerical core measures 103 windows/s at N=4096
+(flexible mode, one CPU core; BASELINE.md).  Target: >=1000x on one TPU chip.
+
+Run directly on TPU hardware (does not force the CPU platform).
+Env knobs: APDA_BENCH_BATCH (default 2048), APDA_BENCH_BACKEND (default auto:
+best of xla/matmul/pallas), APDA_BENCH_REPS (default 10).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_WINDOWS_PER_SEC = 103.0  # reference, N=4096 flexible, 1 CPU core
+N_FFT = 4096
+FS = 500.0
+
+
+def _make_batch(batch: int) -> np.ndarray:
+    rng = np.random.default_rng(42)
+    t = np.arange(N_FFT) / FS
+    base = np.sin(2 * np.pi * 12.3 * t) + 0.6 * np.sin(2 * np.pi * 47.7 * t) + 0.1
+    return (base[None, :] + 0.05 * rng.standard_normal((batch, N_FFT))).astype(np.float32)
+
+
+def _throughput(backend: str, batch: int, reps: int) -> float:
+    """Windows/sec, amortizing host<->device round-trip latency.
+
+    Remote-tunnel TPU attachments have a multi-ms dispatch+fetch floor, so a
+    naive per-call timer measures latency, not throughput.  Instead the whole
+    pipeline is repeated ``iters`` times inside one jitted ``fori_loop`` (with
+    an iteration-dependent input perturbation so XLA cannot hoist it), and the
+    per-iteration time is the slope between two iteration counts.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from apda_fft_tpu.models.pipeline import _analyze_epoch_impl
+
+    samples = jnp.asarray(_make_batch(batch))
+    fs = jnp.full((batch,), FS, jnp.float32)
+    pipeline = functools.partial(
+        _analyze_epoch_impl,
+        n_fft=N_FFT,
+        mode="flexible",
+        k=4,
+        backend=backend,
+        max_candidates=32,
+        refine=False,
+        has_lengths=False,
+    )
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def looped(s, f, iters: int):
+        def body(i, acc):
+            res = pipeline(s + i.astype(jnp.float32) * jnp.float32(1e-30), f, None)
+            return acc + jnp.sum(res.freq) + jnp.sum(res.count)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    def timed(iters: int) -> float:
+        float(looped(samples, fs, iters))  # compile
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(looped(samples, fs, iters))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_small, t_large = timed(2), timed(22)
+    per_iter = (t_large - t_small) / 20.0
+    return batch / per_iter
+
+
+def main() -> None:
+    batch = int(os.environ.get("APDA_BENCH_BATCH", "2048"))
+    reps = int(os.environ.get("APDA_BENCH_REPS", "10"))
+    want = os.environ.get("APDA_BENCH_BACKEND", "auto")
+
+    backends = ["xla", "matmul"] if want == "auto" else [want]
+    best_backend, best = None, 0.0
+    for backend in backends:
+        try:
+            tp = _throughput(backend, batch, reps)
+        except Exception as e:  # noqa: BLE001 - report and move on to next backend
+            print(f"# backend {backend} failed: {e}", file=sys.stderr)
+            continue
+        print(f"# backend {backend}: {tp:,.0f} windows/s", file=sys.stderr)
+        if tp > best:
+            best, best_backend = tp, backend
+
+    if best_backend is None:
+        raise SystemExit("all backends failed")
+
+    print(
+        json.dumps(
+            {
+                "metric": f"fft_peak_windows_per_sec_n{N_FFT}_flexible[{best_backend}]",
+                "value": round(best, 1),
+                "unit": "windows/s",
+                "vs_baseline": round(best / BASELINE_WINDOWS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

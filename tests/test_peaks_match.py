@@ -1,0 +1,110 @@
+"""Golden-trace parity: device detectors vs the float64 reference oracle.
+
+The BASELINE.json gate is "peak frequencies bit-matched" to the reference.
+Peak *indices* are the actual decisions; when indices match, frequencies
+recomputed on host in float64 match the reference bit-for-bit.  These tests
+assert exact index/count agreement across a randomized corpus, plus tolerance
+agreement on magnitudes/damping (float32 vs float64 arithmetic).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from apda_fft_tpu import analyze_epoch
+from tests.oracle import oracle_analyze
+from tests.signals import modal_signal
+
+CORPUS = [
+    # (n_samples, fs, seed)
+    (1024, 500.0, 0),
+    (1024, 250.0, 1),
+    (1000, 500.0, 2),  # ragged -> pad to 1024
+    (4096, 500.0, 3),
+    (4096, 100.0, 4),
+    (4096, 250.0, 5),
+    (2048, 62.5, 6),
+    (4096, 500.0, 7),
+    (4096, 500.0, 8),
+    (1024, 125.0, 9),
+    (4096, 31.25, 10),
+    (8192, 500.0, 11),
+]
+
+
+def _run_device(x, fs, mode, dtype):
+    n = len(x)
+    n_fft = 1 << (n - 1).bit_length()
+    if n == n_fft:
+        res = analyze_epoch(x[None, :], fs, mode=mode, dtype=dtype)
+    else:
+        padded = np.zeros(n_fft)
+        padded[:n] = x
+        res = analyze_epoch(
+            padded[None, :], fs, mode=mode, lengths=np.array([n]), dtype=dtype
+        )
+    return res, n_fft
+
+
+@pytest.mark.parametrize("mode", ["flexible", "rigid"])
+@pytest.mark.parametrize("case", CORPUS, ids=[f"n{c[0]}_fs{c[1]}_s{c[2]}" for c in CORPUS])
+def test_peak_indices_match_oracle_f32(case, mode):
+    n, fs, seed = case
+    x = modal_signal(n, fs, seed=seed)
+    ref = oracle_analyze(x, fs, mode=mode)
+    res, n_fft = _run_device(x, fs, mode, jnp.float32)
+
+    got_count = int(res.count[0])
+    got_idx = [int(i) for i in np.asarray(res.idx[0])[:got_count]]
+    ref_idx = [p["idx"] for p in ref]
+    assert got_idx == ref_idx, f"peak indices diverge: got {got_idx} want {ref_idx}"
+    assert got_count == len(ref)
+
+    # Host-finished frequencies are bit-identical once indices agree.
+    for slot, p in enumerate(ref):
+        if mode == "flexible":
+            assert round(got_idx[slot] * fs / n_fft, 4) == p["freq"]
+        else:
+            assert got_idx[slot] * (fs / n_fft) == p["freq"]
+        got_mag = float(res.mag[0, slot])
+        assert got_mag == pytest.approx(p["mag"], rel=2e-5, abs=1e-4)
+        if mode == "flexible":
+            assert float(res.damping[0, slot]) == pytest.approx(p["damping"], abs=0.02)
+            assert float(res.q_factor[0, slot]) == pytest.approx(p["q-factor"], rel=1e-3)
+
+
+@pytest.mark.parametrize("mode", ["flexible", "rigid"])
+def test_randomized_sweep_f32(mode):
+    """Wider randomized sweep: every window's decisions must match the oracle."""
+    mismatches = []
+    for seed in range(30):
+        fs = [100.0, 250.0, 500.0][seed % 3]
+        n = [1024, 2048, 4096][seed % 3]
+        x = modal_signal(n, fs, seed=100 + seed)
+        ref = oracle_analyze(x, fs, mode=mode)
+        res, _ = _run_device(x, fs, mode, jnp.float32)
+        got = [int(i) for i in np.asarray(res.idx[0])[: int(res.count[0])]]
+        want = [p["idx"] for p in ref]
+        if got != want:
+            mismatches.append((seed, n, fs, got, want))
+    assert not mismatches, f"{len(mismatches)}/30 windows diverged: {mismatches}"
+
+
+@pytest.mark.parametrize("mode", ["flexible", "rigid"])
+def test_exact_mode_f64(mode):
+    """float64 device math must match the oracle decisions exactly."""
+    for seed in (0, 1, 2, 3, 4):
+        x = modal_signal(4096, 500.0, seed=seed)
+        ref = oracle_analyze(x, 500.0, mode=mode)
+        res, _ = _run_device(x, 500.0, mode, jnp.float64)
+        got = [int(i) for i in np.asarray(res.idx[0])[: int(res.count[0])]]
+        assert got == [p["idx"] for p in ref]
+
+
+def test_no_peaks_on_pure_noise_threshold():
+    """A flat spectrum (constant signal) yields zero peaks, no crash."""
+    x = np.zeros(1024)
+    res = analyze_epoch(x[None, :], 500.0, mode="flexible")
+    assert int(res.count[0]) == 0
+    res = analyze_epoch(x[None, :], 500.0, mode="rigid")
+    assert int(res.count[0]) == 0

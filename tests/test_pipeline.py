@@ -1,0 +1,87 @@
+"""Epoch pipeline: batching, vmap shapes, ragged windows, refinement, metrics."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from apda_fft_tpu import PipelineConfig, SpectralPipeline, analyze_epoch
+from tests.oracle import oracle_analyze
+from tests.signals import modal_signal, two_mode_signal
+
+
+def test_batch_shapes_channels_windows():
+    """[channels, windows, N] epochs keep their leading shape."""
+    xs = np.stack(
+        [
+            np.stack([modal_signal(1024, 500.0, seed=10 * c + w) for w in range(3)])
+            for c in range(2)
+        ]
+    )
+    res = analyze_epoch(xs, 500.0, mode="flexible")
+    assert res.count.shape == (2, 3)
+    assert res.freq.shape == (2, 3, 4)
+    # Every window must individually match the oracle.
+    for c in range(2):
+        for w in range(3):
+            ref = oracle_analyze(xs[c, w], 500.0, mode="flexible")
+            got = [int(i) for i in np.asarray(res.idx[c, w])[: int(res.count[c, w])]]
+            assert got == [p["idx"] for p in ref]
+
+
+def test_per_window_fs():
+    """fs can vary per window; frequencies scale accordingly."""
+    x = two_mode_signal(4096, 500.0)
+    res = analyze_epoch(np.stack([x, x]), np.array([500.0, 250.0]), mode="flexible")
+    assert int(res.count[0]) >= 1 and int(res.count[1]) >= 1
+    # Same samples at half the sampling rate -> half the reported frequency.
+    f0, f1 = float(res.freq[0, 0]), float(res.freq[1, 0])
+    assert abs(f0 - 2 * f1) < 1e-2
+
+
+def test_two_mode_signal_recovers_known_modes():
+    """BASELINE.md check: both injected modes recovered at N=4096, fs=500."""
+    x = two_mode_signal(4096, 500.0)
+    res = analyze_epoch(x[None], 500.0, mode="flexible")
+    freqs = sorted(float(f) for f in np.asarray(res.freq[0])[: int(res.count[0])])
+    assert any(abs(f - 12.3291) < 0.001 for f in freqs), freqs
+    assert any(abs(f - 47.7295) < 0.001 for f in freqs), freqs
+
+
+def test_refine_subbin_improves_frequency():
+    """Parabolic interpolation lands closer to the true mode than the raw bin."""
+    true_f = 12.34
+    x = modal_signal(4096, 500.0, modes=[(true_f, 1.0, 0.01)], noise=0.01, seed=7)
+    res = analyze_epoch(x[None], 500.0, mode="flexible", refine=True)
+    assert int(res.count[0]) >= 1
+    raw = float(res.freq[0, 0])
+    refined = float(res.refined_freq[0, 0])
+    assert abs(refined - true_f) <= abs(raw - true_f) + 1e-6
+    assert abs(refined - true_f) < 0.06  # within half a bin
+
+
+def test_rigid_mode_k5():
+    x = modal_signal(4096, 500.0, seed=3)
+    res = analyze_epoch(x[None], 500.0, mode="rigid")
+    assert res.idx.shape == (1, 5)
+
+
+def test_pipeline_class_and_metrics():
+    pipe = SpectralPipeline(PipelineConfig(mode="flexible"))
+    x = modal_signal(1024, 250.0, seed=9)
+    res = pipe(x[None], 250.0)
+    assert res.count.shape == (1,)
+    # Reference-shaped self-profiling metrics (GT_FFT_v5.py:663-676 parity).
+    for key in ("process_time", "wall_time", "percentage_cpu", "memrss"):
+        assert key in pipe.last_metrics
+    assert pipe.last_metrics["wall_time"] > 0
+
+
+def test_gateway_flag_mapping():
+    assert PipelineConfig.from_gateway_flag(True).mode == "flexible"
+    assert PipelineConfig.from_gateway_flag(False).mode == "rigid"
+
+
+def test_top_peak_helpers():
+    x = np.zeros(1024)
+    res = analyze_epoch(x[None], 500.0)
+    assert float(res.top_peak_freq()[0]) == -1.0
+    assert float(res.top_peak_mag()[0]) == -1.0
