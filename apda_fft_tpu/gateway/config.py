@@ -1,0 +1,139 @@
+"""Gateway configuration: gw_config.json, per-sensor config.txt, devices.txt.
+
+Three config surfaces, mirroring the reference (``GT_FFT_v5.py:114-144,
+224-234, 567-575`` and README.md):
+
+* ``gw_config.json`` - egress credentials/URLs, file paths, and the one
+  behavioral flag ``is_flexibile_structure`` (typo preserved: it is the
+  load-bearing key name in deployed configs; the correctly spelled
+  ``is_flexible_structure`` is also accepted).
+* ``config.txt`` - one row per sensor: 16-char MAC + 17 space-separated
+  hardware tokens, compiled into the 0xA2 packet.  The reference re-reads
+  this on every packet (hot reload); we cache on mtime instead.
+* ``devices.txt`` - append-only runtime registry MAC -> TDMA delay.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from pathlib import Path
+
+
+class GatewayConfigError(RuntimeError):
+    """Fatal configuration problem (the reference's only fatal path, ``:141-144``)."""
+
+
+@dataclasses.dataclass
+class FtpSettings:
+    server: str = ""
+    user: str = ""
+    pwd: str = ""
+    path: str = ""
+
+
+@dataclasses.dataclass
+class GatewayConfig:
+    ftp: FtpSettings
+    fastapi_url: str
+    influx_url: str
+    influx_token: str
+    logger_file: str
+    device_file: str
+    config_file: str
+    data_dir: str
+    is_flexible_structure: bool = True
+
+    @classmethod
+    def load(cls, config_path: str | os.PathLike) -> "GatewayConfig":
+        try:
+            with open(config_path, "r") as fh:
+                cfg = json.load(fh)
+            gw = cfg["gateway"]
+            flexible = gw.get(
+                "is_flexibile_structure", gw.get("is_flexible_structure", True)
+            )
+            return cls(
+                ftp=FtpSettings(**cfg.get("ftp", {})),
+                fastapi_url=cfg.get("fastapi", {}).get("url", ""),
+                influx_url=cfg.get("influxdb", {}).get("url", ""),
+                influx_token=cfg.get("influxdb", {}).get("token", ""),
+                logger_file=gw["logger_file"],
+                device_file=gw["device_file"],
+                config_file=gw["config_file"],
+                data_dir=gw.get(
+                    "data_dir", str(Path(gw["logger_file"]).parent) + os.sep
+                ),
+                is_flexible_structure=bool(flexible),
+            )
+        except GatewayConfigError:
+            raise
+        except Exception as exc:  # noqa: BLE001 - any malformed config is fatal
+            raise GatewayConfigError(f"cannot load gateway config {config_path}: {exc}") from exc
+
+
+class SensorConfigFile:
+    """mtime-cached view of config.txt: MAC -> 17-token parameter string."""
+
+    def __init__(self, path: str | os.PathLike):
+        self.path = str(path)
+        self._mtime: float | None = None
+        self._table: dict[str, str] = {}
+
+    def lookup(self, addr: str) -> str | None:
+        self._refresh()
+        return self._table.get(addr)
+
+    def _refresh(self) -> None:
+        try:
+            mtime = os.path.getmtime(self.path)
+        except OSError:
+            self._table = {}
+            self._mtime = None
+            return
+        if mtime == self._mtime:
+            return
+        table: dict[str, str] = {}
+        with open(self.path, "r") as fh:
+            for line in fh:
+                # Row layout (GT_FFT_v5.py:230-234): 16-char MAC, space, params.
+                if len(line) > 17:
+                    table[line[:16]] = line[17:].strip()
+        self._table = table
+        self._mtime = mtime
+
+
+class DeviceRegistry:
+    """MAC -> TDMA send delay, persisted append-only to devices.txt.
+
+    New devices get ``delay += step`` (2 s in the reference,
+    ``GT_FFT_v5.py:567-575``) so sensors transmit staggered.  The file is
+    truncated at every gateway start (``:96-97``), resetting assignments.
+    """
+
+    def __init__(self, path: str | os.PathLike, step: int = 2):
+        self.path = str(path)
+        self.step = step
+        self._delays: dict[str, int] = {}
+        self._next = 0
+
+    def reset(self) -> None:
+        self._delays.clear()
+        self._next = 0
+        with open(self.path, "w+"):
+            pass
+
+    def delay_for(self, addr: str) -> int:
+        return self._delays.get(addr, 0)
+
+    def known(self, addr: str) -> bool:
+        return addr in self._delays
+
+    def register(self, addr: str) -> int:
+        delay = self._next
+        self._delays[addr] = delay
+        self._next += self.step
+        with open(self.path, "a") as fh:
+            fh.write(addr + " %02d \n" % delay)
+        return delay

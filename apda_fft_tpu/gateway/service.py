@@ -1,0 +1,488 @@
+"""Gateway orchestrator: packet dispatch, file lifecycle, analysis, egress.
+
+The TPU-native re-design of the reference's ``Gateway`` class
+(``GT_FFT_v5.py:34-864``).  The behavioral contract is preserved - packet
+grammar, file naming/format, sequence validation with inline markers, upload
+queues that retry at the sensor's next sync, cleanup rules, history log - but
+the numerical path is the batched :class:`SpectralPipeline` and the radio is
+an injectable :class:`Transport` (so the whole machine is testable; the
+reference had no simulator).
+
+Known reference defects are fixed, not replicated (SURVEY.md section 2,
+"Known defects"): peak results are stored per-axis and read per-axis
+everywhere (defect 1); the Influx queue exists and its handlers are wired
+(defect 2); 0xD4 registers its file before writing samples (defect 3);
+failed/empty loads skip analysis instead of raising (defect 4).
+
+Analysis batching: ``flush_mode="immediate"`` analyzes each completed file at
+once (per-file parity with ``work_flow_fft``); ``flush_mode="on_sync"``
+accumulates completed acquisitions and runs them as one batched XLA program
+when any sensor syncs - the "epoch batch boundary" the reference only had
+implicitly (uploads already flush at sync, ``GT_FFT_v5.py:264-360``).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import numpy as np
+
+from apda_fft_tpu.gateway.config import DeviceRegistry, GatewayConfig, SensorConfigFile
+from apda_fft_tpu.gateway.egress import FtpSink, HttpSink, InfluxSink
+from apda_fft_tpu.gateway.history import HistoryLog
+from apda_fft_tpu.gateway.telemetry import device_status_report
+from apda_fft_tpu.gateway.transport import Transport
+from apda_fft_tpu.io import packets
+from apda_fft_tpu.io.halffloat import decode_payload, format_samples
+from apda_fft_tpu.io.logfile import (
+    append_marker,
+    append_samples,
+    load_sensor_log,
+    write_acquisition_header,
+)
+from apda_fft_tpu.models.pipeline import PipelineConfig, SpectralPipeline
+from apda_fft_tpu.ops.fft import next_pow2
+
+
+class GatewayService:
+    def __init__(
+        self,
+        config: GatewayConfig,
+        transport: Transport,
+        pipeline: SpectralPipeline | None = None,
+        flush_mode: str = "immediate",
+        clock=datetime.now,
+        ftp_sink: FtpSink | None = None,
+        http_sink: HttpSink | None = None,
+        influx_sink: InfluxSink | None = None,
+    ):
+        self.config = config
+        self.transport = transport
+        self.clock = clock
+        self.flush_mode = flush_mode
+        self.history = HistoryLog(config.logger_file)
+        self.devices = DeviceRegistry(config.device_file)
+        self.sensor_configs = SensorConfigFile(config.config_file)
+        self.pipeline = pipeline or SpectralPipeline(
+            PipelineConfig.from_gateway_flag(config.is_flexible_structure)
+        )
+
+        self.ftp_sink = ftp_sink or FtpSink(config.ftp, config.data_dir)
+        self.http_sink = http_sink or HttpSink(config.fastapi_url)
+        self.influx_sink = influx_sink
+        if influx_sink is None and config.influx_url:
+            self.influx_sink = InfluxSink(config.influx_url, config.influx_token, config.data_dir)
+
+        # Per-sensor state (reference GT_FFT_v5.py:42-62).
+        self.fft_results: dict[str, dict[str, dict]] = {}
+        self.last_humidity: dict[str, float] = {}
+        self.ftp_queue: dict[str, list[str]] = {}
+        self.api_queue: dict[str, list[str]] = {}
+        self.influx_queue: dict[str, list[str]] = {}
+        self.open_file: dict[str, str] = {}
+        self.expected_packet: dict[str, int] = {}
+        self.baseline: dict[str, float] = {}
+        # Pending epoch batch: (addr, path) of completed, unanalyzed files.
+        self.pending_analysis: list[tuple[str, str]] = []
+
+        os.makedirs(config.data_dir, exist_ok=True)
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def start(self) -> None:
+        self.transport.start(self.history)
+        self.history(f"--- Gateway Start: {self.clock()} ---\n\n")
+        self.devices.reset()
+
+    def stop(self) -> None:
+        self.transport.stop(self.history)
+
+    def run_forever(self) -> None:
+        self.start()
+        try:
+            while True:
+                self.step()
+        except Exception as exc:  # noqa: BLE001 - fatal-path parity (:103-104)
+            self.history(f"CRITICAL EXECUTION ERROR: {exc}\n")
+        finally:
+            self.stop()
+
+    def step(self) -> bool:
+        """One receive->dispatch iteration; False when the receive timed out."""
+        try:
+            payload, addr = self.transport.receive(self.history)
+            if payload is None or addr is None:
+                return False
+            self.process(payload, addr)
+            return True
+        except Exception as exc:  # noqa: BLE001 - loop survives handler crashes (:858)
+            self.history(f"\tError in main loop: {exc}\n")
+            return True
+
+    def drain(self, max_steps: int = 100000) -> int:
+        """Process until the transport runs dry (simulator/test harness)."""
+        n = 0
+        while n < max_steps and self.step():
+            n += 1
+        return n
+
+    # -- dispatch ------------------------------------------------------------
+
+    def process(self, payload: bytes, addr: str) -> None:
+        handlers = {
+            packets.PACKET_SYNC: self._on_sync,
+            packets.PACKET_START: self._on_start,
+            packets.PACKET_MID: self._on_mid,
+            packets.PACKET_END: self._on_end,
+            packets.PACKET_REDUCED: self._on_reduced,
+            packets.PACKET_SHOCK: self._on_shock,
+        }
+        handlers.get(payload[0], self._on_unknown)(payload, addr)
+
+    # -- stream sequence validation (reference check_files, :706-739) --------
+
+    def _validate_sequence(self, addr: str, n_pack: int) -> str:
+        status = ""
+        if addr in self.open_file:
+            expected = self.expected_packet[addr] + 1
+            if n_pack < expected:
+                status = f"\tAnomalous closure for data stream - {self.open_file[addr]}\n"
+                append_marker(self.open_file[addr], "* INCOMPLETE TRANSMISSION *;")
+                self.ftp_queue.setdefault(addr, []).append(
+                    os.path.basename(self.open_file[addr])
+                )
+                self.open_file.pop(addr)
+                self.baseline.pop(addr, None)
+            elif n_pack > expected:
+                status = f"\tMissing packets from {expected} to {n_pack - 1} - {addr}\n"
+                append_marker(
+                    self.open_file[addr],
+                    f"* MISSING PACKETS FROM {expected} TO {n_pack - 1} *;",
+                )
+        elif n_pack > 1:
+            status = f"\tAnomalous closure - missing data from device: {addr}\n"
+            self.baseline.pop(addr, None)
+        self.expected_packet[addr] = n_pack
+        return status
+
+    def _append_stream_samples(self, payload: bytes, offset: int, addr: str,
+                               first_value: float) -> None:
+        values = decode_payload(payload[offset:], first_value)
+        if addr in self.open_file and os.path.exists(self.open_file[addr]):
+            append_samples(self.open_file[addr], format_samples(values))
+        else:
+            self.history(f"\t[WARN] write attempted on closed file for sensor {addr}\n")
+
+    # -- handlers ------------------------------------------------------------
+
+    def _on_start(self, payload: bytes, addr: str) -> None:
+        t = self.clock()
+        self.history(f"{t.strftime('%d/%m/%Y, %H:%M:%S')}, {addr} - Start data transmission\n")
+        status = self._validate_sequence(addr, 1)
+        if status:
+            self.history("\t" + status)
+
+        header = packets.parse_start_header(list(payload))
+        axis_slot = {"Xaxis": 0, "Yaxis": 1, "Zaxis": 2}.get(header.axis_label, 0)
+        self.baseline[addr] = header.baselines[axis_slot]
+
+        means = packets.decode_stream_samples(payload, 23)[:4]
+        filename = os.path.join(
+            self.config.data_dir,
+            f"{addr}_{header.axis_label}_{t.strftime('%d_%m_%Y_%H_%M_%S')}.log",
+        )
+        self.open_file[addr] = filename
+        self.expected_packet[addr] = 1
+        write_acquisition_header(
+            filename,
+            header.time,
+            header.range,
+            header.odr,
+            header.axis_file,
+            header.sync,
+            means=format_samples(means),
+            humidity=self.last_humidity.get(addr, 0.0),
+            baselines=header.baselines,
+        )
+        self._append_stream_samples(payload, 31, addr, first_value=0.0)
+
+    def _on_mid(self, payload: bytes, addr: str) -> None:
+        n_pck = packets.packet_number(payload)
+        status = self._validate_sequence(addr, n_pck)
+        if status:
+            self.history("\t" + status)
+            if "Anomalous closure" in status:
+                self._open_recovery_file(addr, n_pck)
+        self._append_stream_samples(payload, 3, addr, self.baseline.get(addr, 0.0))
+
+    def _on_end(self, payload: bytes, addr: str) -> None:
+        t = self.clock()
+        self.history(f"{t.strftime('%d/%m/%Y, %H:%M:%S')}, {addr} - End data transmission\n")
+        n_pck = packets.packet_number(payload)
+        status = self._validate_sequence(addr, n_pck)
+        if status:
+            self.history("\t" + status)
+            if "Anomalous closure" in status:
+                self._open_recovery_file(addr, n_pck)
+        self._append_stream_samples(payload, 3, addr, self.baseline.get(addr, 0.0))
+
+        if self.open_file.get(addr):
+            path = self.open_file[addr]
+            name = os.path.basename(path)
+            self.ftp_queue.setdefault(addr, []).append(name)
+            if self.flush_mode == "immediate":
+                self._analyze_files([(addr, path)])
+            else:
+                self.pending_analysis.append((addr, path))
+            if status == "":
+                self.api_queue.setdefault(addr, []).append(name)
+        else:
+            self.history(f"\t[WARN] no open file for {addr}\n")
+
+        self.open_file.pop(addr, None)
+        self.baseline.pop(addr, None)
+        self.expected_packet[addr] = 0
+
+    def _open_recovery_file(self, addr: str, n_pck: int) -> None:
+        """Anomalous-closure recovery file with inline gap marker (:421-426)."""
+        t = self.clock()
+        filename = os.path.join(
+            self.config.data_dir,
+            f"{addr}_UnknownAxis_{t.strftime('%d_%m_%Y_%H_%M_%S')}.log",
+        )
+        self.ftp_queue[addr] = [os.path.basename(filename)]
+        self.open_file[addr] = filename
+        with open(filename, "w+") as fh:
+            fh.write(f"* MISSING PACKETS FROM 1 TO {n_pck - 1} *;")
+
+    def _on_reduced(self, payload: bytes, addr: str) -> None:
+        t = self.clock()
+        self.history(f"{t.strftime('%d/%m/%Y, %H:%M:%S')}, {addr} - Reduced data transmission\n")
+        header = packets.parse_reduced_header(list(payload))
+        filename = os.path.join(
+            self.config.data_dir, f"{addr}_{t.strftime('%d_%m_%Y_%H_%M_%S')}_reduced.log"
+        )
+        with open(filename, "w+") as fh:
+            fh.write(f"{header.time};{header.range};{header.odr};{header.axis_file};\n")
+            fh.write(f"{header.sync};\n")
+        self.open_file[addr] = filename  # register before writing (defect-3 fix)
+        self._append_stream_samples(payload, 11, addr, first_value=0.0)
+        name = os.path.basename(filename)
+        self.influx_queue.setdefault(addr, []).append(name)
+        self.ftp_queue.setdefault(addr, []).append(name)
+        self.open_file.pop(addr, None)
+
+    def _on_shock(self, payload: bytes, addr: str) -> None:
+        t = self.clock()
+        self.history(f"{t.strftime('%d/%m/%Y, %H:%M:%S')}, {addr} - Shock data transmission\n")
+        header = packets.parse_shock_header(list(payload))
+        filename = os.path.join(
+            self.config.data_dir, f"{addr}_{t.strftime('%d_%m_%Y_%H_%M_%S')}_shock.log"
+        )
+        self.open_file[addr] = filename
+        with open(filename, "w+") as fh:
+            fh.write(f"{header.time};2g;100Hz;Unknown_axis; \n")
+            fh.write("Asynced;\n0;0;0;0;\n0;0;0;\n")
+        self._append_stream_samples(payload, 4, addr, first_value=0.0)
+
+        name = os.path.basename(filename)
+        self.ftp_queue.setdefault(addr, []).append(name)
+        self.influx_queue.setdefault(addr, []).append(name)
+        self._flush_influx(addr)
+        uploaded = self._flush_ftp(addr)
+        self._prune(self.ftp_queue, addr, uploaded)
+        self.open_file.pop(addr, None)
+        self.baseline.pop(addr, None)
+
+    def _on_unknown(self, payload: bytes, addr: str) -> None:
+        t = self.clock()
+        self.history(f"{t.strftime('%d/%m/%Y, %H:%M:%S')}, {addr} - Unexpected data transmission\n")
+        self.history("\t" + bytes(payload).hex() + "\n")
+
+    def _on_sync(self, payload: bytes, addr: str) -> None:
+        t = self.clock()
+        self.history(f"{t.strftime('%d/%m/%Y, %H:%M:%S')}, {addr} - Synchronization request\n")
+        if not self.devices.known(addr):
+            self.devices.register(addr)
+
+        info = packets.parse_sync_info(list(payload))
+        self.last_humidity[addr] = info.humidity if info.humidity is not None else 0.0
+        device_status = device_status_report(info)
+        config_status = self._send_config(addr)
+
+        # Batch boundary: run any pending epoch analysis before reporting.
+        if self.pending_analysis:
+            batch, self.pending_analysis = self.pending_analysis, []
+            self._analyze_files(batch)
+
+        peaks_text = self._peaks_report(addr)
+        metrics = self._metrics_report(addr)
+
+        # Upload flush (reference :311-344): queues keep entries on failure.
+        pending_api = self.api_queue.get(addr, [])
+        pending_ftp = self.ftp_queue.get(addr, [])
+        try:
+            ok_api = self.http_sink.upload(
+                addr, pending_api, self.config.data_dir,
+                self._merged_axis_results(addr), self.history,
+            ) or []
+        except Exception as exc:  # noqa: BLE001
+            self.history(f"\t[CRITICAL][FastAPI] error: {exc}\n")
+            ok_api = []
+        try:
+            ok_ftp = self._flush_ftp(addr) or []
+        except Exception as exc:  # noqa: BLE001
+            self.history(f"\t[CRITICAL][FTP] error: {exc}\n")
+            ok_ftp = []
+        self._prune(self.api_queue, addr, ok_api)
+        self._prune(self.ftp_queue, addr, ok_ftp)
+        self._flush_influx(addr)
+
+        # Cleanup: delete local files no longer pending anywhere (:346-355).
+        still_pending = set(self.ftp_queue.get(addr, []))
+        for filename in os.listdir(self.config.data_dir):
+            if filename.startswith(addr) and filename.endswith(".log"):
+                if filename not in still_pending:
+                    try:
+                        os.remove(os.path.join(self.config.data_dir, filename))
+                    except OSError as exc:
+                        self.history(f"\t[ERROR] cleanup failed for {filename}: {exc}")
+
+        self.history(
+            f"\t{device_status.strip()}\n\t{peaks_text}\t{metrics}\t{config_status.strip()}\n"
+        )
+        self.fft_results.pop(addr, None)
+
+    # -- analysis ------------------------------------------------------------
+
+    def _analyze_files(self, batch: list[tuple[str, str]]) -> None:
+        """Run the TPU pipeline over completed acquisition files.
+
+        Files are bucketed by padded FFT length so each bucket is one XLA
+        program over a ``[B, N]`` batch - the epoch-batch replacement for the
+        reference's one-file-at-a-time ``work_flow_fft`` (:620-679).
+        """
+        loaded = []
+        for addr, path in batch:
+            rec = load_sensor_log(path)
+            if rec is None or not rec.samples:
+                self.history(f"\t[WARN] file {path} corrupt or empty, skipping FFT\n")
+                continue
+            loaded.append((addr, rec))
+        if not loaded:
+            return
+
+        buckets: dict[int, list[int]] = {}
+        for i, (_, rec) in enumerate(loaded):
+            buckets.setdefault(next_pow2(len(rec.samples)), []).append(i)
+
+        for n_fft, idxs in buckets.items():
+            b = len(idxs)
+            samples = np.zeros((b, n_fft), np.float32)
+            lengths = np.zeros((b,), np.int32)
+            fs = np.zeros((b,), np.float32)
+            for row, i in enumerate(idxs):
+                s = loaded[i][1].samples
+                samples[row, : len(s)] = s
+                lengths[row] = len(s)
+                fs[row] = loaded[i][1].fs
+            result = self.pipeline(samples, fs, n_fft=n_fft, lengths=lengths)
+            metrics = self.pipeline.last_metrics
+            for row, i in enumerate(idxs):
+                addr, rec = loaded[i]
+                self._store_result(addr, rec.axis, rec.fs, n_fft, result, row, metrics)
+
+    def _store_result(self, addr, axis, fs, n_fft, result, row, metrics) -> None:
+        """Fill the per-axis peak dict (reference fft_dict shape, :648-659)."""
+        entry = {
+            "peak_freq": -1, "max_mag": -1,
+            "process_time": metrics.get("process_time", -1),
+            "wall_time": metrics.get("wall_time", -1),
+            "percentage_cpu": metrics.get("percentage_cpu", -1),
+            "memrss": metrics.get("memrss", -1),
+        }
+        count = int(result.count[row])
+        mode = self.pipeline.config.mode
+        for slot in range(count):
+            idx = int(result.idx[row, slot])
+            # Host-side float64 finisher: frequencies are exact once the
+            # peak index is known (bit-matched to the reference).
+            if mode == "flexible":
+                freq = round(idx * fs / n_fft, 4)
+            else:
+                freq = idx * (fs / n_fft)
+            entry[f"peak_freq_{slot + 1}"] = freq
+            entry[f"max_mag_{slot + 1}"] = float(result.mag[row, slot])
+        if count:
+            entry["peak_freq"] = entry["peak_freq_1"]
+            entry["max_mag"] = entry["max_mag_1"]
+        self.fft_results.setdefault(addr, {})[axis] = entry
+
+    def _merged_axis_results(self, addr: str) -> dict:
+        return self.fft_results.get(addr, {})
+
+    def _peaks_report(self, addr: str) -> str:
+        """Per-axis peak listing for the history log.
+
+        The reference's sync-time report could never print peaks because it
+        read flat keys from a nested dict (defect 1); reading per-axis here
+        restores the intended output.
+        """
+        parts = []
+        for axis, entry in self.fft_results.get(addr, {}).items():
+            i = 1
+            while f"peak_freq_{i}" in entry:
+                parts.append(
+                    f"{axis} f{i}: {entry[f'peak_freq_{i}']:.4f}Hz "
+                    f"(mag: {entry[f'max_mag_{i}']:.4f})"
+                )
+                i += 1
+        if parts:
+            return "Peaks: " + " | ".join(parts) + "\n"
+        return "Peaks: None or FFT not run\n"
+
+    def _metrics_report(self, addr: str) -> str:
+        entries = self.fft_results.get(addr, {})
+        m = next(iter(entries.values()), {})
+        return (
+            f"Process time: {m.get('process_time', -1):.2f}, "
+            f"Wall time: {m.get('wall_time', -1):.2f}, "
+            f"%CPU: {m.get('percentage_cpu', -1):.2f}, "
+            f"RAM: {m.get('memrss', -1):.2f}"
+        )
+
+    # -- egress helpers ------------------------------------------------------
+
+    def _send_config(self, addr: str) -> str:
+        delay = self.devices.delay_for(addr)
+        row = self.sensor_configs.lookup(addr)
+        if row is not None:
+            hexstr = packets.build_config_packet(row, delay)
+            status = "Sent reconfiguration\n"
+        else:
+            hexstr = packets.build_sync_packet(delay)
+            status = "Sync sent\n"
+        self.transport.send(addr, hexstr, self.history)
+        return status
+
+    def _flush_ftp(self, addr: str) -> list[str]:
+        files = self.ftp_queue.get(addr, [])
+        if not files:
+            return []
+        return self.ftp_sink.upload(addr, files, self.history)
+
+    def _flush_influx(self, addr: str) -> None:
+        if self.influx_sink is None:
+            self.influx_queue.pop(addr, None)
+            return
+        files = self.influx_queue.get(addr, [])
+        if files:
+            self.influx_sink.upload(addr, files, self._merged_axis_results(addr), self.history)
+
+    @staticmethod
+    def _prune(queue: dict[str, list[str]], addr: str, uploaded: list[str]) -> None:
+        pending = queue.get(addr, [])
+        for name in uploaded:
+            if name in pending:
+                pending.remove(name)

@@ -1,0 +1,153 @@
+"""Sensor acquisition log files: the gateway's durable on-disk format.
+
+Format (written by the reference's 0xD1 handler, ``GT_FFT_v5.py:402-406``, and
+parsed back by ``utils/load_data.py:29-82``):
+
+* row 0: ``time;range;odr;axis_file;``       (header)
+* row 1: ``sync;``                            (sync state)
+* row 2: ``temp;rms_x;rms_y;rms_z;humidity;`` (summary - four decoded
+  half-float means plus last-known humidity)
+* row 3: ``first_x;first_y;first_z;``         (acceleration baselines)
+* rows 4+: ``v1;v2;v3;...``                   ("%8.6f" samples, appended
+  incrementally as stream packets arrive; error markers like
+  ``* MISSING PACKETS FROM a TO b *`` may be interleaved)
+
+Files survive gateway restarts and remain until successfully uploaded - this
+is the system's only durability mechanism (SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class SensorLog:
+    """Parsed acquisition record (parity with ``load_sensor``'s dict)."""
+
+    timestamp: str
+    sensitivity: str
+    fs: float
+    axis: str
+    sync_type: str
+    is_synced: float
+    temperature: float
+    rms_x: float
+    rms_y: float
+    rms_z: float
+    humidity: float
+    first_x: float
+    first_y: float
+    first_z: float
+    samples: list[float]
+
+    def as_dict(self) -> dict:
+        """Reference-shaped {"metadata", "summary", "samples"} dict."""
+        return {
+            "metadata": {
+                "timestamp": self.timestamp,
+                "sensitivity": self.sensitivity,
+                "fs": self.fs,
+                "axis": self.axis,
+                "sync_type": self.sync_type,
+                "is_synced": self.is_synced,
+            },
+            "summary": {
+                "temperature": self.temperature,
+                "rms_x": self.rms_x,
+                "rms_y": self.rms_y,
+                "rms_z": self.rms_z,
+                "humidity": self.humidity,
+                "first_x": self.first_x,
+                "first_y": self.first_y,
+                "first_z": self.first_z,
+            },
+            "samples": self.samples,
+        }
+
+
+def load_sensor_log(filepath: str | os.PathLike) -> SensorLog | None:
+    """Parse a gateway log file; None if under 5 lines (integrity check).
+
+    Parity with ``utils/load_data.py:29-82`` including: ``" Hz"`` strip on fs,
+    ``" axis"`` strip + space->underscore on the axis label, non-numeric
+    tokens skipped, non-finite samples dropped.
+    """
+    with open(filepath, "r", encoding="utf-8") as fh:
+        lines = fh.readlines()
+    if len(lines) < 5:
+        return None
+
+    header = lines[0].strip().split(";")
+    sync_raw = lines[1].strip().replace(";", "")
+    summary = lines[2].strip().split(";")
+    firsts = lines[3].strip().split(";")
+
+    samples: list[float] = []
+    for line in lines[4:]:
+        for tok in line.strip().split(";"):
+            if not tok:
+                continue
+            try:
+                v = float(tok)
+            except ValueError:
+                continue
+            if math.isfinite(v):
+                samples.append(v)
+
+    return SensorLog(
+        timestamp=header[0],
+        sensitivity=header[1].replace(" ", ""),
+        fs=float(header[2].replace(" Hz", "")),
+        axis=header[3].replace(" axis", "").replace(" ", "_"),
+        sync_type=sync_raw,
+        is_synced=1.0 if sync_raw in ("Synced", "Synced2") else 0.0,
+        temperature=float(summary[0]),
+        rms_x=float(summary[1]),
+        rms_y=float(summary[2]),
+        rms_z=float(summary[3]),
+        humidity=float(summary[4]),
+        first_x=float(firsts[0]),
+        first_y=float(firsts[1]),
+        first_z=float(firsts[2]),
+        samples=samples,
+    )
+
+
+def write_acquisition_header(
+    filepath: str | os.PathLike,
+    time_str: str,
+    range_str: str,
+    odr_str: str,
+    axis_file: str,
+    sync: str,
+    means: list[str],
+    humidity: float,
+    baselines: tuple[float, float, float],
+) -> None:
+    """Create a log file with the 4 header rows (``GT_FFT_v5.py:402-406``)."""
+    with open(filepath, "w+") as fh:
+        fh.write(f"{time_str};{range_str};{odr_str};{axis_file};\n{sync};\n")
+        fh.write(f"{';'.join(means)};{humidity};\n")
+        fh.write(f"{baselines[0]};{baselines[1]};{baselines[2]};\n")
+
+
+def append_samples(filepath: str | os.PathLike, formatted: list[str]) -> None:
+    """Append ``"%8.6f"``-formatted samples, ';'-joined (``GT_FFT_v5.py:177-179``)."""
+    with open(filepath, "a") as fh:
+        for s in formatted:
+            fh.write(s + ";")
+
+
+def append_marker(filepath: str | os.PathLike, marker: str) -> None:
+    """Append an inline error marker (``GT_FFT_v5.py:723,734``)."""
+    with open(filepath, "a") as fh:
+        fh.write(marker)
+
+
+def samples_array(log: SensorLog) -> np.ndarray:
+    return np.asarray(log.samples, dtype=np.float64)

@@ -1,0 +1,302 @@
+"""End-to-end gateway tests: simulated sensors through the full state machine.
+
+The reference has no radio simulator or tests at all (SURVEY.md section 4);
+this exercises the complete 0xA1/0xD1-D4/0xC1 grammar against the orchestrator
+with mocked egress, including fault injection (packet loss, truncation).
+"""
+
+import contextlib
+import io
+import json
+import os
+from datetime import datetime
+
+import numpy as np
+import pytest
+
+from apda_fft_tpu.gateway.config import GatewayConfig
+from apda_fft_tpu.gateway.egress import FtpSink, HttpSink, InfluxSink
+from apda_fft_tpu.gateway.service import GatewayService
+from apda_fft_tpu.gateway.transport import LoopbackTransport, SensorSimulator
+from apda_fft_tpu.io.logfile import load_sensor_log
+from tests.oracle import oracle_analyze
+from tests.signals import two_mode_signal
+
+MAC = "0013a20041e7f6b7"
+
+
+class FakeFtpSession:
+    def __init__(self, store):
+        self.store = store
+
+    def storbinary(self, cmd, fh):
+        self.store.append(cmd.split(" ", 1)[1])
+
+    def close(self):
+        pass
+
+
+class FakeResponse:
+    def __init__(self, status):
+        self.status = status
+        self.body = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+class TickingClock:
+    """Deterministic clock advancing 1 s per reading, so filenames never collide."""
+
+    def __init__(self):
+        self._t = datetime(2026, 8, 16, 10, 0, 0)
+
+    def __call__(self):
+        from datetime import timedelta
+
+        self._t += timedelta(seconds=1)
+        return self._t
+
+
+def make_service(tmp_path, flush_mode="immediate", config_rows=(), http_status=200):
+    data_dir = str(tmp_path / "SHM_Data") + os.sep
+    os.makedirs(data_dir, exist_ok=True)
+    cfg_file = tmp_path / "config.txt"
+    cfg_file.write_text("".join(config_rows))
+    gw_json = {
+        "ftp": {"server": "ftp.example", "user": "u", "pwd": "p", "path": "/x"},
+        "fastapi": {"url": "http://api.example/upload"},
+        "gateway": {
+            "logger_file": data_dir + "history.log",
+            "device_file": data_dir + "devices.txt",
+            "config_file": str(cfg_file),
+            "data_dir": data_dir,
+            "is_flexibile_structure": True,
+        },
+    }
+    cfg_path = tmp_path / "gw_config.json"
+    cfg_path.write_text(json.dumps(gw_json))
+    config = GatewayConfig.load(cfg_path)
+
+    transport = LoopbackTransport()
+    ftp_uploads: list[str] = []
+    api_posts: list[dict] = []
+
+    def fake_opener(req, timeout=None):
+        api_posts.append(json.loads(req.data.decode()))
+        return FakeResponse(http_status)
+
+    svc = GatewayService(
+        config,
+        transport,
+        flush_mode=flush_mode,
+        clock=TickingClock(),
+        ftp_sink=FtpSink(config.ftp, data_dir, connect_factory=lambda: FakeFtpSession(ftp_uploads)),
+        http_sink=HttpSink(config.fastapi_url, opener=fake_opener),
+    )
+    svc.start()
+    return svc, transport, ftp_uploads, api_posts
+
+
+def test_full_acquisition_and_sync_flow(tmp_path):
+    svc, transport, ftp_uploads, api_posts = make_service(tmp_path)
+    sim = SensorSimulator(MAC, fs=500.0, axis="X", chunk=100)
+    x = two_mode_signal(1024, 500.0)
+
+    sim.stream_acquisition(transport, x, baseline=0.25)
+    svc.drain()
+
+    # File written and parseable, peaks stored per axis.
+    files = [f for f in os.listdir(svc.config.data_dir) if f.endswith(".log") and MAC in f]
+    assert len(files) == 1
+    rec = load_sensor_log(os.path.join(svc.config.data_dir, files[0]))
+    assert rec.fs == 500.0 and rec.axis == "X"
+    assert len(rec.samples) == 1024
+    # binary16 wire quantization: samples within half-float resolution.
+    np.testing.assert_allclose(rec.samples, x, atol=4e-3)
+
+    entry = svc.fft_results[MAC]["X"]
+    ref = oracle_analyze(rec.samples, 500.0, mode="flexible")
+    assert entry["peak_freq"] == ref[0]["freq"]
+    for i, p in enumerate(ref):
+        assert entry[f"peak_freq_{i+1}"] == p["freq"]
+        assert entry[f"max_mag_{i+1}"] == pytest.approx(p["mag"], rel=1e-4)
+
+    # Queues populated: ftp + api (clean stream).
+    assert svc.ftp_queue[MAC] == [files[0]]
+    assert svc.api_queue[MAC] == [files[0]]
+
+    # Heartbeat triggers upload flush + cleanup + config reply.
+    sim.heartbeat(transport, humidity=61.5)
+    svc.drain()
+    assert ftp_uploads == [files[0]]
+    assert len(api_posts) == 1
+    post = api_posts[0]
+    assert post["mac"] == MAC and post["asse"] == "X"
+    assert post["metriche"]["fft_freqs"][0] == ref[0]["freq"]
+    assert post["metriche"]["humidity"] == 0.0  # humidity arrives after the file
+    assert svc.ftp_queue[MAC] == [] and svc.api_queue[MAC] == []
+    assert not any(f.endswith(".log") and f.startswith(MAC)
+                   for f in os.listdir(svc.config.data_dir))
+    # Outbound sync reply sent (no config row -> 0xA1).
+    assert transport.sent and transport.sent[-1][1].startswith("a1")
+    # fft results popped after sync report.
+    assert MAC not in svc.fft_results
+
+
+def test_epoch_batch_mode_analyzes_on_sync(tmp_path):
+    svc, transport, _, _ = make_service(tmp_path, flush_mode="on_sync")
+    x = two_mode_signal(1024, 500.0)
+    for axis in ("X", "Y", "Z"):
+        SensorSimulator(MAC, fs=500.0, axis=axis, chunk=100).stream_acquisition(transport, x)
+    svc.drain()
+    assert len(svc.pending_analysis) == 3
+    assert MAC not in svc.fft_results  # nothing analyzed yet
+
+    SensorSimulator(MAC).heartbeat(transport)
+    svc.drain()
+    assert svc.pending_analysis == []
+    # analysis ran (results are popped at end of sync report, so check history)
+    history = open(svc.config.logger_file).read()
+    assert "X f1:" in history and "Y f1:" in history and "Z f1:" in history
+
+
+def test_missing_packet_marker_and_api_exclusion(tmp_path):
+    svc, transport, _, _ = make_service(tmp_path)
+    sim = SensorSimulator(MAC, fs=500.0, axis="X", chunk=100)
+    x = two_mode_signal(1024, 500.0)
+    sim.stream_acquisition(transport, x, drop_packets={3})
+    svc.drain()
+
+    files = [f for f in os.listdir(svc.config.data_dir) if MAC in f]
+    assert len(files) == 1
+    raw = open(os.path.join(svc.config.data_dir, files[0])).read()
+    assert "* MISSING PACKETS FROM 3 TO 3 *" in raw
+    assert svc.ftp_queue[MAC] == files
+    # Reference parity (GT_FFT_v5.py:469-470): the API-queue gate only sees the
+    # 0xD3 packet's own validation; a mid-stream gap was already flagged when
+    # the *next* packet arrived, so by stream end the status is clean again
+    # and the file IS forwarded to the API (with the inline marker).
+    assert svc.api_queue.get(MAC, []) == files
+    # marker tokens are skipped by the parser; dropped chunk loses 100 samples
+    rec = load_sensor_log(os.path.join(svc.config.data_dir, files[0]))
+    assert len(rec.samples) == 1024 - 100
+
+
+def test_gap_at_stream_end_excludes_api(tmp_path):
+    """A gap revealed by the 0xD3 itself keeps the file off the API queue."""
+    svc, transport, _, _ = make_service(tmp_path)
+    sim = SensorSimulator(MAC, fs=500.0, axis="X", chunk=100)
+    x = two_mode_signal(1024, 500.0)
+    sim.stream_acquisition(transport, x, drop_packets={10})  # last mid packet
+    svc.drain()
+    files = [f for f in os.listdir(svc.config.data_dir) if MAC in f]
+    raw = open(os.path.join(svc.config.data_dir, files[0])).read()
+    assert "* MISSING PACKETS FROM 10 TO 10 *" in raw
+    assert svc.ftp_queue[MAC] == files
+    assert svc.api_queue.get(MAC, []) == []
+
+
+def test_anomalous_closure_recovery(tmp_path):
+    svc, transport, _, _ = make_service(tmp_path)
+    sim = SensorSimulator(MAC, fs=500.0, axis="X", chunk=100)
+    x = two_mode_signal(1024, 500.0)
+    sim.stream_acquisition(transport, x, truncate_after=4)  # no 0xD3
+    svc.drain()
+    truncated = svc.open_file[MAC]
+
+    # New acquisition arrives -> old file force-closed with marker + queued.
+    sim.stream_acquisition(transport, x)
+    svc.drain()
+    assert "* INCOMPLETE TRANSMISSION *" in open(truncated).read()
+    assert os.path.basename(truncated) in svc.ftp_queue[MAC]
+    history = open(svc.config.logger_file).read()
+    assert "Anomalous closure" in history
+    # the second, clean acquisition still analyzed fine
+    assert svc.fft_results[MAC]["X"]["peak_freq"] > 0
+
+
+def test_shock_event_immediate_upload(tmp_path):
+    svc, transport, ftp_uploads, _ = make_service(tmp_path)
+    sim = SensorSimulator(MAC)
+    sim.shock_event(transport, np.sin(np.arange(200) * 0.3))
+    svc.drain()
+    assert len(ftp_uploads) == 1 and ftp_uploads[0].endswith("_shock.log")
+    # shock file uploaded immediately, queue pruned
+    assert svc.ftp_queue[MAC] == []
+
+
+def test_reduced_data_flow(tmp_path):
+    svc, transport, _, _ = make_service(tmp_path)
+    sim = SensorSimulator(MAC, fs=250.0, axis="Y")
+    sim.reduced_data(transport, np.sin(np.arange(300) * 0.1))
+    svc.drain()
+    files = [f for f in os.listdir(svc.config.data_dir) if f.endswith("_reduced.log")]
+    assert len(files) == 1
+    assert svc.ftp_queue[MAC] == files
+    assert svc.influx_queue[MAC] == files
+    raw = open(os.path.join(svc.config.data_dir, files[0])).read()
+    assert "250 Hz" in raw and "Y axis" in raw
+
+
+def test_config_row_triggers_reconfiguration_packet(tmp_path):
+    row = MAC + " 2g 500Hz XY 8k 2h SYNC1 4g 250Hz Z 2k 10 1500 4 8g 50Hz ODR2 N\n"
+    svc, transport, _, _ = make_service(tmp_path, config_rows=(row,))
+    SensorSimulator(MAC).heartbeat(transport)
+    svc.drain()
+    assert transport.sent[-1][1].startswith("a2")
+    history = open(svc.config.logger_file).read()
+    assert "Sent reconfiguration" in history
+
+
+def test_failed_upload_keeps_queue(tmp_path):
+    svc, transport, _, api_posts = make_service(tmp_path, http_status=500)
+    # Break FTP too.
+    def boom():
+        raise ConnectionError("no route to host")
+    svc.ftp_sink = FtpSink(svc.config.ftp, svc.config.data_dir, connect_factory=boom)
+
+    sim = SensorSimulator(MAC, fs=500.0, axis="X", chunk=100)
+    sim.stream_acquisition(transport, two_mode_signal(1024, 500.0))
+    svc.drain()
+    files = list(svc.ftp_queue[MAC])
+    sim.heartbeat(transport)
+    svc.drain()
+    # Nothing pruned, file still on disk for retry at next sync.
+    assert svc.ftp_queue[MAC] == files
+    assert os.path.exists(os.path.join(svc.config.data_dir, files[0]))
+
+
+def test_device_registry_delays(tmp_path):
+    svc, transport, _, _ = make_service(tmp_path)
+    for i, mac in enumerate(["a" * 16, "b" * 16, "c" * 16]):
+        SensorSimulator(mac).heartbeat(transport)
+    svc.drain()
+    assert svc.devices.delay_for("a" * 16) == 0
+    assert svc.devices.delay_for("b" * 16) == 2
+    assert svc.devices.delay_for("c" * 16) == 4
+    reg = open(svc.config.device_file).read()
+    assert reg.count("\n") == 3
+
+
+def test_history_rotation(tmp_path):
+    from apda_fft_tpu.gateway.history import HistoryLog
+
+    path = tmp_path / "history.log"
+    log = HistoryLog(path, max_kb=1)
+    for _ in range(200):
+        log.append("x" * 32 + "\n")
+    assert os.path.exists(str(path) + ".old")
+    assert "LOG ROTATION" in open(path).read()
+
+
+def test_unknown_packet_hexdump(tmp_path):
+    svc, transport, _, _ = make_service(tmp_path)
+    transport.push(b"\xff\x01\x02", MAC)
+    svc.drain()
+    history = open(svc.config.logger_file).read()
+    assert "Unexpected data transmission" in history
+    assert "ff0102" in history
