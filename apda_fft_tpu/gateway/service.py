@@ -37,7 +37,7 @@ from apda_fft_tpu.io import packets
 from apda_fft_tpu.io.halffloat import decode_payload, format_samples
 from apda_fft_tpu.io.logfile import (
     append_marker,
-    append_samples,
+    append_sample_values,
     load_sensor_log,
     write_acquisition_header,
 )
@@ -170,7 +170,7 @@ class GatewayService:
                                first_value: float) -> None:
         values = decode_payload(payload[offset:], first_value)
         if addr in self.open_file and os.path.exists(self.open_file[addr]):
-            append_samples(self.open_file[addr], format_samples(values))
+            append_sample_values(self.open_file[addr], values)
         else:
             self.history(f"\t[WARN] write attempted on closed file for sensor {addr}\n")
 

@@ -87,17 +87,24 @@ def load_sensor_log(filepath: str | os.PathLike) -> SensorLog | None:
     summary = lines[2].strip().split(";")
     firsts = lines[3].strip().split(";")
 
-    samples: list[float] = []
-    for line in lines[4:]:
-        for tok in line.strip().split(";"):
-            if not tok:
-                continue
-            try:
-                v = float(tok)
-            except ValueError:
-                continue
-            if math.isfinite(v):
-                samples.append(v)
+    # Sample region (rows 4+): hot path, natively parsed when the C++
+    # data-loader is available (csrc/apda_io.cc), Python fallback otherwise.
+    from apda_fft_tpu.io import native
+
+    if native.available():
+        samples = native.parse_samples("".join(lines[4:])).tolist()
+    else:
+        samples = []
+        for line in lines[4:]:
+            for tok in line.strip().split(";"):
+                if not tok:
+                    continue
+                try:
+                    v = float(tok)
+                except ValueError:
+                    continue
+                if math.isfinite(v):
+                    samples.append(v)
 
     return SensorLog(
         timestamp=header[0],
@@ -141,6 +148,14 @@ def append_samples(filepath: str | os.PathLike, formatted: list[str]) -> None:
     with open(filepath, "a") as fh:
         for s in formatted:
             fh.write(s + ";")
+
+
+def append_sample_values(filepath: str | os.PathLike, values: np.ndarray) -> None:
+    """Append raw sample values, rendering "%8.6f;" tokens natively when possible."""
+    from apda_fft_tpu.io import native
+
+    with open(filepath, "a") as fh:
+        fh.write(native.format_samples(np.asarray(values, np.float64)))
 
 
 def append_marker(filepath: str | os.PathLike, marker: str) -> None:

@@ -1,0 +1,125 @@
+"""ctypes loader for the native data-loader kernels (csrc/apda_io.cc).
+
+Compiles the shared library on first use (g++ is in the image; pybind11 is
+not, hence ctypes) and caches it under ``csrc/build/``.  Every entry point
+has a NumPy fallback so the framework works without a toolchain; parity is
+enforced by tests/test_native.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from apda_fft_tpu.io import halffloat
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_ROOT, "csrc", "apda_io.cc")
+_BUILD_DIR = os.path.join(_ROOT, "csrc", "build")
+_LIB_PATH = os.path.join(_BUILD_DIR, "libapda_io.so")
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_load_failed = False
+
+
+def _build() -> None:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    subprocess.run(
+        ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB_PATH, _SRC],
+        check=True,
+        capture_output=True,
+    )
+
+
+def load() -> ctypes.CDLL | None:
+    """The native library, building it on first call; None if unavailable."""
+    global _lib, _load_failed
+    with _lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        try:
+            if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC):
+                _build()
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.apda_decode_half.restype = ctypes.c_long
+            lib.apda_decode_half.argtypes = [
+                ctypes.c_char_p, ctypes.c_long, ctypes.c_double,
+                ctypes.POINTER(ctypes.c_double),
+            ]
+            lib.apda_format_samples.restype = ctypes.c_long
+            lib.apda_format_samples.argtypes = [
+                ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+                ctypes.c_char_p, ctypes.c_long,
+            ]
+            lib.apda_parse_samples.restype = ctypes.c_long
+            lib.apda_parse_samples.argtypes = [
+                ctypes.c_char_p, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+            ]
+            _lib = lib
+        except Exception:  # noqa: BLE001 - fall back to NumPy implementations
+            _load_failed = True
+    return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def decode_payload(raw: bytes, first_value: float = 0.0) -> np.ndarray:
+    """Native-accelerated :func:`apda_fft_tpu.io.halffloat.decode_payload`."""
+    lib = load()
+    if lib is None:
+        return halffloat.decode_payload(raw, first_value)
+    raw = bytes(raw)
+    out = np.empty(len(raw) // 2, np.float64)
+    n = lib.apda_decode_half(
+        raw, len(raw), first_value,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return out[:n]
+
+
+def format_samples(values: np.ndarray) -> str:
+    """';'-joined "%8.6f" token stream (with trailing ';'), natively rendered."""
+    values = np.ascontiguousarray(values, np.float64)
+    lib = load()
+    if lib is None:
+        return "".join(s + ";" for s in halffloat.format_samples(values))
+    cap = 32 * len(values) + 16
+    buf = ctypes.create_string_buffer(cap)
+    used = lib.apda_format_samples(
+        values.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(values), buf, cap
+    )
+    if used < 0:
+        return "".join(s + ";" for s in halffloat.format_samples(values))
+    return buf.raw[:used].decode("ascii")
+
+
+def parse_samples(text: str) -> np.ndarray:
+    """Parse log rows 4+ sample tokens (skips markers / non-finite values)."""
+    lib = load()
+    data = text.encode("utf-8")
+    if lib is None:
+        out = []
+        for tok in text.replace("\n", ";").split(";"):
+            tok = tok.strip()
+            if not tok:
+                continue
+            try:
+                v = float(tok)
+            except ValueError:
+                continue
+            if np.isfinite(v):
+                out.append(v)
+        return np.asarray(out, np.float64)
+    out = np.empty(max(len(data) // 2, 16), np.float64)
+    n = lib.apda_parse_samples(
+        data, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(out)
+    )
+    return out[:n]

@@ -115,7 +115,9 @@ def split_pow2(n: int) -> tuple[int, int]:
 # ---------------------------------------------------------------------------
 
 
-def fft_matmul_real(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+def fft_matmul_real(
+    x: jnp.ndarray, precision=jax.lax.Precision.HIGHEST
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Full complex DFT of real ``x`` [..., N] as (re, im), via four-step matmuls.
 
     Decomposition: with n = m2 + N2*m1, k = k1 + N1*k2,
@@ -132,8 +134,8 @@ def fft_matmul_real(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         c, s = _dft_tables(n, dtype)
         c = jnp.asarray(c)
         s = jnp.asarray(s)
-        re = jnp.einsum("kn,...n->...k", c, x)
-        im = jnp.einsum("kn,...n->...k", s, x)
+        re = jnp.einsum("kn,...n->...k", c, x, precision=precision)
+        im = jnp.einsum("kn,...n->...k", s, x, precision=precision)
         return re, im
 
     n1, n2 = split_pow2(n)
@@ -143,14 +145,18 @@ def fft_matmul_real(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
     a = x.reshape(*x.shape[:-1], n1, n2)  # a[..., m1, m2]
     # Step 1: DFT over m1 (real input -> two real matmuls).
-    br = jnp.einsum("kn,...nm->...km", c1, a)
-    bi = jnp.einsum("kn,...nm->...km", s1, a)
+    br = jnp.einsum("kn,...nm->...km", c1, a, precision=precision)
+    bi = jnp.einsum("kn,...nm->...km", s1, a, precision=precision)
     # Step 2: twiddle W_N^{k1*m2}.
     cr = br * tc - bi * ts
     ci = br * ts + bi * tc
     # Step 3: DFT over m2 (complex x complex -> four real matmuls).
-    dr = jnp.einsum("...km,mj->...kj", cr, c2) - jnp.einsum("...km,mj->...kj", ci, s2)
-    di = jnp.einsum("...km,mj->...kj", cr, s2) + jnp.einsum("...km,mj->...kj", ci, c2)
+    dr = jnp.einsum("...km,mj->...kj", cr, c2, precision=precision) - jnp.einsum(
+        "...km,mj->...kj", ci, s2, precision=precision
+    )
+    di = jnp.einsum("...km,mj->...kj", cr, s2, precision=precision) + jnp.einsum(
+        "...km,mj->...kj", ci, c2, precision=precision
+    )
     # Step 4: output index k = k1 + N1*k2 -> transpose (k1,k2) -> (k2,k1) and flatten.
     re = jnp.swapaxes(dr, -1, -2).reshape(*x.shape[:-1], n)
     im = jnp.swapaxes(di, -1, -2).reshape(*x.shape[:-1], n)

@@ -57,6 +57,10 @@ def analyze_epoch_sharded(
     """
     if mesh is None:
         mesh = make_mesh()
+    # Default to the matmul FFT backend: XLA's RFFT custom-call does not
+    # partition over the batch axis (SPMD inserts an all-gather around it),
+    # while the einsum four-step shards collective-free.
+    kwargs.setdefault("backend", "matmul")
     samples = shard_batch(jax.numpy.asarray(samples), mesh, batch_axis)
     fs_arr = jax.numpy.asarray(fs)
     if fs_arr.ndim >= 1:

@@ -1,0 +1,94 @@
+"""Pallas kernel equivalence (interpret mode) and sharded/distributed paths."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from apda_fft_tpu.ops import fft as fft_ops
+from apda_fft_tpu.ops.fft_pallas import halfspec_magnitudes_pallas
+from apda_fft_tpu.parallel.distributed_fft import (
+    distributed_halfspec_magnitudes,
+    shard_windows_2d,
+)
+from apda_fft_tpu.parallel.mesh import analyze_epoch_sharded, make_mesh, shard_batch
+from tests.signals import modal_signal
+
+
+def _windows(b, n, fs=500.0, seed=0):
+    xs = np.stack([modal_signal(n, fs, seed=seed + i) for i in range(b)])
+    return jnp.asarray(xs, jnp.float32)
+
+
+@pytest.mark.parametrize("n", [256, 1024, 4096])
+def test_pallas_kernel_matches_xla(n):
+    w = fft_ops.center_and_pad(_windows(5, n), n)
+    ref = np.asarray(fft_ops.halfspec_magnitudes(w, backend="xla"))
+    got = np.asarray(halfspec_magnitudes_pallas(w, block_windows=4))
+    assert got.shape == ref.shape
+    scale = ref.max()
+    np.testing.assert_allclose(got / scale, ref / scale, atol=3e-6)
+    assert np.all(got[:, 0] == 0)
+
+
+def test_pallas_kernel_batch_padding():
+    """Batch not divisible by block size still yields exact rows."""
+    w = fft_ops.center_and_pad(_windows(3, 256), 256)
+    got = np.asarray(halfspec_magnitudes_pallas(w, block_windows=8))
+    ref = np.asarray(fft_ops.halfspec_magnitudes(w, backend="xla"))
+    np.testing.assert_allclose(got / ref.max(), ref / ref.max(), atol=3e-6)
+
+
+def test_sharded_epoch_analysis_8dev():
+    mesh = make_mesh(8, ("data",))
+    xs = _windows(16, 1024)
+    res = analyze_epoch_sharded(np.asarray(xs), 500.0, mesh=mesh, mode="flexible")
+    ref = jax.jit(
+        lambda s, f: __import__("apda_fft_tpu").analyze_epoch(s, f, mode="flexible")
+    )(xs, jnp.float32(500.0))
+    np.testing.assert_array_equal(np.asarray(res.idx), np.asarray(ref.idx))
+    np.testing.assert_array_equal(np.asarray(res.count), np.asarray(ref.count))
+
+
+def test_sharded_core_has_no_collectives():
+    """The data-parallel epoch program must compile collective-free.
+
+    Requires the matmul FFT backend: XLA's RFFT custom-call cannot be
+    batch-partitioned and would force an all-gather of the whole epoch
+    (which is why analyze_epoch_sharded defaults to backend="matmul").
+    """
+    from apda_fft_tpu.models.pipeline import _analyze_epoch_impl
+
+    mesh = make_mesh(8, ("data",))
+    xs = shard_batch(_windows(16, 1024), mesh)
+    fs = shard_batch(jnp.full((16,), 500.0, jnp.float32), mesh)
+    lowered = jax.jit(
+        lambda s, f: _analyze_epoch_impl(
+            s, f, None, n_fft=1024, mode="flexible", k=4, backend="matmul",
+            max_candidates=32, refine=False, has_lengths=False,
+        )
+    ).lower(xs, fs)
+    hlo = lowered.compile().as_text()
+    for coll in ("all-reduce", "all-gather", "all-to-all", "collective-permute"):
+        assert coll not in hlo, f"unexpected collective {coll} in data-parallel core"
+
+
+@pytest.mark.parametrize("shape", [(4, 2), (2, 4)])
+def test_distributed_fft_matches_single_device(shape):
+    mesh = make_mesh(8, ("data", "seq"), shape=shape)
+    n = 4096
+    xs = fft_ops.center_and_pad(_windows(8, n), n)
+    ref = np.asarray(fft_ops.halfspec_magnitudes(xs, backend="matmul"))
+    sharded = shard_windows_2d(xs, mesh)
+    got = np.asarray(distributed_halfspec_magnitudes(sharded, mesh))
+    scale = ref.max()
+    np.testing.assert_allclose(got / scale, ref / scale, atol=3e-6)
+
+
+def test_distributed_fft_rejects_bad_split():
+    mesh = make_mesh(8, ("data", "seq"), shape=(1, 8))
+    xs = fft_ops.center_and_pad(_windows(2, 64), 64)  # N1=N2=8 -> 8 divides, ok
+    distributed_halfspec_magnitudes(shard_windows_2d(xs, mesh), mesh)
+    xs2 = fft_ops.center_and_pad(_windows(2, 16), 16)  # N1=N2=4 < 8 -> reject
+    with pytest.raises(ValueError, match="must divide"):
+        distributed_halfspec_magnitudes(shard_windows_2d(xs2, mesh), mesh)
