@@ -20,6 +20,7 @@ from apda_fft_tpu.models.pipeline import (
     default_k,
 )
 from apda_fft_tpu.models.results import EpochResult
+from apda_fft_tpu.models.streaming import analyze_stream, frame_records
 from apda_fft_tpu.ops.fft import (
     center_and_pad,
     full_spectrum,
@@ -38,7 +39,9 @@ __all__ = [
     "ResolutionPeaks",
     "SpectralPipeline",
     "analyze_epoch",
+    "analyze_stream",
     "center_and_pad",
+    "frame_records",
     "default_k",
     "full_spectrum",
     "halfspec_magnitudes",

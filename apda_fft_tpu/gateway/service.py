@@ -94,6 +94,36 @@ class GatewayService:
         self.transport.start(self.history)
         self.history(f"--- Gateway Start: {self.clock()} ---\n\n")
         self.devices.reset()
+        self.recover_orphans()
+
+    def recover_orphans(self) -> int:
+        """Re-enqueue acquisition files stranded by a previous run.
+
+        The reference keeps upload queues in memory only, so a restart orphans
+        pending files - and its sync-time cleanup then *deletes* them unsent
+        (``GT_FFT_v5.py:346-355``: any on-disk file not in the rebuilt-empty
+        queue is removed).  Durability here means the files on disk ARE the
+        checkpoint: at startup every leftover ``<mac>_*.log`` goes back on its
+        sensor's FTP queue so it uploads at the next sync instead of being
+        destroyed.
+        """
+        n = 0
+        try:
+            names = sorted(os.listdir(self.config.data_dir))
+        except OSError:
+            return 0
+        for name in names:
+            if not name.endswith(".log") or len(name) < 17 or "_" not in name:
+                continue
+            addr = name.split("_", 1)[0]
+            if len(addr) != 16:
+                continue
+            if name not in self.ftp_queue.get(addr, []):
+                self.ftp_queue.setdefault(addr, []).append(name)
+                n += 1
+        if n:
+            self.history(f"\t[RECOVERY] requeued {n} stranded acquisition file(s)\n")
+        return n
 
     def stop(self) -> None:
         self.transport.stop(self.history)

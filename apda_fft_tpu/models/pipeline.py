@@ -68,6 +68,8 @@ def refine_subbin(mags: jnp.ndarray, idx: jnp.ndarray, ds: jnp.ndarray) -> jnp.n
         "max_candidates",
         "refine",
         "has_lengths",
+        "center",
+        "selection",
     ),
 )
 def _analyze_epoch_impl(
@@ -82,18 +84,30 @@ def _analyze_epoch_impl(
     max_candidates: int,
     refine: bool,
     has_lengths: bool,
+    center: str = "auto",
+    selection: str = "topk",
 ) -> EpochResult:
     lead = samples.shape[:-1]
     flat = samples.reshape((-1, samples.shape[-1]))
     fs_flat = jnp.broadcast_to(fs, lead).reshape((-1,)).astype(flat.dtype)
     len_flat = lengths.reshape((-1,)) if has_lengths else None
 
-    windows = fft_ops.center_and_pad(flat, n_fft, len_flat)
+    if center == "auto" and not has_lengths and flat.shape[-1] == n_fft:
+        # Full, unpadded windows: subtracting the (constant) median changes
+        # only the DC bin of the transform - which is zeroed anyway
+        # (fft_iterativa.py:85) - so the sort-based median is skipped.  With
+        # zero-padding the subtraction is load-bearing (the pad stays 0) and
+        # the full path below runs.  Pass center="always" to force it.
+        windows = flat
+    else:
+        windows = fft_ops.center_and_pad(flat, n_fft, len_flat)
     mags = fft_ops.halfspec_magnitudes(windows, backend=backend)
 
     if mode == "flexible":
         det = jax.vmap(
-            lambda m, f: prominence_peaks(m, f, n_fft, k=k, max_candidates=max_candidates)
+            lambda m, f: prominence_peaks(
+                m, f, n_fft, k=k, max_candidates=max_candidates, selection=selection
+            )
         )(mags, fs_flat)
         prom, damp, qf = det.prominence, det.damping, det.q_factor
     elif mode == "rigid":
@@ -136,6 +150,8 @@ def analyze_epoch(
     refine: bool = False,
     lengths=None,
     dtype=jnp.float32,
+    center: str = "auto",
+    selection: str = "topk",
 ) -> EpochResult:
     """Analyze one epoch of sensor windows in a single XLA program.
 
@@ -180,6 +196,8 @@ def analyze_epoch(
         max_candidates=max_candidates,
         refine=refine,
         has_lengths=has_lengths,
+        center=center,
+        selection=selection,
     )
 
 

@@ -72,7 +72,7 @@ def _fused_kernel(x_ref, c1_ref, s1_ref, twc_ref, tws_ref, c2_ref, s2_ref, out_r
 
 @functools.partial(jax.jit, static_argnames=("block_windows", "interpret"))
 def halfspec_magnitudes_pallas(
-    x: jnp.ndarray, block_windows: int = 64, interpret: bool | None = None
+    x: jnp.ndarray, block_windows: int = 16, interpret: bool | None = None
 ) -> jnp.ndarray:
     """|FFT| of the first N/2 bins for real windows ``x`` [B, N], DC zeroed.
 

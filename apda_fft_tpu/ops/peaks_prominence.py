@@ -101,6 +101,7 @@ def prominence_peaks(
     n_fft: int,
     k: int = 4,
     max_candidates: int = 32,
+    selection: str = "topk",
 ) -> ProminencePeaks:
     """Detect top-k prominent peaks in one half-spectrum ``mags`` [H], H = n_fft//2.
 
@@ -122,8 +123,17 @@ def prominence_peaks(
     # Magnitude-descending stable order == reference's ascending-j candidate
     # build (:169-194) followed by a stable sort on magnitude (:197).
     score = jnp.where(cand_mask, mags, -jnp.inf)
-    order = jnp.argsort(-score, stable=True)[:max_candidates]
-    cid = order.astype(jnp.int32)
+    if selection == "topk":
+        # top_k then an M-element lexicographic (-mag, idx) re-sort: identical
+        # to the stable full sort unless exactly-equal magnitudes straddle the
+        # max_candidates boundary (measure-zero for real spectra), and much
+        # cheaper than sorting all H bins.
+        vals, idx0 = jax.lax.top_k(score, max_candidates)
+        _, cid = jax.lax.sort((-vals, idx0.astype(jnp.int32)), num_keys=2)
+    elif selection == "sort":
+        cid = jnp.argsort(-score, stable=True)[:max_candidates].astype(jnp.int32)
+    else:
+        raise ValueError(f"unknown selection {selection!r}; expected 'topk' or 'sort'")
     is_cand = jnp.take(cand_mask, cid)
     cmag = jnp.take(mags, cid)
 

@@ -61,6 +61,9 @@ def analyze_epoch_sharded(
     # partition over the batch axis (SPMD inserts an all-gather around it),
     # while the einsum four-step shards collective-free.
     kwargs.setdefault("backend", "matmul")
+    # Likewise lax.top_k is a custom-call without an SPMD partitioning rule;
+    # the full-sort candidate selection shards cleanly.
+    kwargs.setdefault("selection", "sort")
     samples = shard_batch(jax.numpy.asarray(samples), mesh, batch_axis)
     fs_arr = jax.numpy.asarray(fs)
     if fs_arr.ndim >= 1:

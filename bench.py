@@ -88,7 +88,7 @@ def main() -> None:
     reps = int(os.environ.get("APDA_BENCH_REPS", "10"))
     want = os.environ.get("APDA_BENCH_BACKEND", "auto")
 
-    backends = ["xla", "matmul"] if want == "auto" else [want]
+    backends = ["xla", "matmul", "pallas"] if want == "auto" else [want]
     best_backend, best = None, 0.0
     for backend in backends:
         try:

@@ -1,0 +1,73 @@
+"""Persistent TPU job runner: amortizes the remote-tunnel reconnect cost.
+
+Through the axon relay a fresh Python process pays a multi-minute device
+(re)connection before its first op; this worker connects once and then
+executes queued script files sequentially.
+
+Usage:  python benchmarks/tpu_worker.py [spool_dir]
+Drop ``<name>.py`` files into the spool dir; each runs with globals
+{"jax", "jnp", "np"} preloaded, stdout+stderr captured to ``<name>.out``,
+then the script is renamed ``<name>.done``.  Drop a file named ``STOP`` to
+exit.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+import time
+import traceback
+
+
+def main() -> None:
+    spool = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tpu_spool"
+    os.makedirs(spool, exist_ok=True)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    # Pay the device connection cost up front.
+    t0 = time.perf_counter()
+    jax.block_until_ready(jnp.zeros(()) + 1)
+    float(jnp.sum(jnp.ones((8, 8))))
+    print(f"[worker] device ready: {jax.devices()} ({time.perf_counter() - t0:.0f}s)",
+          flush=True)
+
+    while True:
+        jobs = sorted(f for f in os.listdir(spool) if f.endswith(".py"))
+        if os.path.exists(os.path.join(spool, "STOP")):
+            print("[worker] STOP found, exiting", flush=True)
+            return
+        if not jobs:
+            time.sleep(1.0)
+            continue
+        name = jobs[0]
+        path = os.path.join(spool, name)
+        out_path = path[:-3] + ".out"
+        print(f"[worker] running {name}", flush=True)
+        buf = io.StringIO()
+        t0 = time.perf_counter()
+        try:
+            # Jobs see the current on-disk framework, not whatever an earlier
+            # job imported.
+            for mod in [m for m in sys.modules if m.startswith("apda_fft_tpu")]:
+                del sys.modules[mod]
+            src = open(path).read()
+            with contextlib.redirect_stdout(buf), contextlib.redirect_stderr(buf):
+                exec(compile(src, path, "exec"), {"jax": jax, "jnp": jnp, "np": np})
+            status = "ok"
+        except Exception:  # noqa: BLE001
+            buf.write(traceback.format_exc())
+            status = "error"
+        buf.write(f"\n[worker] {name}: {status} in {time.perf_counter() - t0:.1f}s\n")
+        with open(out_path, "w") as fh:
+            fh.write(buf.getvalue())
+        os.rename(path, path[:-3] + ".done")
+        print(f"[worker] {name} -> {status}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

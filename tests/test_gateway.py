@@ -300,3 +300,20 @@ def test_unknown_packet_hexdump(tmp_path):
     history = open(svc.config.logger_file).read()
     assert "Unexpected data transmission" in history
     assert "ff0102" in history
+
+
+def test_orphan_recovery_requeues_stranded_files(tmp_path):
+    """Files left by a crashed run are requeued (not deleted) and upload at sync."""
+    svc, transport, ftp_uploads, _ = make_service(tmp_path)
+    sim = SensorSimulator(MAC, fs=500.0, axis="X", chunk=100)
+    sim.stream_acquisition(transport, two_mode_signal(1024, 500.0))
+    svc.drain()
+    files = list(svc.ftp_queue[MAC])
+
+    # "Restart": a fresh service over the same data dir with empty queues.
+    svc2, transport2, ftp_uploads2, _ = make_service(tmp_path)
+    assert svc2.ftp_queue.get(MAC, []) == files  # requeued by recover_orphans
+    SensorSimulator(MAC).heartbeat(transport2)
+    svc2.drain()
+    assert ftp_uploads2 == files  # uploaded, not destroyed
+    assert svc2.ftp_queue[MAC] == []

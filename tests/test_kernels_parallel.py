@@ -65,7 +65,7 @@ def test_sharded_core_has_no_collectives():
     lowered = jax.jit(
         lambda s, f: _analyze_epoch_impl(
             s, f, None, n_fft=1024, mode="flexible", k=4, backend="matmul",
-            max_candidates=32, refine=False, has_lengths=False,
+            max_candidates=32, refine=False, has_lengths=False, selection="sort",
         )
     ).lower(xs, fs)
     hlo = lowered.compile().as_text()

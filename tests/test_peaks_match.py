@@ -108,3 +108,24 @@ def test_no_peaks_on_pure_noise_threshold():
     assert int(res.count[0]) == 0
     res = analyze_epoch(x[None, :], 500.0, mode="rigid")
     assert int(res.count[0]) == 0
+
+
+def test_selection_paths_agree_on_ties():
+    """topk+lexsort candidate selection == stable argsort, incl. duplicate mags."""
+    import jax.numpy as jnp
+    from apda_fft_tpu.ops.peaks_prominence import prominence_peaks
+
+    h = 512
+    rng = np.random.default_rng(7)
+    mags = rng.uniform(0.0, 1.0, h)
+    # plant exactly-equal local maxima well above threshold
+    for j in (50, 100, 200, 300, 400):
+        mags[j - 1 : j + 2] = [1.0, 30.0, 1.0]
+    for j in (150, 250):
+        mags[j - 1 : j + 2] = [1.0, 45.0, 1.0]
+    mags[0] = 0.0
+    m = jnp.asarray(mags, jnp.float32)
+    a = prominence_peaks(m, 500.0, 1024, selection="topk")
+    b = prominence_peaks(m, 500.0, 1024, selection="sort")
+    assert int(a.count) == int(b.count)
+    np.testing.assert_array_equal(np.asarray(a.idx), np.asarray(b.idx))
