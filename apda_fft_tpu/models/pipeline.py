@@ -30,12 +30,12 @@ from apda_fft_tpu.ops import fft as fft_ops
 from apda_fft_tpu.ops.peaks_prominence import prominence_peaks
 from apda_fft_tpu.ops.peaks_resolution import resolution_peaks
 
-MODES = ("flexible", "rigid")
+MODES = ("flexible", "rigid", "adaptive")
 
 
 def default_k(mode: str) -> int:
-    """Reference defaults: top-4 in flexible mode, top-5 in rigid mode."""
-    return 4 if mode == "flexible" else 5
+    """Reference defaults: top-4 in flexible/adaptive mode, top-5 in rigid mode."""
+    return 5 if mode == "rigid" else 4
 
 
 def refine_subbin(mags: jnp.ndarray, idx: jnp.ndarray, ds: jnp.ndarray) -> jnp.ndarray:
@@ -114,6 +114,28 @@ def _analyze_epoch_impl(
         det = jax.vmap(lambda m, f: resolution_peaks(m, f, n_fft, k=k))(mags, fs_flat)
         zeros = jnp.zeros_like(det.freq)
         prom, damp, qf = zeros, zeros, zeros
+    elif mode == "adaptive":
+        # Adaptive prominence + resolution fallback (BASELINE config 2): the
+        # prominence detector's damping band can reject everything on very
+        # sharp or very broad spectra; windows it leaves empty fall back to
+        # the resolution detector, per window, inside the same program.
+        flex = jax.vmap(
+            lambda m, f: prominence_peaks(
+                m, f, n_fft, k=k, max_candidates=max_candidates, selection=selection
+            )
+        )(mags, fs_flat)
+        rig = jax.vmap(lambda m, f: resolution_peaks(m, f, n_fft, k=k))(mags, fs_flat)
+        use_flex = (flex.count > 0)[:, None]
+        zeros = jnp.zeros_like(flex.freq)
+        det = flex._replace(
+            count=jnp.where(flex.count > 0, flex.count, rig.count),
+            idx=jnp.where(use_flex, flex.idx, rig.idx),
+            freq=jnp.where(use_flex, flex.freq, rig.freq),
+            mag=jnp.where(use_flex, flex.mag, rig.mag),
+        )
+        prom = jnp.where(use_flex, flex.prominence, zeros)
+        damp = jnp.where(use_flex, flex.damping, zeros)
+        qf = jnp.where(use_flex, flex.q_factor, zeros)
     else:
         raise ValueError(f"unknown mode {mode!r}; expected one of {MODES}")
 
@@ -211,6 +233,8 @@ class PipelineConfig:
     max_candidates: int = 32
     refine: bool = False
     dtype: Any = jnp.float32
+    center: str = "auto"
+    selection: str = "topk"
 
     @classmethod
     def from_gateway_flag(cls, is_flexibile_structure: bool, **kw) -> "PipelineConfig":
@@ -246,6 +270,8 @@ class SpectralPipeline:
             refine=cfg.refine,
             lengths=lengths,
             dtype=cfg.dtype,
+            center=cfg.center,
+            selection=cfg.selection,
         )
         result = jax.block_until_ready(result)
         wall = time.perf_counter() - t_wall0

@@ -95,6 +95,91 @@ def _prominence_and_width(mags: jnp.ndarray, iota: jnp.ndarray, j: jnp.ndarray, 
     return prom, bins
 
 
+def _sparse_tables(mags: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Range-max/min sparse tables: st[l, i] = op(mags[i : i + 2**l]).
+
+    Built once per window in O(H log H); every candidate's scans then answer
+    in O(log H) (see ``_prominence_and_width_sparse``).  Rows with i > H-2**l
+    hold clipped windows padded with the op identity, so queries must stay in
+    range (they do).
+    """
+    h = mags.shape[-1]
+    levels = max(h.bit_length() - 1, 1)
+    neg = jnp.asarray(-jnp.inf, mags.dtype)
+    pos = jnp.asarray(jnp.inf, mags.dtype)
+    maxs = [mags]
+    mins = [mags]
+    cur_max, cur_min = mags, mags
+    for lvl in range(1, levels + 1):
+        off = 1 << (lvl - 1)
+        cur_max = jnp.maximum(cur_max, jnp.concatenate([cur_max[off:], jnp.full((off,), neg)]))
+        cur_min = jnp.minimum(cur_min, jnp.concatenate([cur_min[off:], jnp.full((off,), pos)]))
+        maxs.append(cur_max)
+        mins.append(cur_min)
+    return jnp.stack(maxs), jnp.stack(mins)
+
+
+def _range_min(st_min: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """min(mags[a..b]) inclusive in O(1); +inf when the interval is empty."""
+    dtype = st_min.dtype
+    length = jnp.maximum(b - a + 1, 1)
+    lvl = 31 - jax.lax.clz(length.astype(jnp.int32))
+    step = jnp.left_shift(1, lvl)
+    lo = st_min[lvl, a]
+    hi = st_min[lvl, jnp.maximum(b - step + 1, 0)]
+    return jnp.where(a > b, jnp.asarray(jnp.inf, dtype), jnp.minimum(lo, hi))
+
+
+def _prominence_and_width_sparse(st_max, st_min, levels: int, h: int, j, peak, dtype):
+    """Same decisions as ``_prominence_and_width`` via doubling over the tables.
+
+    Each directional scan greedily extends a run over which the scan predicate
+    ("no blocker" / "no stop sample") holds, testing power-of-two blocks with
+    one table lookup; 2*(levels+1) unrolled steps per side replace an O(H)
+    masked reduction per candidate.
+    """
+    # --- nearest strictly-greater sample (prominence blockers) ---
+    pos_l = j
+    pos_r = j + 1
+    for lvl in range(levels, -1, -1):
+        step = 1 << lvl
+        can_l = pos_l - step >= 0
+        ok_l = can_l & (st_max[lvl, jnp.maximum(pos_l - step, 0)] <= peak)
+        pos_l = jnp.where(ok_l, pos_l - step, pos_l)
+        can_r = pos_r + step <= h
+        ok_r = can_r & (st_max[lvl, jnp.minimum(pos_r, h - 1)] <= peak)
+        # guard: block [pos_r, pos_r+step) read from st_max[lvl, pos_r]
+        pos_r = jnp.where(ok_r, pos_r + step, pos_r)
+    last_blk_left = pos_l - 1  # -1 when no blocker
+    first_blk_right = pos_r  # h when no blocker
+
+    min_left = jnp.minimum(peak, _range_min(st_min, pos_l, j - 1))
+    min_right = jnp.minimum(peak, _range_min(st_min, j + 1, first_blk_right - 1))
+    prom = peak - jnp.maximum(min_left, min_right)
+
+    # --- half-power width stops: stop(i) = m[i] <= target or m[i] > peak ---
+    valley = peak - prom
+    target = valley + prom * jnp.asarray(0.707, dtype)
+    stop_at_j = peak <= target  # prom <= 0 edge (reference stays at j)
+
+    wpos_l = j
+    wpos_r = j + 1
+    for lvl in range(levels, -1, -1):
+        step = 1 << lvl
+        idx_l = jnp.maximum(wpos_l - step, 0)
+        no_stop_l = (st_min[lvl, idx_l] > target) & (st_max[lvl, idx_l] <= peak)
+        ok_l = (wpos_l - step >= 0) & no_stop_l
+        wpos_l = jnp.where(ok_l, wpos_l - step, wpos_l)
+        idx_r = jnp.minimum(wpos_r, h - 1)
+        no_stop_r = (st_min[lvl, idx_r] > target) & (st_max[lvl, idx_r] <= peak)
+        ok_r = (wpos_r + step <= h) & no_stop_r
+        wpos_r = jnp.where(ok_r, wpos_r + step, wpos_r)
+    left_idx = jnp.where(stop_at_j, j, jnp.maximum(wpos_l - 1, 0))
+    right_idx = jnp.where(stop_at_j, j, jnp.minimum(wpos_r, h - 1))
+    bins = jnp.maximum(right_idx - left_idx, 1)
+    return prom, bins
+
+
 def prominence_peaks(
     mags: jnp.ndarray,
     fs: jnp.ndarray,
@@ -102,6 +187,7 @@ def prominence_peaks(
     k: int = 4,
     max_candidates: int = 32,
     selection: str = "topk",
+    scan_impl: str = "sparse",
 ) -> ProminencePeaks:
     """Detect top-k prominent peaks in one half-spectrum ``mags`` [H], H = n_fft//2.
 
@@ -137,7 +223,16 @@ def prominence_peaks(
     is_cand = jnp.take(cand_mask, cid)
     cmag = jnp.take(mags, cid)
 
-    proms, bins = jax.vmap(lambda j, p: _prominence_and_width(mags, iota, j, p))(cid, cmag)
+    if scan_impl == "sparse":
+        levels = max(h.bit_length() - 1, 1)
+        st_max, st_min = _sparse_tables(mags)
+        proms, bins = jax.vmap(
+            lambda j, p: _prominence_and_width_sparse(st_max, st_min, levels, h, j, p, dtype)
+        )(cid, cmag)
+    elif scan_impl == "masked":
+        proms, bins = jax.vmap(lambda j, p: _prominence_and_width(mags, iota, j, p))(cid, cmag)
+    else:
+        raise ValueError(f"unknown scan_impl {scan_impl!r}; expected 'sparse' or 'masked'")
 
     ds = fs / jnp.asarray(n_fft, dtype)
     width = bins.astype(dtype) * ds

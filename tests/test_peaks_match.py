@@ -129,3 +129,29 @@ def test_selection_paths_agree_on_ties():
     b = prominence_peaks(m, 500.0, 1024, selection="sort")
     assert int(a.count) == int(b.count)
     np.testing.assert_array_equal(np.asarray(a.idx), np.asarray(b.idx))
+
+
+def test_scan_impls_agree_exhaustively():
+    """Sparse-table doubling scans == masked reductions on adversarial spectra."""
+    from apda_fft_tpu.ops.peaks_prominence import prominence_peaks
+
+    rng = np.random.default_rng(3)
+    cases = []
+    for seed in range(12):
+        h = [64, 128, 512][seed % 3]
+        m = rng.uniform(0, 1, h)
+        # adversarial structure: plateaus, exact ties, monotone runs, spikes
+        m[h // 4 : h // 4 + 5] = 0.8
+        m[h // 2] = 5.0
+        m[h // 2 + 2] = 5.0
+        m[3 * h // 4 :] = np.linspace(1.2, 0.0, h - 3 * h // 4)
+        m[0] = 0.0
+        cases.append(m)
+    for i, m in enumerate(cases):
+        mj = jnp.asarray(m, jnp.float32)
+        a = prominence_peaks(mj, 500.0, 2 * len(m), scan_impl="sparse")
+        b = prominence_peaks(mj, 500.0, 2 * len(m), scan_impl="masked")
+        assert int(a.count) == int(b.count), i
+        np.testing.assert_array_equal(np.asarray(a.idx), np.asarray(b.idx), err_msg=str(i))
+        np.testing.assert_array_equal(np.asarray(a.prominence), np.asarray(b.prominence))
+        np.testing.assert_array_equal(np.asarray(a.damping), np.asarray(b.damping))

@@ -85,3 +85,26 @@ def test_top_peak_helpers():
     res = analyze_epoch(x[None], 500.0)
     assert float(res.top_peak_freq()[0]) == -1.0
     assert float(res.top_peak_mag()[0]) == -1.0
+
+
+def test_adaptive_mode_falls_back_per_window():
+    """Adaptive = prominence, with per-window resolution fallback when empty."""
+    fs = 500.0
+    # window A: clean modal signal -> prominence finds peaks
+    a = modal_signal(1024, fs, modes=[(20.0, 1.0, 0.01)], seed=1)
+    # window B: extremely sharp single tone exactly on a bin -> width 1 bin at
+    # high frequency gives damping < 0.1% -> prominence rejects; resolution keeps.
+    t = np.arange(1024) / fs
+    b = np.sin(2 * np.pi * (200 * fs / 1024) * t) * 5.0
+    batch = np.stack([a, b])
+
+    flex = analyze_epoch(batch, fs, mode="flexible")
+    rig = analyze_epoch(batch, fs, mode="rigid", k=4)
+    adap = analyze_epoch(batch, fs, mode="adaptive")
+
+    assert int(flex.count[0]) > 0
+    if int(flex.count[1]) == 0:  # the intended fallback scenario
+        assert int(adap.count[1]) == int(rig.count[1]) > 0
+        np.testing.assert_array_equal(np.asarray(adap.idx[1]), np.asarray(rig.idx[1]))
+    np.testing.assert_array_equal(np.asarray(adap.idx[0]), np.asarray(flex.idx[0]))
+    assert int(adap.count[0]) == int(flex.count[0])
