@@ -102,6 +102,14 @@ def _sparse_tables(mags: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     in O(log H) (see ``_prominence_and_width_sparse``).  Rows with i > H-2**l
     hold clipped windows padded with the op identity, so queries must stay in
     range (they do).
+
+    Performance note (measured on TPU v5e, B=2048/H=2048/M=32): despite the
+    ~10x op-count reduction, this path is ~30x SLOWER than the masked
+    reductions on TPU - the per-level scalar gathers ``st[lvl, pos]`` and the
+    [B, levels, H] tables in HBM are exactly what the VPU hates; the masked
+    version is streaming selects/reductions that XLA fuses densely.  It is
+    kept as an exact alternative (useful on CPU and as a cross-check), with
+    scan_impl defaulting to "masked".
     """
     h = mags.shape[-1]
     levels = max(h.bit_length() - 1, 1)
@@ -187,7 +195,7 @@ def prominence_peaks(
     k: int = 4,
     max_candidates: int = 32,
     selection: str = "topk",
-    scan_impl: str = "sparse",
+    scan_impl: str = "masked",
 ) -> ProminencePeaks:
     """Detect top-k prominent peaks in one half-spectrum ``mags`` [H], H = n_fft//2.
 

@@ -86,7 +86,9 @@ def _throughput(backend: str, batch: int, reps: int) -> float:
 def main() -> None:
     batch = int(os.environ.get("APDA_BENCH_BATCH", "2048"))
     reps = int(os.environ.get("APDA_BENCH_REPS", "10"))
-    want = os.environ.get("APDA_BENCH_BACKEND", "auto")
+    # matmul is the measured-fastest backend on TPU v5e; set
+    # APDA_BENCH_BACKEND=auto to sweep all three.
+    want = os.environ.get("APDA_BENCH_BACKEND", "matmul")
 
     backends = ["xla", "matmul", "pallas"] if want == "auto" else [want]
     best_backend, best = None, 0.0

@@ -65,7 +65,10 @@ def main() -> None:
         buf.write(f"\n[worker] {name}: {status} in {time.perf_counter() - t0:.1f}s\n")
         with open(out_path, "w") as fh:
             fh.write(buf.getvalue())
-        os.rename(path, path[:-3] + ".done")
+        try:
+            os.rename(path, path[:-3] + ".done")
+        except OSError:
+            pass  # job file removed under us; output is already written
         print(f"[worker] {name} -> {status}", flush=True)
 
 
