@@ -1,0 +1,146 @@
+"""Command-line interface: batch-analyze sensor log files on TPU.
+
+Usage:
+    python -m apda_fft_tpu analyze FILE [FILE...] [--mode flexible|rigid|adaptive]
+                                   [--backend xla|matmul|pallas] [--refine]
+                                   [--json]
+    python -m apda_fft_tpu oracle-check FILE [FILE...]   # vs float64 oracle
+
+``analyze`` loads gateway-format acquisition logs (``io/logfile.py``), buckets
+them by padded FFT length, and runs each bucket as one batched XLA program -
+the CLI equivalent of the gateway's analysis stage.  ``oracle-check`` is the
+validation harness: it re-runs each file through the pure-Python float64
+reference oracle and reports decision agreement.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _load(paths):
+    from apda_fft_tpu.io.logfile import load_sensor_log
+
+    loaded = []
+    for path in paths:
+        rec = load_sensor_log(path)
+        if rec is None or not rec.samples:
+            print(f"# skipping {path}: corrupt or empty", file=sys.stderr)
+            continue
+        loaded.append((path, rec))
+    return loaded
+
+
+def cmd_analyze(args) -> int:
+    from apda_fft_tpu import analyze_epoch
+    from apda_fft_tpu.ops.fft import next_pow2
+
+    loaded = _load(args.files)
+    if not loaded:
+        print("no analyzable files", file=sys.stderr)
+        return 1
+
+    buckets: dict[int, list[int]] = {}
+    for i, (_, rec) in enumerate(loaded):
+        buckets.setdefault(next_pow2(len(rec.samples)), []).append(i)
+
+    for n_fft, idxs in sorted(buckets.items()):
+        b = len(idxs)
+        samples = np.zeros((b, n_fft), np.float32)
+        lengths = np.zeros((b,), np.int32)
+        fs = np.zeros((b,), np.float32)
+        for row, i in enumerate(idxs):
+            s = loaded[i][1].samples
+            samples[row, : len(s)] = s
+            lengths[row] = len(s)
+            fs[row] = loaded[i][1].fs
+        res = analyze_epoch(
+            samples, fs, n_fft=n_fft, mode=args.mode, backend=args.backend,
+            refine=args.refine, lengths=lengths,
+        )
+        for row, i in enumerate(idxs):
+            path, rec = loaded[i]
+            count = int(res.count[row])
+            peaks = []
+            for slot in range(count):
+                idx = int(res.idx[row, slot])
+                freq = (
+                    round(idx * rec.fs / n_fft, 4)
+                    if args.mode != "rigid"
+                    else idx * (rec.fs / n_fft)
+                )
+                peak = {"freq": freq, "mag": float(res.mag[row, slot]), "idx": idx}
+                if args.mode != "rigid":
+                    peak["damping_pct"] = float(res.damping[row, slot])
+                    peak["q_factor"] = float(res.q_factor[row, slot])
+                if args.refine:
+                    peak["refined_freq"] = float(res.refined_freq[row, slot])
+                peaks.append(peak)
+            if args.json:
+                print(json.dumps({"file": path, "fs": rec.fs, "axis": rec.axis,
+                                  "n_fft": n_fft, "peaks": peaks}))
+            else:
+                print(f"{path} (fs={rec.fs} Hz, axis={rec.axis}, N={n_fft}):")
+                if not peaks:
+                    print("  no peaks above threshold")
+                for p in peaks:
+                    line = f"  f={p['freq']:.4f} Hz  mag={p['mag']:.4f}"
+                    if "damping_pct" in p:
+                        line += f"  damping={p['damping_pct']:.2f}%  q={p['q_factor']:.2f}"
+                    if "refined_freq" in p:
+                        line += f"  refined={p['refined_freq']:.4f} Hz"
+                    print(line)
+    return 0
+
+
+def cmd_oracle_check(args) -> int:
+    from apda_fft_tpu import analyze_epoch
+    from apda_fft_tpu.ops.fft import next_pow2
+    from tests.oracle import oracle_analyze  # validation harness dependency
+
+    loaded = _load(args.files)
+    mismatches = 0
+    for path, rec in loaded:
+        n_fft = next_pow2(len(rec.samples))
+        for mode in ("flexible", "rigid"):
+            ref = oracle_analyze(rec.samples, rec.fs, mode=mode)
+            samples = np.zeros((1, n_fft), np.float32)
+            samples[0, : len(rec.samples)] = rec.samples
+            res = analyze_epoch(
+                samples, rec.fs, n_fft=n_fft, mode=mode,
+                lengths=np.array([len(rec.samples)]),
+            )
+            got = [int(i) for i in np.asarray(res.idx[0])[: int(res.count[0])]]
+            want = [p["idx"] for p in ref]
+            ok = got == want
+            mismatches += 0 if ok else 1
+            print(f"{path} [{mode}]: {'MATCH' if ok else f'MISMATCH got={got} want={want}'}")
+    return 1 if mismatches else 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="apda_fft_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    a = sub.add_parser("analyze", help="batch-analyze acquisition log files")
+    a.add_argument("files", nargs="+")
+    a.add_argument("--mode", default="flexible", choices=["flexible", "rigid", "adaptive"])
+    a.add_argument("--backend", default="xla", choices=["xla", "matmul", "pallas"])
+    a.add_argument("--refine", action="store_true")
+    a.add_argument("--json", action="store_true")
+    a.set_defaults(fn=cmd_analyze)
+
+    o = sub.add_parser("oracle-check", help="validate device decisions vs float64 oracle")
+    o.add_argument("files", nargs="+")
+    o.set_defaults(fn=cmd_oracle_check)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

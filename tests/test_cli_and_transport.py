@@ -1,0 +1,123 @@
+"""CLI commands and the hardware-transport adapter (mocked vendor stack)."""
+
+import json
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from apda_fft_tpu.io import logfile
+from tests.signals import two_mode_signal
+
+
+@pytest.fixture
+def log_file(tmp_path):
+    x = two_mode_signal(1024, 500.0)
+    path = tmp_path / "0013a20041e7f6b7_Xaxis_16_08_2026_10_20_30.log"
+    logfile.write_acquisition_header(
+        path, "10:20:30", "2g", "500 Hz", "X axis", "Synced",
+        means=["22.0", "0.01", "0.01", "0.98"], humidity=50.0,
+        baselines=(0.0, 0.0, 0.0),
+    )
+    logfile.append_samples(path, [f"{v:8.6f}" for v in x])
+    return str(path)
+
+
+def test_cli_analyze_json(log_file, capsys):
+    from apda_fft_tpu.__main__ import main
+
+    rc = main(["analyze", log_file, "--json", "--refine"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["fs"] == 500.0 and out["n_fft"] == 1024
+    freqs = [p["freq"] for p in out["peaks"]]
+    assert any(abs(f - 12.207) < 0.3 for f in freqs)
+    assert all("refined_freq" in p for p in out["peaks"])
+
+
+def test_cli_analyze_text_and_modes(log_file, capsys):
+    from apda_fft_tpu.__main__ import main
+
+    assert main(["analyze", log_file, "--mode", "rigid"]) == 0
+    text = capsys.readouterr().out
+    assert "f=" in text and "mag=" in text
+
+
+def test_cli_oracle_check(log_file, capsys):
+    from apda_fft_tpu.__main__ import main
+
+    rc = main(["oracle-check", log_file])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.count("MATCH") == 2 and "MISMATCH" not in out
+
+
+def test_cli_skips_corrupt(tmp_path, capsys):
+    from apda_fft_tpu.__main__ import main
+
+    bad = tmp_path / "bad.log"
+    bad.write_text("x\n")
+    assert main(["analyze", str(bad)]) == 1
+
+
+class _FakeRemote:
+    def get_64bit_addr(self):
+        return "0013A20041E7F6B7"
+
+
+class _FakeMessage:
+    def __init__(self, data):
+        self.data = data
+        self.remote_device = _FakeRemote()
+
+
+class _FakeDevice:
+    def __init__(self):
+        self.inbox = [_FakeMessage(b"\xa1\x01\x02")]
+        self.sent = []
+        self._open = False
+
+    def open(self):
+        self._open = True
+
+    def is_open(self):
+        return self._open
+
+    def close(self):
+        self._open = False
+
+    def read_data(self, timeout=None):
+        return self.inbox.pop(0) if self.inbox else None
+
+    def send_data(self, remote, payload):
+        self.sent.append((remote, payload))
+
+
+def test_xbee_transport_with_mocked_vendor_stack(monkeypatch):
+    """Drive XBeeTransport against a fake digidevice module (reference C6)."""
+    fake_dev = _FakeDevice()
+    fake_xbee = types.SimpleNamespace(get_device=lambda: fake_dev)
+    monkeypatch.setitem(sys.modules, "digidevice", types.SimpleNamespace(xbee=fake_xbee))
+
+    from apda_fft_tpu.gateway.transport import XBeeTransport
+
+    logs = []
+    t = XBeeTransport(timeout=1)
+    t.start(logs.append)
+    assert fake_dev.is_open()
+
+    payload, addr = t.receive(logs.append)
+    assert payload == b"\xa1\x01\x02"
+    assert addr == "0013a20041e7f6b7"  # lowercased 64-bit MAC
+
+    # known device -> send works; unknown -> warning, False
+    assert t.send(addr, "a1ff", logs.append) is True
+    assert fake_dev.sent[0][1] == bytes.fromhex("a1ff")
+    assert t.send("feedfacefeedface", "a1", logs.append) is False
+    assert any("unknown device" in s for s in logs)
+
+    # timeout path returns (None, None)
+    assert t.receive(logs.append) == (None, None)
+    t.stop(logs.append)
+    assert not fake_dev.is_open()
