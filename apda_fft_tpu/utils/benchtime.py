@@ -19,13 +19,18 @@ import jax.numpy as jnp
 def per_iteration_seconds(
     fn,
     *args,
-    iters: int = 20,
+    iters: int | None = None,
     reps: int = 3,
+    min_delta: float = 0.05,
+    max_iters: int = 50_000,
 ) -> float:
     """Seconds per evaluation of ``fn(*args)`` on device, latency-amortized.
 
     ``fn`` must accept the first argument as a float32 array (perturbed per
-    iteration) and return a pytree of arrays.
+    iteration) and return a pytree of arrays.  With ``iters=None`` the
+    iteration count grows geometrically until the loop's extra wall time
+    clears ``min_delta`` seconds, so tiny workloads (single-window epochs)
+    don't drown in dispatch jitter.
     """
 
     @functools.partial(jax.jit, static_argnames=("n",))
@@ -46,6 +51,24 @@ def per_iteration_seconds(
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_small = timed(2)
-    t_large = timed(iters + 2)
-    return max((t_large - t_small) / iters, 1e-9)
+    if iters is not None:
+        t_small = timed(2)
+        t_large = timed(iters + 2)
+        return max((t_large - t_small) / iters, 1e-9)
+
+    n = 20
+    while True:
+        # Re-measure the dispatch floor every round: through a remote tunnel
+        # it jitters by hundreds of ms, and a stale baseline can exceed the
+        # looped time entirely.
+        t_small = timed(2)
+        t_large = timed(n + 2)
+        delta = t_large - t_small
+        if delta > min_delta:
+            return delta / n
+        if n >= max_iters:
+            # Loop time never cleared the jitter floor; report the
+            # overhead-inclusive upper bound rather than garbage.
+            return max(t_large / (n + 2), 1e-9)
+        per = max(delta / n, 1e-7)
+        n = min(max(int(2.0 * min_delta / per), n * 4), max_iters)

@@ -61,29 +61,49 @@ def _throughput(backend: str, batch: int, reps: int) -> float:
         has_lengths=False,
     )
 
-    @functools.partial(jax.jit, static_argnames=("iters",))
-    def looped(s, f, iters: int):
-        def body(i, acc):
-            res = pipeline(s + i.astype(jnp.float32) * jnp.float32(1e-30), f, None)
-            return acc + jnp.sum(res.freq) + jnp.sum(res.count)
+    from apda_fft_tpu.utils.benchtime import per_iteration_seconds
 
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+    sec = per_iteration_seconds(
+        lambda s, f: pipeline(s, f, None), samples, fs, reps=reps
+    )
+    return batch / sec
 
-    def timed(iters: int) -> float:
-        float(looped(samples, fs, iters))  # compile
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(looped(samples, fs, iters))
-            best = min(best, time.perf_counter() - t0)
-        return best
 
-    t_small, t_large = timed(2), timed(22)
-    per_iter = (t_large - t_small) / 20.0
-    return batch / per_iter
+def _connect_with_watchdog(stall_seconds: int = 300, max_restarts: int = 3) -> None:
+    """Force device connection up front; re-exec on a stalled connect.
+
+    The remote-tunnel PJRT plugin occasionally deadlocks during its initial
+    connection (futex wait, no TCP to the relay).  A fresh process almost
+    always connects, so if the first op doesn't complete within
+    ``stall_seconds`` we re-exec ourselves (bounded by APDA_BENCH_RESTARTS).
+    """
+    import signal
+
+    restarts = int(os.environ.get("APDA_BENCH_RESTARTS", "0"))
+
+    def on_stall(signum, frame):
+        if restarts >= max_restarts:
+            print("# device connect stalled; giving up", file=sys.stderr)
+            os._exit(2)
+        print(f"# device connect stalled {stall_seconds}s; re-exec "
+              f"({restarts + 1}/{max_restarts})", file=sys.stderr)
+        os.environ["APDA_BENCH_RESTARTS"] = str(restarts + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+    signal.signal(signal.SIGALRM, on_stall)
+    signal.alarm(stall_seconds)
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        float(jnp.sum(jnp.ones((8, 8))))
+        print(f"# device ready: {jax.devices()}", file=sys.stderr)
+    finally:
+        signal.alarm(0)
 
 
 def main() -> None:
+    _connect_with_watchdog()
     batch = int(os.environ.get("APDA_BENCH_BATCH", "2048"))
     reps = int(os.environ.get("APDA_BENCH_REPS", "10"))
     # matmul is the measured-fastest backend on TPU v5e; set

@@ -84,10 +84,10 @@ def run_config(num: int, backend: str) -> dict:
         raise ValueError(num)
 
     if num == 4:
-        sec = per_iteration_seconds(fn, x, fs, iters=10)
+        sec = per_iteration_seconds(fn, x, fs)
         n_ref = 8192
     else:
-        sec = per_iteration_seconds(lambda s, f: fn(s, f, None), x, fs, iters=10)
+        sec = per_iteration_seconds(lambda s, f: fn(s, f, None), x, fs)
         n_ref = n
     wps = b / sec
     ref = REFERENCE_WPS[n_ref]
