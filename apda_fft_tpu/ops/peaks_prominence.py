@@ -205,9 +205,33 @@ def prominence_peaks(
     """
     h = mags.shape[-1]
     dtype = mags.dtype
-    fs = jnp.asarray(fs, dtype)
     iota = jnp.arange(h)
 
+    cid, is_cand, cmag, thr, std = prominence_select(mags, max_candidates, selection)
+
+    fs = jnp.asarray(fs, dtype)
+    if scan_impl == "sparse":
+        levels = max(h.bit_length() - 1, 1)
+        st_max, st_min = _sparse_tables(mags)
+        proms, bins = jax.vmap(
+            lambda j, p: _prominence_and_width_sparse(st_max, st_min, levels, h, j, p, dtype)
+        )(cid, cmag)
+    elif scan_impl == "masked":
+        proms, bins = jax.vmap(lambda j, p: _prominence_and_width(mags, iota, j, p))(cid, cmag)
+    else:
+        raise ValueError(f"unknown scan_impl {scan_impl!r}; expected 'sparse' or 'masked'")
+
+    return prominence_finalize(cid, is_cand, cmag, proms, bins, fs, n_fft, k, std)
+
+
+def prominence_select(mags: jnp.ndarray, max_candidates: int, selection: str = "topk"):
+    """Stage 1: threshold + local maxima + magnitude-ordered candidate ids.
+
+    Returns (cid, is_cand, cmag, threshold, std); candidate slots are sorted
+    magnitude-descending with index-ascending tie-break, invalid slots last.
+    """
+    h = mags.shape[-1]
+    iota = jnp.arange(h)
     thr, std = noise_threshold(mags)
 
     interior = (iota >= 1) & (iota <= h - 2)
@@ -230,18 +254,13 @@ def prominence_peaks(
         raise ValueError(f"unknown selection {selection!r}; expected 'topk' or 'sort'")
     is_cand = jnp.take(cand_mask, cid)
     cmag = jnp.take(mags, cid)
+    return cid, is_cand, cmag, thr, std
 
-    if scan_impl == "sparse":
-        levels = max(h.bit_length() - 1, 1)
-        st_max, st_min = _sparse_tables(mags)
-        proms, bins = jax.vmap(
-            lambda j, p: _prominence_and_width_sparse(st_max, st_min, levels, h, j, p, dtype)
-        )(cid, cmag)
-    elif scan_impl == "masked":
-        proms, bins = jax.vmap(lambda j, p: _prominence_and_width(mags, iota, j, p))(cid, cmag)
-    else:
-        raise ValueError(f"unknown scan_impl {scan_impl!r}; expected 'sparse' or 'masked'")
 
+def prominence_finalize(cid, is_cand, cmag, proms, bins, fs, n_fft: int, k: int, std):
+    """Stage 3: physics filters, reference rounding, greedy shoulder rejection."""
+    dtype = cmag.dtype
+    fs = jnp.asarray(fs, dtype)
     ds = fs / jnp.asarray(n_fft, dtype)
     width = bins.astype(dtype) * ds
     fn = cid.astype(dtype) * ds
@@ -297,7 +316,7 @@ def prominence_peaks(
             "q": jnp.zeros((k,), dtype),
         },
     )
-    count, acc = jax.lax.fori_loop(0, max_candidates, body, init)
+    count, acc = jax.lax.fori_loop(0, cid.shape[-1], body, init)
 
     return ProminencePeaks(
         count=count,

@@ -92,3 +92,20 @@ def test_distributed_fft_rejects_bad_split():
     xs2 = fft_ops.center_and_pad(_windows(2, 16), 16)  # N1=N2=4 < 8 -> reject
     with pytest.raises(ValueError, match="must divide"):
         distributed_halfspec_magnitudes(shard_windows_2d(xs2, mesh), mesh)
+
+
+def test_pallas_detector_matches_xla_path():
+    """Pallas prominence scans == vmapped XLA detector on the signal corpus."""
+    from apda_fft_tpu.ops.detector_pallas import prominence_peaks_batch_pallas
+    from apda_fft_tpu.ops.peaks_prominence import prominence_peaks
+
+    for n, fs in ((1024, 500.0), (4096, 250.0)):
+        xs = _windows(6, n, fs=fs, seed=50)
+        mags = fft_ops.halfspec_magnitudes(fft_ops.center_and_pad(xs, n))
+        fsv = jnp.full((6,), fs, jnp.float32)
+        got = prominence_peaks_batch_pallas(mags, fsv, n)
+        ref = jax.vmap(lambda m, f: prominence_peaks(m, f, n))(mags, fsv)
+        np.testing.assert_array_equal(np.asarray(got.count), np.asarray(ref.count))
+        np.testing.assert_array_equal(np.asarray(got.idx), np.asarray(ref.idx))
+        np.testing.assert_array_equal(np.asarray(got.prominence), np.asarray(ref.prominence))
+        np.testing.assert_array_equal(np.asarray(got.damping), np.asarray(ref.damping))
