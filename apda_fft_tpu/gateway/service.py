@@ -28,6 +28,7 @@ from datetime import datetime
 
 import numpy as np
 
+from apda_fft_tpu.gateway.async_upload import AsyncUploadManager
 from apda_fft_tpu.gateway.config import DeviceRegistry, GatewayConfig, SensorConfigFile
 from apda_fft_tpu.gateway.egress import FtpSink, HttpSink, InfluxSink
 from apda_fft_tpu.gateway.history import HistoryLog
@@ -56,6 +57,8 @@ class GatewayService:
         ftp_sink: FtpSink | None = None,
         http_sink: HttpSink | None = None,
         influx_sink: InfluxSink | None = None,
+        async_uploads: bool = False,
+        upload_timeout: float = 120.0,
     ):
         self.config = config
         self.transport = transport
@@ -85,6 +88,9 @@ class GatewayService:
         self.baseline: dict[str, float] = {}
         # Pending epoch batch: (addr, path) of completed, unanalyzed files.
         self.pending_analysis: list[tuple[str, str]] = []
+        # Background egress (the capability GT_FFT_v5.py:109-113 stubbed).
+        self.uploader = AsyncUploadManager(upload_timeout) if async_uploads else None
+        self._uploads_inflight: dict[str, int] = {}
 
         os.makedirs(config.data_dir, exist_ok=True)
 
@@ -126,6 +132,9 @@ class GatewayService:
         return n
 
     def stop(self) -> None:
+        if self.uploader is not None:
+            self.uploader.drain(log=self.history)
+            self.uploader.shutdown()
         self.transport.stop(self.history)
 
     def run_forever(self) -> None:
@@ -141,6 +150,8 @@ class GatewayService:
     def step(self) -> bool:
         """One receive->dispatch iteration; False when the receive timed out."""
         try:
+            if self.uploader is not None:
+                self.uploader.poll(self.history)
             payload, addr = self.transport.receive(self.history)
             if payload is None or addr is None:
                 return False
@@ -350,24 +361,26 @@ class GatewayService:
         metrics = self._metrics_report(addr)
 
         # Upload flush (reference :311-344): queues keep entries on failure.
-        pending_api = self.api_queue.get(addr, [])
-        pending_ftp = self.ftp_queue.get(addr, [])
-        try:
-            ok_api = self.http_sink.upload(
-                addr, pending_api, self.config.data_dir,
-                self._merged_axis_results(addr), self.history,
-            ) or []
-        except Exception as exc:  # noqa: BLE001
-            self.history(f"\t[CRITICAL][FastAPI] error: {exc}\n")
-            ok_api = []
-        try:
-            ok_ftp = self._flush_ftp(addr) or []
-        except Exception as exc:  # noqa: BLE001
-            self.history(f"\t[CRITICAL][FTP] error: {exc}\n")
-            ok_ftp = []
-        self._prune(self.api_queue, addr, ok_api)
-        self._prune(self.ftp_queue, addr, ok_ftp)
-        self._flush_influx(addr)
+        if self.uploader is not None:
+            self._submit_async_uploads(addr)
+        else:
+            pending_api = self.api_queue.get(addr, [])
+            try:
+                ok_api = self.http_sink.upload(
+                    addr, pending_api, self.config.data_dir,
+                    self._merged_axis_results(addr), self.history,
+                ) or []
+            except Exception as exc:  # noqa: BLE001
+                self.history(f"\t[CRITICAL][FastAPI] error: {exc}\n")
+                ok_api = []
+            try:
+                ok_ftp = self._flush_ftp(addr) or []
+            except Exception as exc:  # noqa: BLE001
+                self.history(f"\t[CRITICAL][FTP] error: {exc}\n")
+                ok_ftp = []
+            self._prune(self.api_queue, addr, ok_api)
+            self._prune(self.ftp_queue, addr, ok_ftp)
+            self._flush_influx(addr)
 
         # Cleanup: delete local files no longer pending anywhere (:346-355).
         still_pending = set(self.ftp_queue.get(addr, []))
@@ -483,6 +496,59 @@ class GatewayService:
         )
 
     # -- egress helpers ------------------------------------------------------
+
+    def _submit_async_uploads(self, addr: str) -> None:
+        """Schedule this sensor's egress on the worker thread (at most one
+        batch in flight per sensor; late/timed-out results never prune, so
+        files simply retry at the next sync)."""
+        if self._uploads_inflight.get(addr, 0) > 0:
+            self.history(f"\t[ASYNC] uploads for {addr} still in flight, deferring\n")
+            return
+        api_files = list(self.api_queue.get(addr, []))
+        ftp_files = list(self.ftp_queue.get(addr, []))
+        fft_snapshot = dict(self._merged_axis_results(addr))
+        jobs = 0
+
+        if api_files:
+            jobs += 1
+            self.uploader.submit(
+                lambda: self.http_sink.upload(
+                    addr, api_files, self.config.data_dir, fft_snapshot, self.history
+                ) or [],
+                lambda ok: self._async_done(addr, self.api_queue, ok),
+                label=f"fastapi:{addr}",
+            )
+        if ftp_files:
+            jobs += 1
+            self.uploader.submit(
+                lambda: self.ftp_sink.upload(addr, ftp_files, self.history) or [],
+                lambda ok: self._async_done(addr, self.ftp_queue, ok),
+                label=f"ftp:{addr}",
+            )
+        influx_files = list(self.influx_queue.get(addr, []))
+        if self.influx_sink is not None and influx_files:
+            jobs += 1
+            self.influx_queue[addr] = []  # influx drains unconditionally (parity)
+            self.uploader.submit(
+                lambda: self.influx_sink.upload(addr, influx_files, fft_snapshot, self.history),
+                lambda _: self._async_done(addr, None, []),
+                label=f"influx:{addr}",
+            )
+        if jobs:
+            self._uploads_inflight[addr] = jobs
+
+    def _async_done(self, addr: str, queue: dict | None, uploaded: list[str]) -> None:
+        if queue is not None:
+            self._prune(queue, addr, uploaded)
+            for name in uploaded:
+                path = os.path.join(self.config.data_dir, name)
+                if name not in self.ftp_queue.get(addr, []):
+                    try:
+                        if os.path.exists(path):
+                            os.remove(path)
+                    except OSError:
+                        pass
+        self._uploads_inflight[addr] = max(self._uploads_inflight.get(addr, 1) - 1, 0)
 
     def _send_config(self, addr: str) -> str:
         delay = self.devices.delay_for(addr)

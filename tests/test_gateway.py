@@ -317,3 +317,79 @@ def test_orphan_recovery_requeues_stranded_files(tmp_path):
     svc2.drain()
     assert ftp_uploads2 == files  # uploaded, not destroyed
     assert svc2.ftp_queue[MAC] == []
+
+
+def test_async_uploads_background_flush(tmp_path):
+    """Background egress: slow uploads don't block packet processing and
+    prune their queues when done (the capability GT_FFT_v5.py:109-113 stubs)."""
+    import time as _time
+
+    data_dir = str(tmp_path / "SHM_Data") + os.sep
+    svc, transport, ftp_uploads, _ = make_service(tmp_path)
+
+    class SlowFtp:
+        def upload(self, addr, files, log):
+            _time.sleep(0.15)
+            ftp_uploads.extend(files)
+            return list(files)
+
+    from apda_fft_tpu.gateway.async_upload import AsyncUploadManager
+
+    svc.uploader = AsyncUploadManager(timeout=10.0)
+    svc.ftp_sink = SlowFtp()
+
+    sim = SensorSimulator(MAC, fs=500.0, axis="X", chunk=100)
+    sim.stream_acquisition(transport, two_mode_signal(1024, 500.0))
+    svc.drain()
+    files = list(svc.ftp_queue[MAC])
+    sim.heartbeat(transport)
+    svc.drain()
+
+    # Sync returned before the upload finished; queue still intact.
+    assert svc._uploads_inflight.get(MAC, 0) >= 1
+    assert svc.ftp_queue[MAC] == files
+    # A new acquisition processes fine while the upload is in flight.
+    sim2 = SensorSimulator(MAC, fs=500.0, axis="Y", chunk=100)
+    sim2.stream_acquisition(transport, two_mode_signal(1024, 500.0))
+    svc.drain()
+
+    svc.uploader.drain(timeout=5.0)
+    assert ftp_uploads[:1] == files
+    assert files[0] not in svc.ftp_queue[MAC]
+    assert not os.path.exists(os.path.join(data_dir, files[0]))
+
+
+def test_async_upload_timeout_abandons_and_retries(tmp_path):
+    """A hung sink is abandoned after the timeout; files stay queued for retry."""
+    import threading
+
+    svc, transport, _, _ = make_service(tmp_path)
+    from apda_fft_tpu.gateway.async_upload import AsyncUploadManager
+
+    release = threading.Event()
+
+    class HungFtp:
+        def upload(self, addr, files, log):
+            release.wait(5.0)
+            return list(files)
+
+    svc.uploader = AsyncUploadManager(timeout=0.05)
+    svc.ftp_sink = HungFtp()
+
+    sim = SensorSimulator(MAC, fs=500.0, axis="X", chunk=100)
+    sim.stream_acquisition(transport, two_mode_signal(1024, 500.0))
+    svc.drain()
+    files = list(svc.ftp_queue[MAC])
+    sim.heartbeat(transport)
+    svc.drain()
+
+    import time as _time
+
+    _time.sleep(0.1)
+    svc.uploader.poll(svc.history)
+    release.set()
+    # Abandoned: queue untouched, file survives for the next sync.
+    assert svc.ftp_queue[MAC] == files
+    history = open(svc.config.logger_file).read()
+    assert "abandoned" in history
+    svc.uploader.shutdown()
