@@ -66,6 +66,10 @@ class AsyncUploadManager:
                     except Exception as exc:  # noqa: BLE001 - sink already logged
                         if log:
                             log(f"\t[ASYNC][ERROR] {job.label}: {exc}\n")
+                        # Failure still completes the job: on_done with an
+                        # empty result prunes nothing but releases the
+                        # caller's in-flight accounting.
+                        job.on_done([])
                         continue
                     job.on_done(result)
                     applied += 1
@@ -74,6 +78,10 @@ class AsyncUploadManager:
                     if log:
                         log(f"\t[ASYNC][WARN] upload {job.label} exceeded "
                             f"{self.timeout:.0f}s, abandoned (will retry at next sync)\n")
+                    # Same: release accounting; a late success is ignored (the
+                    # files stay queued and retry - worst case a duplicate
+                    # upload, never a lost one).
+                    job.on_done([])
                 else:
                     keep.append(job)
             self._jobs.extend(keep)

@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import os
+import threading
 from datetime import datetime
 
 
@@ -11,8 +12,15 @@ class HistoryLog:
     def __init__(self, path: str | os.PathLike, max_kb: int = 1024):
         self.path = str(path)
         self.max_kb = max_kb
+        # Appends come from the gateway thread AND async-upload workers; the
+        # lock keeps the size-check/rotate/append sequence atomic.
+        self._lock = threading.Lock()
 
     def append(self, text: str) -> None:
+        with self._lock:
+            self._append_locked(text)
+
+    def _append_locked(self, text: str) -> None:
         try:
             if os.path.exists(self.path):
                 if os.path.getsize(self.path) / 1024 > self.max_kb:

@@ -228,7 +228,7 @@ class GatewayService:
         axis_slot = {"Xaxis": 0, "Yaxis": 1, "Zaxis": 2}.get(header.axis_label, 0)
         self.baseline[addr] = header.baselines[axis_slot]
 
-        means = packets.decode_stream_samples(payload, 23)[:4]
+        means = packets.decode_stream_samples(payload[:31], 23)
         filename = os.path.join(
             self.config.data_dir,
             f"{addr}_{header.axis_label}_{t.strftime('%d_%m_%Y_%H_%M_%S')}.log",
@@ -292,7 +292,10 @@ class GatewayService:
             self.config.data_dir,
             f"{addr}_UnknownAxis_{t.strftime('%d_%m_%Y_%H_%M_%S')}.log",
         )
-        self.ftp_queue[addr] = [os.path.basename(filename)]
+        # Append, never replace: the reference clobbered the whole queue here
+        # (GT_FFT_v5.py:423), silently dropping files still awaiting upload -
+        # which the sync-time cleanup would then delete unsent (defect-5 fix).
+        self.ftp_queue.setdefault(addr, []).append(os.path.basename(filename))
         self.open_file[addr] = filename
         with open(filename, "w+") as fh:
             fh.write(f"* MISSING PACKETS FROM 1 TO {n_pck - 1} *;")
@@ -383,7 +386,12 @@ class GatewayService:
             self._flush_influx(addr)
 
         # Cleanup: delete local files no longer pending anywhere (:346-355).
-        still_pending = set(self.ftp_queue.get(addr, []))
+        # Unlike the reference, "anywhere" includes the API queue: the
+        # reference only checked FTP, so a transient FastAPI failure paired
+        # with an FTP success deleted the file while it was still queued for
+        # the API - poisoning that queue with permanent FILE-NOT-FOUND
+        # retries (defect-6 fix).
+        still_pending = set(self.ftp_queue.get(addr, [])) | set(self.api_queue.get(addr, []))
         for filename in os.listdir(self.config.data_dir):
             if filename.startswith(addr) and filename.endswith(".log"):
                 if filename not in still_pending:
@@ -408,7 +416,11 @@ class GatewayService:
         """
         loaded = []
         for addr, path in batch:
-            rec = load_sensor_log(path)
+            try:
+                rec = load_sensor_log(path)
+            except Exception as exc:  # noqa: BLE001 - malformed header fields
+                self.history(f"\t[WARN] file {path} unparseable ({exc}), skipping FFT\n")
+                continue
             if rec is None or not rec.samples:
                 self.history(f"\t[WARN] file {path} corrupt or empty, skipping FFT\n")
                 continue
@@ -525,6 +537,8 @@ class GatewayService:
                 lambda ok: self._async_done(addr, self.ftp_queue, ok),
                 label=f"ftp:{addr}",
             )
+        if self.influx_sink is None:
+            self.influx_queue.pop(addr, None)
         influx_files = list(self.influx_queue.get(addr, []))
         if self.influx_sink is not None and influx_files:
             jobs += 1

@@ -257,7 +257,9 @@ def encode_sync_request(
     e = errors or {}
     p = bytearray(41)
     p[0] = PACKET_SYNC
-    p[1:7] = bytes([int(str(t.year)[-2:]), t.month, t.day, t.hour, t.minute, t.second])
+    p[1:7] = bytes(
+        _bcd(v) for v in (int(str(t.year)[-2:]), t.month, t.day, t.hour, t.minute, t.second)
+    )
     p[7] = e.get("362", 0)
     p[8] = e.get("355", 0)
     p[9] = e.get("mem", 0)
@@ -273,6 +275,13 @@ def encode_sync_request(
     p[37], p[38] = hm & 0xFF, (hm >> 8) & 0xFF
     p[39], p[40] = reset_bit & 0xFF, (reset_bit >> 8) & 0xFF
     return bytes(p)
+
+
+def _bcd(value: int) -> int:
+    """Pack a 0-99 decimal as BCD: the parsers render time fields with
+    ``f"{byte:x}"`` (``parse_sync_info`` etc.), i.e. the sensors transmit
+    binary-coded decimal; encoders must match for faithful round trips."""
+    return ((value // 10) << 4) | (value % 10)
 
 
 _ODR_CODE = {31.25: 0x07, 62.5: 0x06, 125.0: 0x05, 250.0: 0x04, 500.0: 0x03}
@@ -295,7 +304,7 @@ def encode_start_stream(
     p = bytearray(31)
     p[0] = PACKET_START
     p[1], p[2] = 0, 1  # packet number 1
-    p[3], p[4], p[5] = t.hour, t.minute, t.second
+    p[3], p[4], p[5] = _bcd(t.hour), _bcd(t.minute), _bcd(t.second)
     p[6] = _RANGE_CODE[range_g]
     p[7] = _ODR_CODE[fs]
     p[8] = _AXIS_CODE[axis]
@@ -317,7 +326,9 @@ def encode_end_stream(samples: np.ndarray, number: int) -> bytes:
 
 def encode_shock(samples: np.ndarray, now: datetime | None = None) -> bytes:
     t = now or datetime.now(timezone.utc)
-    return bytes([PACKET_SHOCK, t.hour, t.minute, t.second]) + encode_halves(samples)
+    return bytes(
+        [PACKET_SHOCK, _bcd(t.hour), _bcd(t.minute), _bcd(t.second)]
+    ) + encode_halves(samples)
 
 
 def encode_reduced(
@@ -331,7 +342,7 @@ def encode_reduced(
     t = now or datetime.now(timezone.utc)
     p = bytearray(11)
     p[0] = PACKET_REDUCED
-    p[3], p[4], p[5] = t.hour, t.minute, t.second
+    p[3], p[4], p[5] = _bcd(t.hour), _bcd(t.minute), _bcd(t.second)
     p[6] = _RANGE_CODE[range_g]
     p[7] = _ODR_CODE[fs]
     p[8] = _AXIS_CODE[axis]

@@ -240,16 +240,18 @@ def prominence_select(mags: jnp.ndarray, max_candidates: int, selection: str = "
 
     # Magnitude-descending stable order == reference's ascending-j candidate
     # build (:169-194) followed by a stable sort on magnitude (:197).
+    # Very short spectra can have fewer bins than the candidate budget.
+    eff = min(max_candidates, h)
     score = jnp.where(cand_mask, mags, -jnp.inf)
     if selection == "topk":
         # top_k then an M-element lexicographic (-mag, idx) re-sort: identical
         # to the stable full sort unless exactly-equal magnitudes straddle the
         # max_candidates boundary (measure-zero for real spectra), and much
         # cheaper than sorting all H bins.
-        vals, idx0 = jax.lax.top_k(score, max_candidates)
+        vals, idx0 = jax.lax.top_k(score, eff)
         _, cid = jax.lax.sort((-vals, idx0.astype(jnp.int32)), num_keys=2)
     elif selection == "sort":
-        cid = jnp.argsort(-score, stable=True)[:max_candidates].astype(jnp.int32)
+        cid = jnp.argsort(-score, stable=True)[:eff].astype(jnp.int32)
     else:
         raise ValueError(f"unknown selection {selection!r}; expected 'topk' or 'sort'")
     is_cand = jnp.take(cand_mask, cid)

@@ -393,3 +393,119 @@ def test_async_upload_timeout_abandons_and_retries(tmp_path):
     history = open(svc.config.logger_file).read()
     assert "abandoned" in history
     svc.uploader.shutdown()
+
+
+def test_recovery_file_preserves_pending_queue(tmp_path):
+    """Anomalous closure must append the recovery file, not clobber the queue."""
+    svc, transport, _, _ = make_service(tmp_path)
+    svc.ftp_queue[MAC] = ["previously_queued.log"]
+    sim = SensorSimulator(MAC, fs=500.0, axis="X", chunk=100)
+    x = two_mode_signal(1024, 500.0)
+    sim.stream_acquisition(transport, x, truncate_after=4)
+    svc.drain()
+    # mid-stream packet with a sequence reset triggers the recovery path
+    transport.push(
+        __import__("apda_fft_tpu.io.packets", fromlist=["packets"]).encode_mid_stream(
+            np.zeros(4), 1
+        ),
+        MAC,
+    )
+    svc.drain()
+    assert "previously_queued.log" in svc.ftp_queue[MAC]
+
+
+def test_bad_header_file_does_not_abort_epoch(tmp_path):
+    """A file with unparseable header fields is skipped, not epoch-fatal."""
+    svc, transport, _, _ = make_service(tmp_path, flush_mode="on_sync")
+    # good acquisition
+    SensorSimulator(MAC, fs=500.0, axis="X", chunk=100).stream_acquisition(
+        transport, two_mode_signal(1024, 500.0)
+    )
+    svc.drain()
+    # hand-craft a completed-but-corrupt file into the pending batch
+    bad = os.path.join(svc.config.data_dir, MAC + "_Yaxis_01_01_2026_00_00_00.log")
+    with open(bad, "w") as fh:
+        fh.write("0:0:0;2g;bad ODR;Y axis;\nSynced;\n1;2;3;4;5;\n0;0;0;\n0.1;0.2;0.3;\n")
+    svc.pending_analysis.append((MAC, bad))
+    SensorSimulator(MAC).heartbeat(transport)
+    svc.drain()
+    history = open(svc.config.logger_file).read()
+    assert "unparseable" in history
+    assert "X f1:" in history  # the good file was still analyzed
+
+
+def test_cleanup_spares_api_pending_files(tmp_path):
+    """FTP success + API failure must not delete the file out from under the API queue."""
+    svc, transport, ftp_uploads, _ = make_service(tmp_path, http_status=500)
+    sim = SensorSimulator(MAC, fs=500.0, axis="X", chunk=100)
+    sim.stream_acquisition(transport, two_mode_signal(1024, 500.0))
+    svc.drain()
+    files = list(svc.api_queue[MAC])
+    sim.heartbeat(transport)
+    svc.drain()
+    # FTP uploaded and pruned; API failed and kept; file must survive on disk.
+    assert ftp_uploads == files
+    assert svc.api_queue[MAC] == files
+    assert os.path.exists(os.path.join(svc.config.data_dir, files[0]))
+
+
+def test_async_timeout_releases_inflight_slot(tmp_path):
+    """After a timeout the next sync submits again (no permanent deferral)."""
+    import threading
+    import time as _time
+
+    from apda_fft_tpu.gateway.async_upload import AsyncUploadManager
+
+    svc, transport, _, _ = make_service(tmp_path)
+    release = threading.Event()
+    calls = []
+
+    class HungFtp:
+        def upload(self, addr, files, log):
+            calls.append(list(files))
+            release.wait(3.0)
+            return []
+
+    svc.uploader = AsyncUploadManager(timeout=0.05)
+    svc.ftp_sink = HungFtp()
+    sim = SensorSimulator(MAC, fs=500.0, axis="X", chunk=100)
+    sim.stream_acquisition(transport, two_mode_signal(1024, 500.0))
+    svc.drain()
+    sim.heartbeat(transport)
+    svc.drain()
+    _time.sleep(0.1)
+    svc.uploader.poll(svc.history)
+    assert svc._uploads_inflight.get(MAC, 0) == 0  # slot released
+    sim.heartbeat(transport)
+    svc.drain()
+    deadline = _time.monotonic() + 2.0
+    while len(calls) < 2 and _time.monotonic() < deadline:
+        _time.sleep(0.01)
+    assert len(calls) == 2  # resubmitted at the next sync
+    release.set()
+    svc.uploader.shutdown()
+
+
+def test_influx_queue_drained_without_sink_async(tmp_path):
+    svc, transport, _, _ = make_service(tmp_path)
+    from apda_fft_tpu.gateway.async_upload import AsyncUploadManager
+
+    svc.uploader = AsyncUploadManager(timeout=1.0)
+    SensorSimulator(MAC, fs=250.0, axis="Y").reduced_data(
+        transport, np.sin(np.arange(300) * 0.1)
+    )
+    svc.drain()
+    assert svc.influx_queue[MAC]
+    SensorSimulator(MAC).heartbeat(transport)
+    svc.drain()
+    assert svc.influx_queue.get(MAC) is None  # drained despite no sink
+    svc.uploader.shutdown()
+
+
+def test_short_window_top_k_no_crash():
+    """Windows shorter than the candidate budget must not crash selection."""
+    from apda_fft_tpu import analyze_epoch
+
+    x = np.sin(np.arange(20) * 0.7)
+    res = analyze_epoch(x[None, :], 100.0, n_fft=32, mode="flexible")
+    assert res.count.shape == (1,)

@@ -159,3 +159,18 @@ def test_logfile_too_short(tmp_path):
     p = tmp_path / "short.log"
     p.write_text("a;\nb;\n")
     assert logfile.load_sensor_log(p) is None
+
+
+def test_time_fields_roundtrip_bcd():
+    """Encoders pack time as BCD so the {:x} parsers print real clock values."""
+    from datetime import datetime, timezone
+
+    now = datetime(2026, 8, 16, 22, 45, 39, tzinfo=timezone.utc)
+    info = packets.parse_sync_info(list(packets.encode_sync_request(now=now)))
+    assert info.datetime == "26-8-16 22:45:39"
+    hdr = packets.parse_start_header(
+        list(packets.encode_start_stream(np.array([0.0]), now=now))
+    )
+    assert hdr.time == "22:45:39"
+    shock = packets.parse_shock_header(list(packets.encode_shock(np.array([0.0]), now=now)))
+    assert shock.time == "22:45:39"
