@@ -70,6 +70,7 @@ def refine_subbin(mags: jnp.ndarray, idx: jnp.ndarray, ds: jnp.ndarray) -> jnp.n
         "has_lengths",
         "center",
         "selection",
+        "batch_chunk",
     ),
 )
 def _analyze_epoch_impl(
@@ -86,11 +87,45 @@ def _analyze_epoch_impl(
     has_lengths: bool,
     center: str = "auto",
     selection: str = "topk",
+    batch_chunk: int = 1024,
 ) -> EpochResult:
     lead = samples.shape[:-1]
     flat = samples.reshape((-1, samples.shape[-1]))
     fs_flat = jnp.broadcast_to(fs, lead).reshape((-1,)).astype(flat.dtype)
     len_flat = lengths.reshape((-1,)) if has_lengths else None
+
+    # Very large epochs degrade super-linearly (the detector's [B, M, H]
+    # fusion working set outgrows on-chip memory: measured 480K w/s at B=512
+    # falling to 331K at B=8192).  Process in fixed-size chunks with lax.map -
+    # still one XLA program, peak per-chunk throughput at any epoch size.
+    b = flat.shape[0]
+    if batch_chunk and b > batch_chunk:
+        pad = (-b) % batch_chunk
+        if pad:
+            flat = jnp.pad(flat, ((0, pad), (0, 0)))
+            fs_flat = jnp.pad(fs_flat, ((0, pad),), constant_values=1.0)
+            if len_flat is not None:
+                len_flat = jnp.pad(len_flat, ((0, pad),), constant_values=n_fft)
+        nc = flat.shape[0] // batch_chunk
+
+        def chunk_fn(args):
+            cs, cf, cl = args
+            return _analyze_epoch_impl(
+                cs, cf, cl, n_fft=n_fft, mode=mode, k=k, backend=backend,
+                max_candidates=max_candidates, refine=refine,
+                has_lengths=has_lengths, center=center, selection=selection,
+                batch_chunk=0,
+            )
+
+        chunked = (
+            flat.reshape(nc, batch_chunk, flat.shape[-1]),
+            fs_flat.reshape(nc, batch_chunk),
+            len_flat.reshape(nc, batch_chunk) if len_flat is not None else None,
+        )
+        res = jax.lax.map(chunk_fn, chunked)
+        return EpochResult(
+            *(x.reshape((-1,) + x.shape[2:])[:b].reshape(lead + x.shape[2:]) for x in res)
+        )
 
     if center == "auto" and not has_lengths and flat.shape[-1] == n_fft:
         # Full, unpadded windows: subtracting the (constant) median changes

@@ -108,3 +108,20 @@ def test_adaptive_mode_falls_back_per_window():
         np.testing.assert_array_equal(np.asarray(adap.idx[1]), np.asarray(rig.idx[1]))
     np.testing.assert_array_equal(np.asarray(adap.idx[0]), np.asarray(flex.idx[0]))
     assert int(adap.count[0]) == int(flex.count[0])
+
+
+def test_batch_chunking_equivalence():
+    """Chunked large epochs produce identical results to the unchunked path."""
+    xs = np.stack([modal_signal(512, 250.0, seed=s) for s in range(10)])
+    a = analyze_epoch(xs, 250.0, mode="flexible")  # batch_chunk default off (B<=1024)
+    from apda_fft_tpu.models.pipeline import _analyze_epoch_impl
+    import jax.numpy as jnp
+
+    b = _analyze_epoch_impl(
+        jnp.asarray(xs, jnp.float32), jnp.float32(250.0), None,
+        n_fft=512, mode="flexible", k=4, backend="xla", max_candidates=32,
+        refine=False, has_lengths=False, batch_chunk=4,  # forces 3 chunks + pad
+    )
+    np.testing.assert_array_equal(np.asarray(a.count), np.asarray(b.count))
+    np.testing.assert_array_equal(np.asarray(a.idx), np.asarray(b.idx))
+    np.testing.assert_array_equal(np.asarray(a.freq), np.asarray(b.freq))
