@@ -4,7 +4,6 @@ import json
 import sys
 import types
 
-import numpy as np
 import pytest
 
 from apda_fft_tpu.io import logfile

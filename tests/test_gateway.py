@@ -5,8 +5,6 @@ this exercises the complete 0xA1/0xD1-D4/0xC1 grammar against the orchestrator
 with mocked egress, including fault injection (packet loss, truncation).
 """
 
-import contextlib
-import io
 import json
 import os
 from datetime import datetime
@@ -15,7 +13,7 @@ import numpy as np
 import pytest
 
 from apda_fft_tpu.gateway.config import GatewayConfig
-from apda_fft_tpu.gateway.egress import FtpSink, HttpSink, InfluxSink
+from apda_fft_tpu.gateway.egress import FtpSink, HttpSink
 from apda_fft_tpu.gateway.service import GatewayService
 from apda_fft_tpu.gateway.transport import LoopbackTransport, SensorSimulator
 from apda_fft_tpu.io.logfile import load_sensor_log

@@ -1,11 +1,9 @@
 """Observability: Influx line protocol, profiling helpers, benchmark suite smoke."""
 
-import json
 
 import numpy as np
 import pytest
 
-from apda_fft_tpu.gateway.config import FtpSettings
 from apda_fft_tpu.gateway.egress import InfluxSink, tilt_angles
 from apda_fft_tpu.io import logfile
 from apda_fft_tpu.utils.profiling import EpochMetrics, compiled_stats
