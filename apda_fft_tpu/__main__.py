@@ -129,7 +129,7 @@ def main(argv=None) -> int:
     a = sub.add_parser("analyze", help="batch-analyze acquisition log files")
     a.add_argument("files", nargs="+")
     a.add_argument("--mode", default="flexible", choices=["flexible", "rigid", "adaptive"])
-    a.add_argument("--backend", default="xla", choices=["xla", "matmul", "pallas"])
+    a.add_argument("--backend", default="matmul", choices=["xla", "matmul", "pallas"])
     a.add_argument("--refine", action="store_true")
     a.add_argument("--json", action="store_true")
     a.set_defaults(fn=cmd_analyze)

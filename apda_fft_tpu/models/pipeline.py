@@ -202,7 +202,7 @@ def analyze_epoch(
     n_fft: int | None = None,
     mode: str = "flexible",
     k: int | None = None,
-    backend: str = "xla",
+    backend: str = "matmul",
     max_candidates: int = 32,
     refine: bool = False,
     lengths=None,
@@ -220,7 +220,8 @@ def analyze_epoch(
         the reference's pad-to-pow2 (``metrics/fft_iterativa.py:13-22``).
       mode: ``"flexible"`` (prominence detector, k=4) or ``"rigid"``
         (resolution detector, k=5).
-      backend: ``"xla"`` | ``"matmul"`` | ``"pallas"`` FFT backend.
+      backend: ``"matmul"`` (default - fastest measured on TPU and the only
+        SPMD-partitionable one) | ``"xla"`` | ``"pallas"``.
       max_candidates: static candidate budget for the flexible detector.
       refine: also compute sub-bin interpolated peak frequencies.
       lengths: optional integer array (batch shape) of valid-prefix lengths
@@ -264,7 +265,7 @@ class PipelineConfig:
 
     mode: str = "flexible"
     k: int | None = None
-    backend: str = "xla"
+    backend: str = "matmul"
     max_candidates: int = 32
     refine: bool = False
     dtype: Any = jnp.float32
