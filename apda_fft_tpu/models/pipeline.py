@@ -287,28 +287,46 @@ class SpectralPipeline:
     captured per epoch call (device wall time, host process time, peak RSS).
     """
 
-    def __init__(self, config: PipelineConfig | None = None):
+    def __init__(self, config: PipelineConfig | None = None, mesh=None):
         self.config = config or PipelineConfig()
+        self.mesh = mesh  # optional jax.sharding.Mesh: run epochs data-parallel
         self.last_metrics: dict[str, float] = {}
 
     def __call__(self, samples, fs, *, n_fft: int | None = None, lengths=None) -> EpochResult:
         cfg = self.config
         t_cpu0 = time.process_time()
         t_wall0 = time.perf_counter()
-        result = analyze_epoch(
-            samples,
-            fs,
-            n_fft=n_fft,
-            mode=cfg.mode,
-            k=cfg.k,
-            backend=cfg.backend,
-            max_candidates=cfg.max_candidates,
-            refine=cfg.refine,
-            lengths=lengths,
-            dtype=cfg.dtype,
-            center=cfg.center,
-            selection=cfg.selection,
-        )
+        if self.mesh is not None:
+            from apda_fft_tpu.parallel.mesh import analyze_epoch_sharded
+
+            result = analyze_epoch_sharded(
+                jnp.asarray(samples, cfg.dtype),
+                fs,
+                mesh=self.mesh,
+                lengths=lengths,
+                n_fft=n_fft,
+                mode=cfg.mode,
+                k=cfg.k,
+                max_candidates=cfg.max_candidates,
+                refine=cfg.refine,
+                dtype=cfg.dtype,
+                center=cfg.center,
+            )
+        else:
+            result = analyze_epoch(
+                samples,
+                fs,
+                n_fft=n_fft,
+                mode=cfg.mode,
+                k=cfg.k,
+                backend=cfg.backend,
+                max_candidates=cfg.max_candidates,
+                refine=cfg.refine,
+                lengths=lengths,
+                dtype=cfg.dtype,
+                center=cfg.center,
+                selection=cfg.selection,
+            )
         result = jax.block_until_ready(result)
         wall = time.perf_counter() - t_wall0
         cpu = time.process_time() - t_cpu0

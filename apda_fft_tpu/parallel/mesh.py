@@ -46,6 +46,7 @@ def analyze_epoch_sharded(
     fs,
     mesh: Mesh | None = None,
     batch_axis: str = "data",
+    lengths=None,
     **kwargs,
 ):
     """Epoch analysis with the window batch sharded over the mesh.
@@ -64,8 +65,28 @@ def analyze_epoch_sharded(
     # Likewise lax.top_k is a custom-call without an SPMD partitioning rule;
     # the full-sort candidate selection shards cleanly.
     kwargs.setdefault("selection", "sort")
-    samples = shard_batch(jax.numpy.asarray(samples), mesh, batch_axis)
-    fs_arr = jax.numpy.asarray(fs)
+
+    jnp = jax.numpy
+    samples = jnp.asarray(samples)
+    b = samples.shape[0]
+    axis_size = mesh.shape[batch_axis]
+    pad = (-b) % axis_size
+    fs_arr = jnp.asarray(fs)
+    if pad:
+        padding = [(0, pad)] + [(0, 0)] * (samples.ndim - 1)
+        samples = jnp.pad(samples, padding)
+        if fs_arr.ndim >= 1:
+            fs_arr = jnp.pad(fs_arr, (0, pad), constant_values=1.0)
+        if lengths is not None:
+            lengths = jnp.pad(jnp.asarray(lengths), (0, pad))
+
+    samples = shard_batch(samples, mesh, batch_axis)
     if fs_arr.ndim >= 1:
         fs_arr = shard_batch(fs_arr, mesh, batch_axis)
-    return analyze_epoch(samples, fs_arr, **kwargs)
+    if lengths is not None:
+        lengths = shard_batch(jnp.asarray(lengths), mesh, batch_axis)
+
+    res = analyze_epoch(samples, fs_arr, lengths=lengths, **kwargs)
+    if pad:
+        res = type(res)(*(x[:b] for x in res))
+    return res

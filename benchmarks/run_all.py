@@ -100,6 +100,9 @@ def run_config(num: int, backend: str) -> dict:
 
 
 def main() -> None:
+    from bench import _connect_with_watchdog
+
+    _connect_with_watchdog()
     ap = argparse.ArgumentParser()
     ap.add_argument("--backend", default="matmul")
     ap.add_argument("--configs", default="1,2,3,4,5")

@@ -109,3 +109,50 @@ def test_pallas_detector_matches_xla_path():
         np.testing.assert_array_equal(np.asarray(got.idx), np.asarray(ref.idx))
         np.testing.assert_array_equal(np.asarray(got.prominence), np.asarray(ref.prominence))
         np.testing.assert_array_equal(np.asarray(got.damping), np.asarray(ref.damping))
+
+
+def test_distributed_fft_long_record():
+    """Sequence-parallel FFT at N=65536 (the beyond-VMEM design point)."""
+    mesh = make_mesh(8, ("data", "seq"), shape=(2, 4))
+    n = 65536
+    xs = fft_ops.center_and_pad(_windows(2, n), n)
+    ref = np.asarray(fft_ops.halfspec_magnitudes(xs, backend="matmul"))
+    got = np.asarray(distributed_halfspec_magnitudes(shard_windows_2d(xs, mesh), mesh))
+    scale = ref.max()
+    np.testing.assert_allclose(got / scale, ref / scale, atol=1e-5)
+
+
+def test_gateway_pipeline_on_mesh(tmp_path):
+    """A mesh-backed SpectralPipeline drives the gateway end to end."""
+    import json as _json
+    import os
+
+    from apda_fft_tpu.gateway.config import GatewayConfig
+    from apda_fft_tpu.gateway.service import GatewayService
+    from apda_fft_tpu.gateway.transport import LoopbackTransport, SensorSimulator
+    from apda_fft_tpu.models.pipeline import PipelineConfig, SpectralPipeline
+    from tests.signals import two_mode_signal
+
+    data_dir = str(tmp_path / "d") + os.sep
+    os.makedirs(data_dir)
+    cfg_path = tmp_path / "gw.json"
+    cfg_path.write_text(_json.dumps({
+        "ftp": {}, "fastapi": {"url": ""},
+        "gateway": {"logger_file": data_dir + "h.log",
+                    "device_file": data_dir + "dev.txt",
+                    "config_file": str(tmp_path / "c.txt"),
+                    "data_dir": data_dir,
+                    "is_flexibile_structure": True},
+    }))
+    (tmp_path / "c.txt").write_text("")
+
+    mesh = make_mesh(8, ("data",))
+    pipe = SpectralPipeline(PipelineConfig(mode="flexible"), mesh=mesh)
+    transport = LoopbackTransport()
+    svc = GatewayService(GatewayConfig.load(cfg_path), transport, pipeline=pipe)
+    svc.start()
+    sim = SensorSimulator("a" * 16, fs=500.0, axis="X", chunk=100)
+    sim.stream_acquisition(transport, two_mode_signal(1024, 500.0))
+    svc.drain()
+    entry = svc.fft_results["a" * 16]["X"]
+    assert entry["peak_freq"] == 12.207  # 25 * 500/1024 rounded
