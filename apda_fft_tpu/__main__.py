@@ -68,11 +68,15 @@ def cmd_analyze(args) -> int:
             peaks = []
             for slot in range(count):
                 idx = int(res.idx[row, slot])
-                freq = (
-                    round(idx * rec.fs / n_fft, 4)
-                    if args.mode != "rigid"
-                    else idx * (rec.fs / n_fft)
-                )
+                # Host-float64 exact finisher for the pure modes; adaptive
+                # windows may have fallen back to the rigid detector, whose
+                # rounding differs - report the device value there.
+                if args.mode == "flexible":
+                    freq = round(idx * rec.fs / n_fft, 4)
+                elif args.mode == "rigid":
+                    freq = idx * (rec.fs / n_fft)
+                else:
+                    freq = float(res.freq[row, slot])
                 peak = {"freq": freq, "mag": float(res.mag[row, slot]), "idx": idx}
                 if args.mode != "rigid":
                     peak["damping_pct"] = float(res.damping[row, slot])
@@ -100,7 +104,13 @@ def cmd_analyze(args) -> int:
 def cmd_oracle_check(args) -> int:
     from apda_fft_tpu import analyze_epoch
     from apda_fft_tpu.ops.fft import next_pow2
-    from tests.oracle import oracle_analyze  # validation harness dependency
+
+    try:
+        from tests.oracle import oracle_analyze  # repo-checkout validation tool
+    except ImportError:
+        print("oracle-check needs the repo checkout (tests/oracle.py); "
+              "run it from the repository root", file=sys.stderr)
+        return 2
 
     loaded = _load(args.files)
     mismatches = 0

@@ -56,6 +56,7 @@ class AsyncUploadManager:
         """Apply finished jobs; drop expired ones.  Returns jobs applied."""
         applied = 0
         now = time.monotonic()
+        done: list[tuple[_Job, object]] = []
         with self._lock:
             jobs, self._jobs = self._jobs, []
             keep: list[_Job] = []
@@ -69,22 +70,35 @@ class AsyncUploadManager:
                         # Failure still completes the job: on_done with an
                         # empty result prunes nothing but releases the
                         # caller's in-flight accounting.
-                        job.on_done([])
+                        done.append((job, []))
                         continue
-                    job.on_done(result)
+                    done.append((job, result))
                     applied += 1
                 elif now > job.deadline:
                     job.abandoned = True
+                    # Drop never-started queued jobs so hung workers don't
+                    # also starve the queue; running jobs can't be interrupted
+                    # but their late results are ignored.
+                    job.future.cancel()
                     if log:
                         log(f"\t[ASYNC][WARN] upload {job.label} exceeded "
                             f"{self.timeout:.0f}s, abandoned (will retry at next sync)\n")
                     # Same: release accounting; a late success is ignored (the
                     # files stay queued and retry - worst case a duplicate
                     # upload, never a lost one).
-                    job.on_done([])
+                    done.append((job, []))
                 else:
                     keep.append(job)
             self._jobs.extend(keep)
+        # Callbacks run outside the lock (they may submit new jobs) and are
+        # individually shielded so one failure cannot strand the others'
+        # in-flight accounting.
+        for job, result in done:
+            try:
+                job.on_done(result)
+            except Exception as exc:  # noqa: BLE001
+                if log:
+                    log(f"\t[ASYNC][ERROR] on_done for {job.label}: {exc}\n")
         return applied
 
     @property

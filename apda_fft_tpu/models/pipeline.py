@@ -209,6 +209,7 @@ def analyze_epoch(
     dtype=jnp.float32,
     center: str = "auto",
     selection: str = "topk",
+    batch_chunk: int = 1024,
 ) -> EpochResult:
     """Analyze one epoch of sensor windows in a single XLA program.
 
@@ -256,6 +257,7 @@ def analyze_epoch(
         has_lengths=has_lengths,
         center=center,
         selection=selection,
+        batch_chunk=batch_chunk,
     )
 
 
@@ -270,7 +272,9 @@ class PipelineConfig:
     refine: bool = False
     dtype: Any = jnp.float32
     center: str = "auto"
-    selection: str = "topk"
+    #: None = auto: "topk" single-device, "sort" when a mesh is used
+    #: (lax.top_k has no SPMD partitioning rule).
+    selection: str | None = None
 
     @classmethod
     def from_gateway_flag(cls, is_flexibile_structure: bool, **kw) -> "PipelineConfig":
@@ -307,10 +311,12 @@ class SpectralPipeline:
                 n_fft=n_fft,
                 mode=cfg.mode,
                 k=cfg.k,
+                backend=cfg.backend,
                 max_candidates=cfg.max_candidates,
                 refine=cfg.refine,
                 dtype=cfg.dtype,
                 center=cfg.center,
+                **({"selection": cfg.selection} if cfg.selection else {}),
             )
         else:
             result = analyze_epoch(
@@ -325,7 +331,7 @@ class SpectralPipeline:
                 lengths=lengths,
                 dtype=cfg.dtype,
                 center=cfg.center,
-                selection=cfg.selection,
+                selection=cfg.selection or "topk",
             )
         result = jax.block_until_ready(result)
         wall = time.perf_counter() - t_wall0

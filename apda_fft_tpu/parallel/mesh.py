@@ -65,6 +65,11 @@ def analyze_epoch_sharded(
     # Likewise lax.top_k is a custom-call without an SPMD partitioning rule;
     # the full-sort candidate selection shards cleanly.
     kwargs.setdefault("selection", "sort")
+    # lax.map chunking reshapes the batch axis, which XLA cannot keep
+    # partitioned (it inserts an all-gather of the whole epoch); per-device
+    # batches are already working-set-sized, so chunk only within this shard
+    # budget if the caller asks explicitly.
+    kwargs.setdefault("batch_chunk", 0)
 
     jnp = jax.numpy
     samples = jnp.asarray(samples)
@@ -76,9 +81,12 @@ def analyze_epoch_sharded(
         padding = [(0, pad)] + [(0, 0)] * (samples.ndim - 1)
         samples = jnp.pad(samples, padding)
         if fs_arr.ndim >= 1:
-            fs_arr = jnp.pad(fs_arr, (0, pad), constant_values=1.0)
+            fs_pad = [(0, pad)] + [(0, 0)] * (fs_arr.ndim - 1)
+            fs_arr = jnp.pad(fs_arr, fs_pad, constant_values=1.0)
         if lengths is not None:
-            lengths = jnp.pad(jnp.asarray(lengths), (0, pad))
+            lengths = jnp.asarray(lengths)
+            len_pad = [(0, pad)] + [(0, 0)] * (lengths.ndim - 1)
+            lengths = jnp.pad(lengths, len_pad)
 
     samples = shard_batch(samples, mesh, batch_axis)
     if fs_arr.ndim >= 1:

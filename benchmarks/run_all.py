@@ -10,9 +10,16 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
+
+# Make the repo root importable regardless of invocation cwd
+# (python benchmarks/run_all.py puts benchmarks/ first on sys.path).
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 # windows/s of the reference core at each config's N (BASELINE.md).
 REFERENCE_WPS = {1024: 478.0, 4096: 103.0, 8192: 48.0, 65536: 4.8}
@@ -100,13 +107,14 @@ def run_config(num: int, backend: str) -> dict:
 
 
 def main() -> None:
-    from bench import _connect_with_watchdog
-
-    _connect_with_watchdog()
     ap = argparse.ArgumentParser()
     ap.add_argument("--backend", default="matmul")
     ap.add_argument("--configs", default="1,2,3,4,5")
     args = ap.parse_args()
+
+    from bench import _connect_with_watchdog
+
+    _connect_with_watchdog()
     for num in (int(c) for c in args.configs.split(",")):
         try:
             print(json.dumps(run_config(num, args.backend)), flush=True)

@@ -59,7 +59,9 @@ def main() -> None:
             with contextlib.redirect_stdout(buf), contextlib.redirect_stderr(buf):
                 exec(compile(src, path, "exec"), {"jax": jax, "jnp": jnp, "np": np})
             status = "ok"
-        except Exception:  # noqa: BLE001
+        except KeyboardInterrupt:
+            raise
+        except BaseException:  # noqa: BLE001 - incl. SystemExit from job scripts
             buf.write(traceback.format_exc())
             status = "error"
         buf.write(f"\n[worker] {name}: {status} in {time.perf_counter() - t0:.1f}s\n")

@@ -156,3 +156,32 @@ def test_gateway_pipeline_on_mesh(tmp_path):
     svc.drain()
     entry = svc.fft_results["a" * 16]["X"]
     assert entry["peak_freq"] == 12.207  # 25 * 500/1024 rounded
+
+
+def test_sharded_large_epoch_stays_collective_free():
+    """batch_chunk must be disabled on the sharded path (lax.map reshape of a
+    sharded axis would force an all-gather of the whole epoch)."""
+    from apda_fft_tpu.models.pipeline import _analyze_epoch_impl
+
+    mesh = make_mesh(8, ("data",))
+    xs = shard_batch(jnp.zeros((2048, 256), jnp.float32), mesh)
+    fs = shard_batch(jnp.full((2048,), 500.0, jnp.float32), mesh)
+    hlo = jax.jit(
+        lambda s, f: _analyze_epoch_impl(
+            s, f, None, n_fft=256, mode="flexible", k=4, backend="matmul",
+            max_candidates=32, refine=False, has_lengths=False,
+            selection="sort", batch_chunk=0,
+        )
+    ).lower(xs, fs).compile().as_text()
+    for coll in ("all-reduce", "all-gather", "all-to-all"):
+        assert coll not in hlo
+
+
+def test_sharded_multidim_batch_with_padding():
+    """Leading batch shapes that don't divide the mesh get padded, not crash."""
+    mesh = make_mesh(8, ("data",))
+    xs = np.stack([[modal_signal(256, 100.0, seed=3 * c + w) for w in range(4)]
+                   for c in range(6)])  # [6, 4, 256]: 6 % 8 != 0
+    fs = np.full((6, 4), 100.0, np.float32)
+    res = analyze_epoch_sharded(xs, fs, mesh=mesh, n_fft=256)
+    assert res.count.shape == (6, 4)
