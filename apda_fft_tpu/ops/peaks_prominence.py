@@ -53,6 +53,7 @@ class ProminencePeaks(NamedTuple):
     prominence: jnp.ndarray  # [k] unrounded
     damping: jnp.ndarray  # [k] percent, rounded to 2 decimals
     q_factor: jnp.ndarray  # [k] rounded to 2 decimals
+    n_candidates: jnp.ndarray  # [] int32: local maxima above threshold (pre-budget)
 
 
 def _round_decimals(x: jnp.ndarray, decimals: int) -> jnp.ndarray:
@@ -207,7 +208,7 @@ def prominence_peaks(
     dtype = mags.dtype
     iota = jnp.arange(h)
 
-    cid, is_cand, cmag, thr, std = prominence_select(mags, max_candidates, selection)
+    cid, is_cand, cmag, thr, std, n_cand = prominence_select(mags, max_candidates, selection)
 
     fs = jnp.asarray(fs, dtype)
     if scan_impl == "sparse":
@@ -221,14 +222,17 @@ def prominence_peaks(
     else:
         raise ValueError(f"unknown scan_impl {scan_impl!r}; expected 'sparse' or 'masked'")
 
-    return prominence_finalize(cid, is_cand, cmag, proms, bins, fs, n_fft, k, std)
+    return prominence_finalize(cid, is_cand, cmag, proms, bins, fs, n_fft, k, std, n_cand)
 
 
 def prominence_select(mags: jnp.ndarray, max_candidates: int, selection: str = "topk"):
     """Stage 1: threshold + local maxima + magnitude-ordered candidate ids.
 
-    Returns (cid, is_cand, cmag, threshold, std); candidate slots are sorted
-    magnitude-descending with index-ascending tie-break, invalid slots last.
+    Returns (cid, is_cand, cmag, threshold, std, n_candidates); candidate
+    slots are sorted magnitude-descending with index-ascending tie-break,
+    invalid slots last.  ``n_candidates`` is the pre-budget count: when it
+    exceeds ``max_candidates`` the selection is truncated and decisions may
+    diverge from the reference (raise the budget for exactness).
     """
     h = mags.shape[-1]
     iota = jnp.arange(h)
@@ -256,10 +260,12 @@ def prominence_select(mags: jnp.ndarray, max_candidates: int, selection: str = "
         raise ValueError(f"unknown selection {selection!r}; expected 'topk' or 'sort'")
     is_cand = jnp.take(cand_mask, cid)
     cmag = jnp.take(mags, cid)
-    return cid, is_cand, cmag, thr, std
+    n_cand = jnp.sum(cand_mask).astype(jnp.int32)
+    return cid, is_cand, cmag, thr, std, n_cand
 
 
-def prominence_finalize(cid, is_cand, cmag, proms, bins, fs, n_fft: int, k: int, std):
+def prominence_finalize(cid, is_cand, cmag, proms, bins, fs, n_fft: int, k: int, std,
+                        n_candidates=None):
     """Stage 3: physics filters, reference rounding, greedy shoulder rejection."""
     dtype = cmag.dtype
     fs = jnp.asarray(fs, dtype)
@@ -320,6 +326,8 @@ def prominence_finalize(cid, is_cand, cmag, proms, bins, fs, n_fft: int, k: int,
     )
     count, acc = jax.lax.fori_loop(0, cid.shape[-1], body, init)
 
+    if n_candidates is None:
+        n_candidates = jnp.asarray(0, jnp.int32)
     return ProminencePeaks(
         count=count,
         idx=acc["idx"],
@@ -328,4 +336,5 @@ def prominence_finalize(cid, is_cand, cmag, proms, bins, fs, n_fft: int, k: int,
         prominence=acc["prom"],
         damping=acc["damp"],
         q_factor=acc["q"],
+        n_candidates=n_candidates,
     )

@@ -55,6 +55,7 @@ class ResolutionPeaks(NamedTuple):
     idx: jnp.ndarray  # [k] int32, bin index (-1 for empty slots)
     freq: jnp.ndarray  # [k] unrounded idx * fs/n
     mag: jnp.ndarray  # [k] magnitude at pick time
+    n_candidates: jnp.ndarray  # [] int32: initial local maxima above threshold
 
 
 def _width_half_magnitude(m: jnp.ndarray, iota: jnp.ndarray, j: jnp.ndarray) -> jnp.ndarray:
@@ -101,6 +102,8 @@ def resolution_peaks(
 
     thr, _ = noise_threshold(mags)
     interior = (iota >= 1) & (iota <= h - 2)
+    initial_lm = interior & (mags > jnp.roll(mags, 1)) & (mags > jnp.roll(mags, -1))
+    n_cand = jnp.sum(initial_lm & (mags > thr)).astype(jnp.int32)
 
     def cond(state):
         return ~state["done"]
@@ -148,4 +151,7 @@ def resolution_peaks(
     final = jax.lax.while_loop(cond, body, init)
 
     freq = jnp.where(final["idx"] >= 0, final["idx"].astype(dtype) * ds, 0.0)
-    return ResolutionPeaks(count=final["count"], idx=final["idx"], freq=freq, mag=final["mag"])
+    return ResolutionPeaks(
+        count=final["count"], idx=final["idx"], freq=freq, mag=final["mag"],
+        n_candidates=n_cand,
+    )

@@ -56,10 +56,15 @@ def test_native_is_faster_than_python_formatting(lib):
     import time
 
     vals = np.random.default_rng(2).uniform(-2, 2, 200_000)
-    t0 = time.perf_counter()
-    native.format_samples(vals)
-    t_native = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    "".join(s + ";" for s in halffloat.format_samples(vals))
-    t_py = time.perf_counter() - t0
+
+    def best(fn, reps=3):
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    t_native = best(lambda: native.format_samples(vals))
+    t_py = best(lambda: "".join(s + ";" for s in halffloat.format_samples(vals)))
     assert t_native < t_py, (t_native, t_py)

@@ -155,3 +155,21 @@ def test_scan_impls_agree_exhaustively():
         np.testing.assert_array_equal(np.asarray(a.idx), np.asarray(b.idx), err_msg=str(i))
         np.testing.assert_array_equal(np.asarray(a.prominence), np.asarray(b.prominence))
         np.testing.assert_array_equal(np.asarray(a.damping), np.asarray(b.damping))
+
+
+def test_noisy_long_windows_exceed_static_budget():
+    """Seeds that overflow a fixed 32-candidate budget (found on TPU hardware):
+    the auto-scaled budget keeps decisions exact."""
+    from apda_fft_tpu.models.pipeline import default_max_candidates
+
+    assert default_max_candidates(4096) == 32
+    assert default_max_candidates(8192) == 64
+    assert default_max_candidates(65536) == 512
+    for seed in (3, 7, 19):
+        x = modal_signal(8192, 62.5, seed=300 + seed)
+        ref = oracle_analyze(x, 62.5, mode="flexible")
+        res = analyze_epoch(x[None, :], 62.5, mode="flexible")
+        got = [int(i) for i in np.asarray(res.idx[0])[: int(res.count[0])]]
+        assert got == [p["idx"] for p in ref], seed
+        # the diagnostic exposes the pre-budget candidate count
+        assert int(res.n_candidates[0]) > 32
