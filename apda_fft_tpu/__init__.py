@@ -19,6 +19,7 @@ from apda_fft_tpu.models.pipeline import (
     analyze_epoch,
     default_k,
 )
+from apda_fft_tpu.models.batching import RecordPeaks, analyze_records
 from apda_fft_tpu.models.results import EpochResult
 from apda_fft_tpu.models.streaming import analyze_stream, frame_records
 from apda_fft_tpu.ops.fft import (
@@ -36,9 +37,11 @@ __all__ = [
     "EpochResult",
     "PipelineConfig",
     "ProminencePeaks",
+    "RecordPeaks",
     "ResolutionPeaks",
     "SpectralPipeline",
     "analyze_epoch",
+    "analyze_records",
     "analyze_stream",
     "center_and_pad",
     "frame_records",

@@ -36,68 +36,46 @@ def _load(paths):
 
 
 def cmd_analyze(args) -> int:
-    from apda_fft_tpu import analyze_epoch
-    from apda_fft_tpu.ops.fft import next_pow2
+    from apda_fft_tpu.models.batching import analyze_records
 
     loaded = _load(args.files)
     if not loaded:
         print("no analyzable files", file=sys.stderr)
         return 1
 
-    buckets: dict[int, list[int]] = {}
-    for i, (_, rec) in enumerate(loaded):
-        buckets.setdefault(next_pow2(len(rec.samples)), []).append(i)
-
-    for n_fft, idxs in sorted(buckets.items()):
-        b = len(idxs)
-        samples = np.zeros((b, n_fft), np.float32)
-        lengths = np.zeros((b,), np.int32)
-        fs = np.zeros((b,), np.float32)
-        for row, i in enumerate(idxs):
-            s = loaded[i][1].samples
-            samples[row, : len(s)] = s
-            lengths[row] = len(s)
-            fs[row] = loaded[i][1].fs
-        res = analyze_epoch(
-            samples, fs, n_fft=n_fft, mode=args.mode, backend=args.backend,
-            refine=args.refine, lengths=lengths,
-        )
-        for row, i in enumerate(idxs):
-            path, rec = loaded[i]
-            count = int(res.count[row])
-            peaks = []
-            for slot in range(count):
-                idx = int(res.idx[row, slot])
-                # Host-float64 exact finisher for the pure modes; adaptive
-                # windows may have fallen back to the rigid detector, whose
-                # rounding differs - report the device value there.
-                if args.mode == "flexible":
-                    freq = round(idx * rec.fs / n_fft, 4)
-                elif args.mode == "rigid":
-                    freq = idx * (rec.fs / n_fft)
-                else:
-                    freq = float(res.freq[row, slot])
-                peak = {"freq": freq, "mag": float(res.mag[row, slot]), "idx": idx}
-                if args.mode != "rigid":
-                    peak["damping_pct"] = float(res.damping[row, slot])
-                    peak["q_factor"] = float(res.q_factor[row, slot])
-                if args.refine:
-                    peak["refined_freq"] = float(res.refined_freq[row, slot])
-                peaks.append(peak)
-            if args.json:
-                print(json.dumps({"file": path, "fs": rec.fs, "axis": rec.axis,
-                                  "n_fft": n_fft, "peaks": peaks}))
-            else:
-                print(f"{path} (fs={rec.fs} Hz, axis={rec.axis}, N={n_fft}):")
-                if not peaks:
-                    print("  no peaks above threshold")
-                for p in peaks:
-                    line = f"  f={p['freq']:.4f} Hz  mag={p['mag']:.4f}"
-                    if "damping_pct" in p:
-                        line += f"  damping={p['damping_pct']:.2f}%  q={p['q_factor']:.2f}"
-                    if "refined_freq" in p:
-                        line += f"  refined={p['refined_freq']:.4f} Hz"
-                    print(line)
+    records = [(np.asarray(rec.samples, np.float32), rec.fs) for _, rec in loaded]
+    per_record = analyze_records(
+        records, mode=args.mode, backend=args.backend, refine=args.refine
+    )
+    for (path, rec), rp in zip(loaded, per_record):
+        peaks = []
+        for slot in range(rp.count):
+            p = rp.peak(slot)
+            # Host-float64 exact finisher for the pure modes; adaptive windows
+            # may have fallen back to the rigid detector, whose rounding
+            # differs - report the device value there.
+            if args.mode in ("flexible", "rigid"):
+                p["freq"] = rp.exact_freq(slot, args.mode)
+            if args.mode == "rigid":
+                for drop in ("damping", "q_factor", "prominence"):
+                    p.pop(drop)
+            if not args.refine:
+                p.pop("refined_freq")
+            peaks.append(p)
+        if args.json:
+            print(json.dumps({"file": path, "fs": rec.fs, "axis": rec.axis,
+                              "n_fft": rp.n_fft, "peaks": peaks}))
+        else:
+            print(f"{path} (fs={rec.fs} Hz, axis={rec.axis}, N={rp.n_fft}):")
+            if not peaks:
+                print("  no peaks above threshold")
+            for p in peaks:
+                line = f"  f={p['freq']:.4f} Hz  mag={p['mag']:.4f}"
+                if "damping" in p:
+                    line += f"  damping={p['damping']:.2f}%  q={p['q_factor']:.2f}"
+                if "refined_freq" in p:
+                    line += f"  refined={p['refined_freq']:.4f} Hz"
+                print(line)
     return 0
 
 

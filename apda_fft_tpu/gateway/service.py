@@ -42,8 +42,8 @@ from apda_fft_tpu.io.logfile import (
     load_sensor_log,
     write_acquisition_header,
 )
+from apda_fft_tpu.models.batching import analyze_records
 from apda_fft_tpu.models.pipeline import PipelineConfig, SpectralPipeline
-from apda_fft_tpu.ops.fft import next_pow2
 
 
 class GatewayService:
@@ -428,25 +428,11 @@ class GatewayService:
         if not loaded:
             return
 
-        buckets: dict[int, list[int]] = {}
-        for i, (_, rec) in enumerate(loaded):
-            buckets.setdefault(next_pow2(len(rec.samples)), []).append(i)
-
-        for n_fft, idxs in buckets.items():
-            b = len(idxs)
-            samples = np.zeros((b, n_fft), np.float32)
-            lengths = np.zeros((b,), np.int32)
-            fs = np.zeros((b,), np.float32)
-            for row, i in enumerate(idxs):
-                s = loaded[i][1].samples
-                samples[row, : len(s)] = s
-                lengths[row] = len(s)
-                fs[row] = loaded[i][1].fs
-            result = self.pipeline(samples, fs, n_fft=n_fft, lengths=lengths)
-            metrics = self.pipeline.last_metrics
-            for row, i in enumerate(idxs):
-                addr, rec = loaded[i]
-                self._store_result(addr, rec.axis, rec.fs, n_fft, result, row, metrics)
+        records = [(np.asarray(rec.samples, np.float32), rec.fs) for _, rec in loaded]
+        per_record = analyze_records(records, analyze=self.pipeline)
+        metrics = self.pipeline.last_metrics
+        for (addr, rec), rp in zip(loaded, per_record):
+            self._store_result(addr, rec.axis, rec.fs, rp.n_fft, rp.result, rp.row, metrics)
 
     def _store_result(self, addr, axis, fs, n_fft, result, row, metrics) -> None:
         """Fill the per-axis peak dict (reference fft_dict shape, :648-659)."""

@@ -1,0 +1,89 @@
+"""Record batching: ragged host-side records -> bucketed device epochs.
+
+The gateway and the CLI both need the same shape transformation: a list of
+variable-length sample records becomes one padded ``[B, n_fft]`` epoch per
+power-of-two bucket, analyzed as a single XLA program each, with results
+mapped back to the originating records.  This is the host-side face of the
+epoch-batch design (SURVEY.md section 7): the reference's per-file
+``work_flow_fft`` loop (``GT_FFT_v5.py:620-679``) becomes one program per
+bucket regardless of how many sensors/axes completed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+
+from apda_fft_tpu.models.pipeline import analyze_epoch
+from apda_fft_tpu.models.results import EpochResult
+from apda_fft_tpu.ops.fft import next_pow2
+
+
+@dataclasses.dataclass
+class RecordPeaks:
+    """Per-record view into a bucket's :class:`EpochResult`."""
+
+    n_fft: int
+    fs: float
+    result: EpochResult  # the bucket result
+    row: int  # this record's row within the bucket
+
+    @property
+    def count(self) -> int:
+        return int(self.result.count[self.row])
+
+    def peak(self, slot: int) -> dict:
+        r, i = self.result, self.row
+        return {
+            "idx": int(r.idx[i, slot]),
+            "freq": float(r.freq[i, slot]),
+            "mag": float(r.mag[i, slot]),
+            "prominence": float(r.prominence[i, slot]),
+            "damping": float(r.damping[i, slot]),
+            "q_factor": float(r.q_factor[i, slot]),
+            "refined_freq": float(r.refined_freq[i, slot]),
+        }
+
+    def exact_freq(self, slot: int, mode: str) -> float:
+        """Host-float64 frequency finisher (bit-exact once the index matches)."""
+        idx = int(self.result.idx[self.row, slot])
+        if mode == "rigid":
+            return idx * (self.fs / self.n_fft)
+        return round(idx * self.fs / self.n_fft, 4)
+
+
+def analyze_records(
+    records: Sequence[tuple[np.ndarray, float]],
+    analyze=analyze_epoch,
+    **kwargs,
+) -> list[RecordPeaks]:
+    """Analyze ragged ``(samples, fs)`` records, one XLA program per bucket.
+
+    Records are grouped by ``next_pow2(len(samples))``, zero-padded with their
+    true lengths passed through (so median-centering stays exact), and results
+    are returned in input order.  ``analyze`` is pluggable (e.g. a
+    mesh-sharded pipeline); ``kwargs`` forward to it (mode, backend, ...).
+    """
+    buckets: dict[int, list[int]] = {}
+    for i, (samples, _) in enumerate(records):
+        if len(samples) == 0:
+            raise ValueError(f"record {i} is empty")
+        buckets.setdefault(next_pow2(len(samples)), []).append(i)
+
+    out: list[RecordPeaks | None] = [None] * len(records)
+    for n_fft, idxs in sorted(buckets.items()):
+        b = len(idxs)
+        batch = np.zeros((b, n_fft), np.float32)
+        lengths = np.zeros((b,), np.int32)
+        fs = np.zeros((b,), np.float32)
+        for row, i in enumerate(idxs):
+            samples, rec_fs = records[i]
+            batch[row, : len(samples)] = samples
+            lengths[row] = len(samples)
+            fs[row] = rec_fs
+        result = analyze(batch, fs, n_fft=n_fft, lengths=lengths, **kwargs)
+        for row, i in enumerate(idxs):
+            out[i] = RecordPeaks(n_fft=n_fft, fs=records[i][1], result=result, row=row)
+    return out  # type: ignore[return-value]

@@ -125,3 +125,33 @@ def test_batch_chunking_equivalence():
     np.testing.assert_array_equal(np.asarray(a.count), np.asarray(b.count))
     np.testing.assert_array_equal(np.asarray(a.idx), np.asarray(b.idx))
     np.testing.assert_array_equal(np.asarray(a.freq), np.asarray(b.freq))
+
+
+def test_analyze_records_buckets_and_order():
+    """Ragged records bucket by pow2 length and come back in input order."""
+    from apda_fft_tpu.models.batching import analyze_records
+
+    recs = [
+        (modal_signal(1000, 500.0, seed=1), 500.0),   # -> 1024 bucket
+        (modal_signal(4096, 250.0, seed=2), 250.0),   # -> 4096 bucket
+        (modal_signal(900, 500.0, seed=3), 500.0),    # -> 1024 bucket
+    ]
+    out = analyze_records(recs, mode="flexible")
+    assert [rp.n_fft for rp in out] == [1024, 4096, 1024]
+    # per-record results equal the direct ragged analyze_epoch call
+    for (samples, fs), rp in zip(recs, out):
+        n = rp.n_fft
+        padded = np.zeros(n, np.float32)
+        padded[: len(samples)] = samples
+        direct = analyze_epoch(padded[None], fs, n_fft=n,
+                               lengths=np.array([len(samples)]), mode="flexible")
+        assert rp.count == int(direct.count[0])
+        for s in range(rp.count):
+            assert rp.peak(s)["idx"] == int(direct.idx[0, s])
+            assert rp.exact_freq(s, "flexible") == round(
+                int(direct.idx[0, s]) * fs / n, 4
+            )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty"):
+        analyze_records([(np.zeros(0), 500.0)])
