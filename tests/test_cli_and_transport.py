@@ -120,3 +120,14 @@ def test_xbee_transport_with_mocked_vendor_stack(monkeypatch):
     assert t.receive(logs.append) == (None, None)
     t.stop(logs.append)
     assert not fake_dev.is_open()
+
+
+def test_gateway_simulate_smoke(tmp_path, capsys):
+    """The --simulate demo drives the full stack headlessly."""
+    from apda_fft_tpu.gateway.__main__ import _simulate
+
+    _simulate(2, str(tmp_path))
+    out = capsys.readouterr().out
+    assert "processed" in out and "2 sensors" in out
+    assert "Peaks: X f1:" in out and "Peaks: Y f1:" in out
+    assert "[FTP:sim] would upload" in out
