@@ -235,15 +235,24 @@ def analyze_epoch(
       fs: sampling rate in Hz - scalar or broadcastable to the batch shape.
       n_fft: FFT length (power of two). Defaults to ``next_pow2(L)``, matching
         the reference's pad-to-pow2 (``metrics/fft_iterativa.py:13-22``).
-      mode: ``"flexible"`` (prominence detector, k=4) or ``"rigid"``
-        (resolution detector, k=5).
+      mode: ``"flexible"`` (prominence detector, k=4), ``"rigid"``
+        (resolution detector, k=5), or ``"adaptive"`` (prominence with
+        per-window resolution fallback).
       backend: ``"matmul"`` (default - fastest measured on TPU and the only
         SPMD-partitionable one) | ``"xla"`` | ``"pallas"``.
-      max_candidates: static candidate budget for the flexible detector.
+      max_candidates: static candidate budget for the flexible detector;
+        None scales it with the spectrum size (``default_max_candidates``).
+        ``EpochResult.n_candidates`` reports the pre-budget count per window.
       refine: also compute sub-bin interpolated peak frequencies.
       lengths: optional integer array (batch shape) of valid-prefix lengths
         for ragged windows.
       dtype: compute dtype (float32 on TPU; float64 works on CPU with x64).
+      center: "auto" skips the median sort when it can only affect the
+        (zeroed) DC bin; "always" forces it.
+      selection: candidate ordering implementation ("topk" | "sort"; the
+        sharded path needs "sort").
+      batch_chunk: epochs larger than this are processed in lax.map chunks
+        to bound the on-chip working set (0 disables).
 
     Returns:
       :class:`EpochResult` with batch-shaped arrays.
