@@ -39,15 +39,31 @@ def default_k(mode: str) -> int:
 
 
 def default_max_candidates(n_fft: int) -> int:
-    """Candidate budget scaled to spectrum size.
+    """Static candidate budget scaled to spectrum size.
 
     Noise-dominated spectra have ~1-2% of bins as threshold-crossing local
     maxima, so a fixed budget truncates on long windows (measured: 56-114
     candidates at H=4096, where 32 dropped real peaks).  H/64 with a floor of
     32 and a cap of 512 keeps every tested corpus exact while leaving the
     N<=4096 fast path untouched.
+
+    This is the fallback when the dynamic budget (the default) cannot run -
+    i.e. when ``analyze_epoch`` is called under an outer ``jit`` trace where
+    the candidate count cannot be read back.  Note pure-noise windows can
+    exceed it even at N=4096 (measured up to 90 threshold-crossing maxima at
+    H=2048); the dynamic budget handles those exactly.
     """
     return max(32, min(512, (n_fft // 2) // 64))
+
+
+#: Sticky per-(n_fft, mode) dynamic candidate budgets (power-of-two bucketed
+#: so the number of distinct compiled programs stays <= log2(H)).
+_dynamic_budget: dict[tuple[int, str], int] = {}
+_DYNAMIC_FLOOR = 8
+
+
+def _pow2_at_least(n: int) -> int:
+    return 1 << max(int(n) - 1, 1).bit_length()
 
 
 def refine_subbin(mags: jnp.ndarray, idx: jnp.ndarray, ds: jnp.ndarray) -> jnp.ndarray:
@@ -219,7 +235,7 @@ def analyze_epoch(
     mode: str = "flexible",
     k: int | None = None,
     backend: str = "matmul",
-    max_candidates: int | None = None,
+    max_candidates: int | str | None = None,
     refine: bool = False,
     lengths=None,
     dtype=jnp.float32,
@@ -240,9 +256,14 @@ def analyze_epoch(
         per-window resolution fallback).
       backend: ``"matmul"`` (default - fastest measured on TPU and the only
         SPMD-partitionable one) | ``"xla"`` | ``"pallas"``.
-      max_candidates: static candidate budget for the flexible detector;
-        None scales it with the spectrum size (``default_max_candidates``).
-        ``EpochResult.n_candidates`` reports the pre-budget count per window.
+      max_candidates: candidate budget for the flexible detector.  None (the
+        default) or ``"dynamic"`` sizes it from the data: a sticky
+        power-of-two budget with an overflow re-run, so results always match
+        the unbounded reference at the cost of one scalar readback per epoch.
+        An int pins a static budget (no readback; may truncate - check
+        ``EpochResult.n_candidates``, the pre-budget count per window).
+        Under an outer jit trace None falls back to the static
+        ``default_max_candidates(n_fft)``.
       refine: also compute sub-bin interpolated peak frequencies.
       lengths: optional integer array (batch shape) of valid-prefix lengths
         for ragged windows.
@@ -264,28 +285,55 @@ def analyze_epoch(
         n_fft = fft_ops.next_pow2(samples.shape[-1])
     if k is None:
         k = default_k(mode)
-    if max_candidates is None:
-        max_candidates = default_max_candidates(n_fft)
     fs = jnp.asarray(fs, dtype)
     has_lengths = lengths is not None
     if has_lengths:
         lengths = jnp.asarray(lengths, jnp.int32)
         lengths = jnp.broadcast_to(lengths, samples.shape[:-1])
-    return _analyze_epoch_impl(
-        samples,
-        fs,
-        lengths,
+
+    # Dynamic candidate budget (the default): run with a sticky power-of-two
+    # budget, read back the true pre-budget candidate count, and re-run with a
+    # bigger budget iff it overflowed - so decisions are always identical to
+    # the unbounded reference, and the detector's O(M*H) scan stage is sized
+    # by the data instead of a worst-case constant.  Costs one scalar device
+    # readback per epoch; unavailable under an outer trace (tracers cannot be
+    # read back), where the static default applies.
+    traced = isinstance(samples, jax.core.Tracer) or isinstance(fs, jax.core.Tracer)
+    dynamic = (
+        max_candidates in (None, "dynamic")
+        and mode in ("flexible", "adaptive")
+        and not traced
+    )
+    if max_candidates == "dynamic" and traced:
+        raise ValueError("max_candidates='dynamic' cannot run under an outer jit trace")
+    if not dynamic and not isinstance(max_candidates, int):
+        max_candidates = default_max_candidates(n_fft)
+
+    kwargs = dict(
         n_fft=n_fft,
         mode=mode,
         k=k,
         backend=backend,
-        max_candidates=max_candidates,
         refine=refine,
         has_lengths=has_lengths,
         center=center,
         selection=selection,
         batch_chunk=batch_chunk,
     )
+    if not dynamic:
+        return _analyze_epoch_impl(samples, fs, lengths, max_candidates=max_candidates, **kwargs)
+
+    h = n_fft // 2
+    key = (n_fft, mode)
+    budget = min(_dynamic_budget.get(key, _DYNAMIC_FLOOR), max(h, 1))
+    while True:
+        res = _analyze_epoch_impl(samples, fs, lengths, max_candidates=budget, **kwargs)
+        n_max = int(jax.device_get(jnp.max(res.n_candidates)))
+        if n_max <= budget or budget >= h:
+            break
+        budget = min(max(_pow2_at_least(n_max), _DYNAMIC_FLOOR), h)
+    _dynamic_budget[key] = min(max(_pow2_at_least(n_max), _DYNAMIC_FLOOR), h)
+    return res
 
 
 @dataclasses.dataclass
@@ -295,7 +343,7 @@ class PipelineConfig:
     mode: str = "flexible"
     k: int | None = None
     backend: str = "matmul"
-    max_candidates: int | None = None  # None = scale with n_fft
+    max_candidates: int | str | None = None  # None = dynamic (data-sized) budget
     refine: bool = False
     dtype: Any = jnp.float32
     center: str = "auto"

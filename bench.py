@@ -46,17 +46,29 @@ def _throughput(backend: str, batch: int, reps: int) -> float:
     import jax
     import jax.numpy as jnp
 
-    from apda_fft_tpu.models.pipeline import _analyze_epoch_impl
+    from apda_fft_tpu.models.pipeline import _analyze_epoch_impl, analyze_epoch
 
     samples = jnp.asarray(_make_batch(batch))
     fs = jnp.full((batch,), FS, jnp.float32)
+
+    # Production path: the dynamic candidate budget.  One warmup epoch sizes
+    # the sticky power-of-two budget from the data; steady-state then runs at
+    # that budget (as a long-running gateway would), verified sufficient here.
+    warm = analyze_epoch(samples, fs, n_fft=N_FFT, mode="flexible", backend=backend)
+    n_cand_max = int(np.max(np.asarray(warm.n_candidates)))
+    from apda_fft_tpu.models.pipeline import _dynamic_budget
+
+    budget = _dynamic_budget[(N_FFT, "flexible")]
+    assert n_cand_max <= budget, (n_cand_max, budget)
+    print(f"# candidate budget {budget} (max observed {n_cand_max})", file=sys.stderr)
+
     pipeline = functools.partial(
         _analyze_epoch_impl,
         n_fft=N_FFT,
         mode="flexible",
         k=4,
         backend=backend,
-        max_candidates=32,
+        max_candidates=budget,
         refine=False,
         has_lengths=False,
     )

@@ -155,3 +155,36 @@ def test_analyze_records_buckets_and_order():
 
     with _pytest.raises(ValueError, match="empty"):
         analyze_records([(np.zeros(0), 500.0)])
+
+
+def test_dynamic_budget_overflow_matches_unbounded():
+    """Noise-only spectra exceed the old static-32 budget at N=4096; the
+    dynamic default must regrow until exact and match a huge static budget."""
+    import jax
+
+    from apda_fft_tpu.models import pipeline as P
+
+    rng = np.random.default_rng(7)
+    noise = (0.05 * rng.standard_normal((8, 4096))).astype(np.float32)
+    P._dynamic_budget.clear()
+    dyn = analyze_epoch(noise, 500.0, mode="flexible")
+    big = analyze_epoch(noise, 500.0, mode="flexible", max_candidates=1024)
+    assert int(np.max(np.asarray(dyn.n_candidates))) > 32
+    for a, b in zip(dyn, big):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # Sticky: the grown power-of-two budget is remembered and sufficient.
+    cached = P._dynamic_budget[(4096, "flexible")]
+    assert cached >= int(np.max(np.asarray(dyn.n_candidates)))
+    assert cached & (cached - 1) == 0
+
+    # Under an outer trace the dynamic readback is impossible: None falls
+    # back to the static default, an explicit "dynamic" raises.
+    jitted = jax.jit(lambda s: analyze_epoch(s, 500.0, mode="flexible"))
+    res = jitted(noise)
+    assert res.count.shape == (8,)
+    import pytest
+
+    with pytest.raises(ValueError, match="outer jit"):
+        jax.jit(
+            lambda s: analyze_epoch(s, 500.0, mode="flexible", max_candidates="dynamic")
+        )(noise)
