@@ -114,7 +114,7 @@ def _analyze_epoch_impl(
     refine: bool,
     has_lengths: bool,
     center: str = "auto",
-    selection: str = "topk",
+    selection: str = "auto",
     batch_chunk: int = 1024,
 ) -> EpochResult:
     lead = samples.shape[:-1]
@@ -240,7 +240,7 @@ def analyze_epoch(
     lengths=None,
     dtype=jnp.float32,
     center: str = "auto",
-    selection: str = "topk",
+    selection: str = "auto",
     batch_chunk: int = 1024,
 ) -> EpochResult:
     """Analyze one epoch of sensor windows in a single XLA program.
@@ -270,7 +270,9 @@ def analyze_epoch(
       dtype: compute dtype (float32 on TPU; float64 works on CPU with x64).
       center: "auto" skips the median sort when it can only affect the
         (zeroed) DC bin; "always" forces it.
-      selection: candidate ordering implementation ("topk" | "sort"; the
+      selection: candidate ordering implementation ("auto" | "argmax" |
+        "topk" | "sort"; "auto" picks argmax for small budgets - see
+        ``ops.peaks_prominence.prominence_select``; the
         sharded path needs "sort").
       batch_chunk: epochs larger than this are processed in lax.map chunks
         to bound the on-chip working set (0 disables).
@@ -347,7 +349,7 @@ class PipelineConfig:
     refine: bool = False
     dtype: Any = jnp.float32
     center: str = "auto"
-    #: None = auto: "topk" single-device, "sort" when a mesh is used
+    #: None = auto: "auto" single-device, "sort" when a mesh is used
     #: (lax.top_k has no SPMD partitioning rule).
     selection: str | None = None
 
@@ -406,7 +408,7 @@ class SpectralPipeline:
                 lengths=lengths,
                 dtype=cfg.dtype,
                 center=cfg.center,
-                selection=cfg.selection or "topk",
+                selection=cfg.selection or "auto",
             )
         result = jax.block_until_ready(result)
         wall = time.perf_counter() - t_wall0

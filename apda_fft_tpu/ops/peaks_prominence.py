@@ -195,7 +195,7 @@ def prominence_peaks(
     n_fft: int,
     k: int = 4,
     max_candidates: int = 32,
-    selection: str = "topk",
+    selection: str = "auto",
     scan_impl: str = "masked",
 ) -> ProminencePeaks:
     """Detect top-k prominent peaks in one half-spectrum ``mags`` [H], H = n_fft//2.
@@ -225,7 +225,7 @@ def prominence_peaks(
     return prominence_finalize(cid, is_cand, cmag, proms, bins, fs, n_fft, k, std, n_cand)
 
 
-def prominence_select(mags: jnp.ndarray, max_candidates: int, selection: str = "topk"):
+def prominence_select(mags: jnp.ndarray, max_candidates: int, selection: str = "auto"):
     """Stage 1: threshold + local maxima + magnitude-ordered candidate ids.
 
     Returns (cid, is_cand, cmag, threshold, std, n_candidates); candidate
@@ -247,7 +247,31 @@ def prominence_select(mags: jnp.ndarray, max_candidates: int, selection: str = "
     # Very short spectra can have fewer bins than the candidate budget.
     eff = min(max_candidates, h)
     score = jnp.where(cand_mask, mags, -jnp.inf)
-    if selection == "topk":
+    if selection == "auto":
+        # Iterative argmax costs ~4*eff vector ops over H; top_k lowers to a
+        # full bitonic sort (~log^2 H passes).  Measured on TPU v5e
+        # (B=2048, H=2048, full pipeline): argmax 1.66 ms vs top_k 2.54 ms at
+        # M=8; a wash at M=32 (4.40 vs 4.29); top_k wins 2x+ by M=64.
+        selection = "argmax" if eff <= 16 else "topk"
+    elif selection == "auto_spmd":
+        # Same crossover, but never top_k: lax.top_k is a custom call with no
+        # SPMD partitioning rule (it would force an all-gather on a mesh);
+        # the full sort partitions cleanly, argmax needs nothing at all.
+        selection = "argmax" if eff <= 16 else "sort"
+    if selection == "argmax":
+        # eff unrolled rounds of (argmax, mask-out).  argmax returns the
+        # first index among equal values, so picks emerge exactly in the
+        # stable (-mag, idx) order with no re-sort; also partitions cleanly
+        # under SPMD (no sort/top_k custom call).
+        iota32 = iota.astype(jnp.int32)
+        work = score
+        ids = []
+        for _ in range(eff):
+            j = jnp.argmax(work).astype(jnp.int32)
+            ids.append(j)
+            work = jnp.where(iota32 == j, -jnp.inf, work)
+        cid = jnp.stack(ids)
+    elif selection == "topk":
         # top_k then an M-element lexicographic (-mag, idx) re-sort: identical
         # to the stable full sort unless exactly-equal magnitudes straddle the
         # max_candidates boundary (measure-zero for real spectra), and much
@@ -257,7 +281,9 @@ def prominence_select(mags: jnp.ndarray, max_candidates: int, selection: str = "
     elif selection == "sort":
         cid = jnp.argsort(-score, stable=True)[:eff].astype(jnp.int32)
     else:
-        raise ValueError(f"unknown selection {selection!r}; expected 'topk' or 'sort'")
+        raise ValueError(
+            f"unknown selection {selection!r}; expected 'auto', 'argmax', 'topk' or 'sort'"
+        )
     is_cand = jnp.take(cand_mask, cid)
     cmag = jnp.take(mags, cid)
     n_cand = jnp.sum(cand_mask).astype(jnp.int32)

@@ -63,8 +63,9 @@ def analyze_epoch_sharded(
     # while the einsum four-step shards collective-free.
     kwargs.setdefault("backend", "matmul")
     # Likewise lax.top_k is a custom-call without an SPMD partitioning rule;
-    # the full-sort candidate selection shards cleanly.
-    kwargs.setdefault("selection", "sort")
+    # auto_spmd picks iterative argmax for small budgets and the full-sort
+    # selection (which shards cleanly) for large ones, never top_k.
+    kwargs.setdefault("selection", "auto_spmd")
     # lax.map chunking reshapes the batch axis, which XLA cannot keep
     # partitioned (it inserts an all-gather of the whole epoch); per-device
     # batches are already working-set-sized, so chunk only within this shard

@@ -62,15 +62,19 @@ def test_sharded_core_has_no_collectives():
     mesh = make_mesh(8, ("data",))
     xs = shard_batch(_windows(16, 1024), mesh)
     fs = shard_batch(jnp.full((16,), 500.0, jnp.float32), mesh)
-    lowered = jax.jit(
-        lambda s, f: _analyze_epoch_impl(
-            s, f, None, n_fft=1024, mode="flexible", k=4, backend="matmul",
-            max_candidates=32, refine=False, has_lengths=False, selection="sort",
-        )
-    ).lower(xs, fs)
-    hlo = lowered.compile().as_text()
-    for coll in ("all-reduce", "all-gather", "all-to-all", "collective-permute"):
-        assert coll not in hlo, f"unexpected collective {coll} in data-parallel core"
+    # auto_spmd resolves to argmax at small budgets and sort at large ones;
+    # both (and sort itself) must stay collective-free.
+    for selection, budget in (("sort", 32), ("auto_spmd", 8), ("auto_spmd", 32)):
+        lowered = jax.jit(
+            lambda s, f: _analyze_epoch_impl(
+                s, f, None, n_fft=1024, mode="flexible", k=4, backend="matmul",
+                max_candidates=budget, refine=False, has_lengths=False,
+                selection=selection,
+            )
+        ).lower(xs, fs)
+        hlo = lowered.compile().as_text()
+        for coll in ("all-reduce", "all-gather", "all-to-all", "collective-permute"):
+            assert coll not in hlo, f"{selection}/{budget}: unexpected {coll}"
 
 
 @pytest.mark.parametrize("shape", [(4, 2), (2, 4)])
