@@ -81,41 +81,10 @@ def _throughput(backend: str, batch: int, reps: int) -> float:
     return batch / sec
 
 
-def _connect_with_watchdog(stall_seconds: int = 300, max_restarts: int = 3) -> None:
-    """Force device connection up front; re-exec on a stalled connect.
-
-    The remote-tunnel PJRT plugin occasionally deadlocks during its initial
-    connection (futex wait, no TCP to the relay).  A fresh process almost
-    always connects, so if the first op doesn't complete within
-    ``stall_seconds`` we re-exec ourselves (bounded by APDA_BENCH_RESTARTS).
-    """
-    import signal
-
-    restarts = int(os.environ.get("APDA_BENCH_RESTARTS", "0"))
-
-    def on_stall(signum, frame):
-        if restarts >= max_restarts:
-            print("# device connect stalled; giving up", file=sys.stderr)
-            os._exit(2)
-        print(f"# device connect stalled {stall_seconds}s; re-exec "
-              f"({restarts + 1}/{max_restarts})", file=sys.stderr)
-        os.environ["APDA_BENCH_RESTARTS"] = str(restarts + 1)
-        os.execv(sys.executable, [sys.executable] + sys.argv)
-
-    signal.signal(signal.SIGALRM, on_stall)
-    signal.alarm(stall_seconds)
-    try:
-        import jax
-        import jax.numpy as jnp
-
-        float(jnp.sum(jnp.ones((8, 8))))
-        print(f"# device ready: {jax.devices()}", file=sys.stderr)
-    finally:
-        signal.alarm(0)
-
-
 def main() -> None:
-    _connect_with_watchdog()
+    from apda_fft_tpu.utils.watchdog import connect_with_watchdog
+
+    connect_with_watchdog()
     batch = int(os.environ.get("APDA_BENCH_BATCH", "2048"))
     reps = int(os.environ.get("APDA_BENCH_REPS", "10"))
     # matmul is the measured-fastest backend on TPU v5e; set

@@ -1,0 +1,80 @@
+"""On-hardware oracle parity: the round gate that runs BEFORE any benching.
+
+Round 1's budget-truncation bug was visible only on real TPU hardware (CPU
+tests all passed); this script makes that lesson a per-round gate instead of
+a memory.  It drives the full production pipeline (dynamic candidate budget,
+matmul backend, float32) on the attached device over the same randomized
+modal-signal corpus as ``tests/test_peaks_match.py``, in both detector modes,
+and compares peak decisions (indices + counts) against the float64 reference
+oracle (``tests/oracle.py``, a clean-room restatement of
+``utils/get_peak_prominence.py:149-226`` / ``get_peak_resolution.py:80-128``).
+
+Prints ONE JSON line:
+  {"metric": "oracle_parity_tpu", "pass": N, "fail": M, "total": T,
+   "platform": "...", "ok": bool}
+
+Exit status 0 iff every case matches.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def run_corpus() -> dict:
+    import numpy as np
+
+    from apda_fft_tpu import analyze_epoch
+    from tests.oracle import oracle_analyze
+    from tests.signals import modal_signal
+    from tests.test_peaks_match import CORPUS
+
+    import jax
+
+    failures = []
+    total = 0
+    for mode in ("flexible", "rigid"):
+        for n, fs, seed in CORPUS:
+            total += 1
+            x = modal_signal(n, fs, seed=seed)
+            ref = oracle_analyze(x, fs, mode=mode)
+            n_fft = 1 << (n - 1).bit_length()
+            if n == n_fft:
+                res = analyze_epoch(x[None, :], fs, mode=mode)
+            else:
+                padded = np.zeros(n_fft)
+                padded[:n] = x
+                res = analyze_epoch(
+                    padded[None, :], fs, mode=mode, lengths=np.array([n])
+                )
+            got_count = int(res.count[0])
+            got_idx = [int(i) for i in np.asarray(res.idx[0])[:got_count]]
+            ref_idx = [p["idx"] for p in ref]
+            if got_idx != ref_idx:
+                failures.append(
+                    {"mode": mode, "n": n, "fs": fs, "seed": seed,
+                     "got": got_idx, "want": ref_idx}
+                )
+    return {
+        "metric": "oracle_parity_tpu",
+        "pass": total - len(failures),
+        "fail": len(failures),
+        "total": total,
+        "platform": jax.default_backend(),
+        "ok": not failures,
+        **({"failures": failures} if failures else {}),
+    }
+
+
+def main() -> None:
+    from apda_fft_tpu.utils.watchdog import connect_with_watchdog
+
+    connect_with_watchdog()
+    report = run_corpus()
+    print(json.dumps(report))
+    sys.exit(0 if report["ok"] else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -3,7 +3,17 @@
 Run on TPU hardware:  python benchmarks/run_all.py [--backend xla|matmul|pallas]
 
 Baselines are the reference numerical core's measured single-CPU-core
-throughputs (BASELINE.md); vs_baseline is this framework's speedup.
+throughputs (BASELINE.md); vs_baseline is this framework's speedup computed
+from latency-amortized *device* time.  Each line also reports the per-call
+``dispatch_ms`` (host->device round-trip; ~25 ms through the axon tunnel,
+microseconds co-located), and small-batch configs add ``pipelined_wps`` -
+wall throughput with 32 epochs in flight, the honest end-to-end number for a
+streaming caller that never synchronizes between epochs.
+
+Config 5 (N=65536) is benchmarked at batch 64: a single 65536-sample window
+is ~1 ms of device work, far below the tunnel's jitter floor, so the B=1
+number is latency-bound and meaningless as a throughput (round-1 measured an
+18x spread); ``single_window`` reports its device latency separately.
 """
 
 from __future__ import annotations
@@ -24,6 +34,7 @@ if _ROOT not in sys.path:
 # windows/s of the reference core at each config's N (BASELINE.md).
 REFERENCE_WPS = {1024: 478.0, 4096: 103.0, 8192: 48.0, 65536: 4.8}
 FS = 500.0
+PIPELINE_DEPTH = 32
 
 
 def _signal(n, channels=1, seed=42):
@@ -33,77 +44,113 @@ def _signal(n, channels=1, seed=42):
     return (base[None, :] + 0.05 * rng.standard_normal((channels, n))).astype(np.float32)
 
 
-def run_config(num: int, backend: str) -> dict:
+def _production_pipeline(mode, n_fft, backend, x, fs, refine=False):
+    """Partial of the impl at the budget the dynamic default would pick."""
     import functools
 
+    from apda_fft_tpu.models.pipeline import (
+        _analyze_epoch_impl,
+        _dynamic_budget,
+        analyze_epoch,
+    )
+
+    warm = analyze_epoch(x, fs, n_fft=n_fft, mode=mode, backend=backend, refine=refine)
+    budget = _dynamic_budget.get((n_fft, mode), 8)
+    n_max = int(np.max(np.asarray(warm.n_candidates)))
+    assert n_max <= budget or mode == "rigid", (n_max, budget)
+    return functools.partial(
+        _analyze_epoch_impl,
+        n_fft=n_fft,
+        mode=mode,
+        k=4 if mode != "rigid" else 5,
+        backend=backend,
+        max_candidates=budget,
+        refine=refine,
+        has_lengths=False,
+    )
+
+
+def run_config(num: int, backend: str) -> dict:
     import jax.numpy as jnp
 
-    from apda_fft_tpu.models.pipeline import _analyze_epoch_impl
     from apda_fft_tpu.models.streaming import frame_records
-    from apda_fft_tpu.utils.benchtime import per_iteration_seconds
+    from apda_fft_tpu.utils.benchtime import per_iteration_stats, pipelined_wall_seconds
 
-    def pipeline(mode, n_fft, k=None, refine=False):
-        return functools.partial(
-            _analyze_epoch_impl,
-            n_fft=n_fft,
-            mode=mode,
-            k=k or (4 if mode == "flexible" else 5),
-            backend=backend,
-            max_candidates=32,
-            refine=refine,
-            has_lengths=False,
-        )
-
+    small_batch = False
+    single_window = None
     if num == 1:  # single-channel N=1024, rigid-mode peak pick
         n, b = 1024, 1
         x = jnp.asarray(_signal(n))
         fs = jnp.full((b,), FS, jnp.float32)
-        fn = pipeline("rigid", n)
+        fn = _production_pipeline("rigid", n, backend, x, fs)
         name = "cfg1_single_n1024_rigid"
+        small_batch = True
     elif num == 2:  # single-channel N=4096 flexible + sub-bin refinement
         n, b = 4096, 1
         x = jnp.asarray(_signal(n))
         fs = jnp.full((b,), FS, jnp.float32)
-        fn = pipeline("flexible", n, refine=True)
+        fn = _production_pipeline("flexible", n, backend, x, fs, refine=True)
         name = "cfg2_single_n4096_flexible_refined"
+        small_batch = True
     elif num == 3:  # 8-sensor batch N=4096
         n, b = 4096, 8
         x = jnp.asarray(_signal(n, channels=b))
         fs = jnp.full((b,), FS, jnp.float32)
-        fn = pipeline("flexible", n)
+        fn = _production_pipeline("flexible", n, backend, x, fs)
         name = "cfg3_batch8_n4096_flexible"
+        small_batch = True
     elif num == 4:  # 64ch x 16win streaming epoch, N=8192, fused framing
         n, c, wn = 8192, 64, 16
         records = jnp.asarray(_signal(n * wn, channels=c))
         fs = jnp.full((c, wn), FS, jnp.float32)
-        base_fn = pipeline("flexible", n)
+        framed = frame_records(records, n, n)
+        base_fn = _production_pipeline("flexible", n, backend, framed, fs)
         fn = lambda r, f: base_fn(frame_records(r, n, n), f, None)  # noqa: E731
         x = records
         b = c * wn
         name = "cfg4_stream_64x16_n8192_fused"
     elif num == 5:  # long-record N=65536 multi-peak + sub-bin interpolation
-        n, b = 65536, 1
-        x = jnp.asarray(_signal(n))
+        n, b = 65536, 64
+        x = jnp.asarray(_signal(n, channels=b))
         fs = jnp.full((b,), FS, jnp.float32)
-        fn = pipeline("flexible", n, refine=True)
-        name = "cfg5_long_n65536_refined"
+        fn = _production_pipeline("flexible", n, backend, x, fs, refine=True)
+        # Device latency of one window, reported alongside (latency-bound
+        # through a tunnel; the batched number is the throughput headline).
+        x1 = jnp.asarray(_signal(n))
+        fs1 = jnp.full((1,), FS, jnp.float32)
+        st1 = per_iteration_stats(lambda s, f: fn(s, f, None), x1, fs1)
+        single_window = {
+            "device_ms": round(st1["per_iter_s"] * 1e3, 3),
+            "note": "B=1 wall time is dispatch-latency-bound; see dispatch_ms",
+        }
+        name = "cfg5_long_n65536_b64_refined"
     else:
         raise ValueError(num)
 
     if num == 4:
-        sec = per_iteration_seconds(fn, x, fs)
+        st = per_iteration_stats(fn, x, fs)
         n_ref = 8192
     else:
-        sec = per_iteration_seconds(lambda s, f: fn(s, f, None), x, fs)
+        st = per_iteration_stats(lambda s, f: fn(s, f, None), x, fs)
         n_ref = n
-    wps = b / sec
-    ref = REFERENCE_WPS[n_ref]
-    return {
+    wps = b / st["per_iter_s"]
+    out = {
         "metric": name + f"[{backend}]",
         "value": round(wps, 1),
         "unit": "windows/s",
-        "vs_baseline": round(wps / ref, 2),
+        "vs_baseline": round(wps / REFERENCE_WPS[n_ref], 2),
+        "device_ms": round(st["per_iter_s"] * 1e3, 3),
+        "dispatch_ms": round(st["dispatch_s"] * 1e3, 1),
     }
+    if small_batch:
+        wall = pipelined_wall_seconds(
+            lambda s, f: fn(s, f, None), x, fs, depth=PIPELINE_DEPTH
+        )
+        out["pipelined_wps"] = round(b / wall, 1)
+        out["pipelined_depth"] = PIPELINE_DEPTH
+    if single_window:
+        out["single_window"] = single_window
+    return out
 
 
 def main() -> None:
@@ -112,9 +159,9 @@ def main() -> None:
     ap.add_argument("--configs", default="1,2,3,4,5")
     args = ap.parse_args()
 
-    from bench import _connect_with_watchdog
+    from apda_fft_tpu.utils.watchdog import connect_with_watchdog
 
-    _connect_with_watchdog()
+    connect_with_watchdog()
     for num in (int(c) for c in args.configs.split(",")):
         try:
             print(json.dumps(run_config(num, args.backend)), flush=True)
