@@ -310,6 +310,14 @@ class GatewayService:
         with open(filename, "w+") as fh:
             fh.write(f"{header.time};{header.range};{header.odr};{header.axis_file};\n")
             fh.write(f"{header.sync};\n")
+            # Stub summary/first-value rows so the file meets the parser's
+            # 5-line contract.  The reference wrote only the 2 header rows
+            # (GT_FFT_v5.py:496-501), leaving reduced files unparseable by
+            # its own load_sensor - with Influx actually wired here, the
+            # stub rows make the reduced fast-path data servable
+            # (documented divergence, docs/PARITY.md).
+            fh.write("0;0;0;0;0;\n")
+            fh.write("0;0;0;\n")
         self.open_file[addr] = filename  # register before writing (defect-3 fix)
         self._append_stream_samples(payload, 11, addr, first_value=0.0)
         name = os.path.basename(filename)
@@ -326,8 +334,15 @@ class GatewayService:
         )
         self.open_file[addr] = filename
         with open(filename, "w+") as fh:
-            fh.write(f"{header.time};2g;100Hz;Unknown_axis; \n")
-            fh.write("Asynced;\n0;0;0;0;\n0;0;0;\n")
+            # "100 Hz" with the standard spacing: the reference wrote
+            # "100Hz", which its parser's strip(" Hz") cannot convert.
+            fh.write(f"{header.time};2g;100 Hz;Unknown_axis; \n")
+            # 5-token summary row: the reference wrote "0;0;0;0;" whose
+            # missing humidity token made float(summary[4]) raise inside its
+            # own load_sensor, so shock files could never be served
+            # (GT_FFT_v5.py:531-535 + utils/load_data.py:58).  Divergence
+            # documented in docs/PARITY.md.
+            fh.write("Asynced;\n0;0;0;0;0;\n0;0;0;\n")
         self._append_stream_samples(payload, 4, addr, first_value=0.0)
 
         name = os.path.basename(filename)

@@ -240,6 +240,52 @@ def test_reduced_data_flow(tmp_path):
     assert "250 Hz" in raw and "Y axis" in raw
 
 
+def test_reduced_and_shock_files_parse_and_serve_via_influx(tmp_path):
+    """The wired Influx path must actually serve 0xD4/0xC1 fast-path files.
+
+    The reference's stub header rows made these files unparseable by its own
+    load_sensor (missing humidity token, 2-row reduced header) on top of the
+    Influx code being dead (GT_FFT_v5.py:496-501,531-535); divergence: we
+    write complete stub rows (docs/PARITY.md).
+    """
+    from apda_fft_tpu.gateway.egress import InfluxSink
+    from apda_fft_tpu.io.logfile import load_sensor_log
+
+    svc, transport, _, _ = make_service(tmp_path)
+    sim = SensorSimulator(MAC, fs=250.0, axis="Y")
+    sim.reduced_data(transport, np.sin(np.arange(300) * 0.1))
+    sim.shock_event(transport, np.sin(np.arange(200) * 0.3))
+    svc.drain()
+
+    posted = []
+
+    class FakeResponse:
+        status = 204
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def opener(req, timeout=None):
+        posted.append(req.data.decode("utf-8"))
+        return FakeResponse()
+
+    sink = InfluxSink("http://influx.test/write", "tok", str(svc.config.data_dir),
+                      opener=opener)
+    for suffix, n_samples in (("_reduced.log", 300), ("_shock.log", 200)):
+        name = [f for f in os.listdir(svc.config.data_dir) if f.endswith(suffix)][0]
+        rec = load_sensor_log(os.path.join(svc.config.data_dir, name))
+        assert rec is not None, f"{suffix} file must satisfy the parser contract"
+        assert len(rec.samples) == n_samples
+        queue = [name]
+        sink.upload(MAC, queue, {}, lambda msg: None)
+        assert queue == []
+    assert len(posted) == 2
+    assert all("WS_Summary" in p and "WS_Samples" in p for p in posted)
+
+
 def test_config_row_triggers_reconfiguration_packet(tmp_path):
     row = MAC + " 2g 500Hz XY 8k 2h SYNC1 4g 250Hz Z 2k 10 1500 4 8g 50Hz ODR2 N\n"
     svc, transport, _, _ = make_service(tmp_path, config_rows=(row,))
