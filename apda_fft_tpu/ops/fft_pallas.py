@@ -3,11 +3,18 @@
 One kernel pass per window tile, entirely VMEM-resident: DFT over the m1 axis
 as an MXU matmul against a precomputed N1-point DFT matrix, twiddle multiply,
 DFT over the m2 axis as a second MXU matmul, then |.| of the positive-
-frequency half - with no HBM round-trips between stages.  This is the
-performance path replacing the reference's 7 ms-per-window interpreted
-butterfly loop (``metrics/fft_iterativa.py:38-70``); twiddle/DFT tables are
-built in float64 at trace time (vs. the reference's error-accumulating
+frequency half - with no HBM round-trips between stages.  Twiddle/DFT tables
+are built in float64 at trace time (vs. the reference's error-accumulating
 ``w *= w_m``).
+
+Status: RETIRED from the performance path (kept as a correct, tested
+alternative and kernel-path demonstration).  Measured on TPU v5e at
+B=2048/N=4096: 0.95-1.01 ms vs 0.47-0.55 ms for the XLA-scheduled matmul
+backend (round 1), and the round-2 fused variant (adding threshold +
+local-max candidate stats in-kernel, VERDICT item 6) measured 1.11 ms vs
+0.59 ms for the equivalent XLA front end - decision-exact both times, but
+XLA's scheduling of the same MXU matmuls wins at these sizes.  See
+docs/DESIGN.md "Fused-kernel experiment".
 
 Mosaic layout constraints shape the data flow: the lane (minor) dimension can
 never be split or merged inside the kernel, so the wrapper hands the kernel a
