@@ -350,7 +350,17 @@ def prominence_finalize(cid, is_cand, cmag, proms, bins, fs, n_fft: int, k: int,
             "q": jnp.zeros((k,), dtype),
         },
     )
-    count, acc = jax.lax.fori_loop(0, cid.shape[-1], body, init)
+    m_slots = cid.shape[-1]
+    if m_slots <= 16:
+        # Small budgets (the dynamic default's common case): unroll the
+        # greedy loop in Python - indices become static, XLA fuses the whole
+        # acceptance chain instead of emitting a serialized while-loop.
+        state = init
+        for i in range(m_slots):
+            state = body(i, state)
+        count, acc = state
+    else:
+        count, acc = jax.lax.fori_loop(0, m_slots, body, init)
 
     if n_candidates is None:
         n_candidates = jnp.asarray(0, jnp.int32)
