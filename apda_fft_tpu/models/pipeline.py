@@ -326,6 +326,37 @@ def analyze_epoch(
     if not dynamic:
         return _analyze_epoch_impl(samples, fs, lengths, max_candidates=max_candidates, **kwargs)
 
+    # Adaptive mode outside a trace: run the prominence pass alone and only
+    # pay for the resolution fallback when some window actually came back
+    # empty (the in-program path runs both detectors for every window).
+    # The merge is elementwise-identical to the traced adaptive branch.
+    if mode == "adaptive":
+        flex = analyze_epoch(
+            samples, fs, n_fft=n_fft, mode="flexible", k=k, backend=backend,
+            max_candidates=max_candidates, refine=refine, lengths=lengths,
+            dtype=dtype, center=center, selection=selection,
+            batch_chunk=batch_chunk,
+        )
+        if int(jax.device_get(jnp.min(flex.count))) > 0:
+            return flex
+        rig = _analyze_epoch_impl(
+            samples, fs, lengths, max_candidates=_DYNAMIC_FLOOR,
+            **{**kwargs, "mode": "rigid"},
+        )
+        use = flex.count > 0
+        usek = use[..., None]
+        return EpochResult(
+            count=jnp.where(use, flex.count, rig.count),
+            idx=jnp.where(usek, flex.idx, rig.idx),
+            freq=jnp.where(usek, flex.freq, rig.freq),
+            mag=jnp.where(usek, flex.mag, rig.mag),
+            prominence=jnp.where(usek, flex.prominence, 0.0),
+            damping=jnp.where(usek, flex.damping, 0.0),
+            q_factor=jnp.where(usek, flex.q_factor, 0.0),
+            refined_freq=jnp.where(usek, flex.refined_freq, rig.refined_freq),
+            n_candidates=flex.n_candidates,
+        )
+
     h = n_fft // 2
     key = (n_fft, mode)
     budget = min(_dynamic_budget.get(key, _DYNAMIC_FLOOR), max(h, 1))

@@ -188,3 +188,41 @@ def test_dynamic_budget_overflow_matches_unbounded():
         jax.jit(
             lambda s: analyze_epoch(s, 500.0, mode="flexible", max_candidates="dynamic")
         )(noise)
+
+
+def test_adaptive_host_fallback_matches_traced_path():
+    """The two-pass adaptive default (flexible pass + on-demand rigid
+    fallback) must be elementwise-identical to the single-program adaptive
+    branch, with and without fallback windows in the batch."""
+    import functools
+
+    import jax
+
+    from apda_fft_tpu.models.pipeline import _analyze_epoch_impl
+
+    rng = np.random.default_rng(3)
+    t = np.arange(1024) / 500.0
+    peaky = np.sin(2 * np.pi * 12.3 * t) + 0.05 * rng.standard_normal(1024)
+    # An impulse: huge flat-ish spectrum, prominence mode finds nothing
+    # (damping band rejects), forcing the per-window rigid fallback.
+    impulse = np.zeros(1024)
+    impulse[100] = 50.0
+    # An over-damped resonance (zeta=10% > the 7% damping cap): the
+    # prominence detector rejects everything, the resolution fallback finds
+    # the modes.
+    sharp = np.exp(-2 * np.pi * 30.0 * 0.10 * t) * np.sin(2 * np.pi * 30.0 * t)
+    for batch in ([peaky, peaky], [peaky, impulse], [peaky, sharp]):
+        xs = np.stack(batch).astype(np.float32)
+        host = analyze_epoch(xs, 500.0, mode="adaptive", refine=True)
+        traced = _analyze_epoch_impl(
+            jnp.asarray(xs), jnp.full((2,), 500.0, jnp.float32), None,
+            n_fft=1024, mode="adaptive", k=4, backend="matmul",
+            max_candidates=512, refine=True, has_lengths=False,
+        )
+        for name, a, b in zip(host._fields, host, traced):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), name
+    # the sharp-line batch really exercised the differing-merge path:
+    assert int(host.count[0]) > 0 and int(host.count[1]) > 0
+    flex_only = analyze_epoch(np.stack([peaky, sharp]).astype(np.float32),
+                              500.0, mode="flexible")
+    assert int(flex_only.count[1]) == 0  # rejected by flexible, found by rigid
