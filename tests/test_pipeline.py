@@ -226,3 +226,11 @@ def test_adaptive_host_fallback_matches_traced_path():
     flex_only = analyze_epoch(np.stack([peaky, sharp]).astype(np.float32),
                               500.0, mode="flexible")
     assert int(flex_only.count[1]) == 0  # rejected by flexible, found by rigid
+
+
+def test_max_candidates_input_validation():
+    import pytest
+
+    x = np.zeros((1, 256), np.float32)
+    with pytest.raises(ValueError, match="max_candidates"):
+        analyze_epoch(x, 100.0, max_candidates="bogus")
