@@ -68,3 +68,35 @@ def test_fuzz_resolution(seed):
     got = resolution_peaks(jnp.asarray(mags, jnp.float32), fs, 2 * h)
     got_idx = [int(i) for i in np.asarray(got.idx)[: int(got.count)]]
     assert got_idx == [p["idx"] for p in ref], (seed, h, fs)
+
+
+def test_dynamic_budget_always_matches_unbounded():
+    """Property sweep: across signal families and sizes, the dynamic default
+    must decide identically to a huge static budget, and the sticky cache
+    must survive interleaved quiet/noisy epochs (shrink + regrow + re-run)."""
+    import jax.numpy as jnp
+
+    from apda_fft_tpu.models import pipeline as P
+    from apda_fft_tpu.models.pipeline import analyze_epoch
+
+    rng = np.random.default_rng(11)
+    P._dynamic_budget.clear()
+    cases = []
+    for n, fs in ((1024, 500.0), (2048, 125.0), (4096, 500.0)):
+        t = np.arange(n) / fs
+        quiet = np.sin(2 * np.pi * 0.11 * fs * t) + 0.02 * rng.standard_normal(n)
+        noisy = rng.standard_normal(n)
+        multi = sum(
+            a * np.sin(2 * np.pi * f * fs * t)
+            for a, f in ((1.0, 0.05), (0.7, 0.13), (0.5, 0.21), (0.3, 0.34))
+        ) + 0.1 * rng.standard_normal(n)
+        # interleave classes to exercise budget shrink/grow transitions
+        for sig in (quiet, noisy, quiet, multi, noisy):
+            cases.append((n, fs, sig.astype(np.float32)))
+
+    for mode in ("flexible", "adaptive"):
+        for n, fs, sig in cases:
+            dyn = analyze_epoch(sig[None, :], fs, mode=mode)
+            big = analyze_epoch(sig[None, :], fs, mode=mode, max_candidates=n // 2)
+            for name, a, b in zip(dyn._fields, dyn, big):
+                assert np.array_equal(np.asarray(a), np.asarray(b)), (mode, n, name)

@@ -553,3 +553,74 @@ def test_short_window_top_k_no_crash():
     x = np.sin(np.arange(20) * 0.7)
     res = analyze_epoch(x[None, :], 100.0, n_fft=32, mode="flexible")
     assert res.count.shape == (1,)
+
+
+def test_multi_sensor_soak_with_faults(tmp_path):
+    """Soak: 4 sensors x 3 epochs with interleaved streams, packet loss,
+    a truncation, shock and reduced events, and sync flushes between epochs.
+    Invariants: every clean acquisition is analyzed with the two known modes,
+    every queued file eventually uploads, queues drain empty, and no file in
+    the data dir is orphaned unsent.
+    """
+    svc, transport, ftp_uploads, api_posts = make_service(tmp_path)
+    macs = [f"00{i}3a20041e7f6b{i}" for i in range(4)]
+    sims = {m: SensorSimulator(m, fs=500.0, axis="XYZ"[i % 3], chunk=100, seed=i)
+            for i, m in enumerate(macs)}
+    x = two_mode_signal(1024, 500.0)
+
+    clean_streams = 0
+    analyzed = {}
+    for epoch in range(3):
+        for i, m in enumerate(macs):
+            sim = sims[m]
+            if epoch == 1 and i == 1:
+                sim.stream_acquisition(transport, x, drop_packets={4})  # gap
+            elif epoch == 1 and i == 2:
+                sim.stream_acquisition(transport, x, truncate_after=3)  # anomaly
+            else:
+                sim.stream_acquisition(transport, x)
+                clean_streams += 1
+            if epoch == 2 and i == 0:
+                sim.shock_event(transport, np.sin(np.arange(150) * 0.2))
+            if epoch == 2 and i == 3:
+                sim.reduced_data(transport, np.sin(np.arange(120) * 0.1))
+        svc.drain()
+        # fft_results are reported-and-popped at each sensor's next sync, and
+        # uploaded files are deleted locally (reference parity): snapshot
+        # before the sync.
+        for i, m in enumerate(macs):
+            entry = svc.fft_results.get(m, {}).get("XYZ"[i % 3])
+            if entry:
+                analyzed[m] = entry
+        if epoch == 1:
+            gap_texts = [
+                open(os.path.join(svc.config.data_dir, f)).read()
+                for f in os.listdir(svc.config.data_dir)
+                if f.endswith(".log") and "history" not in f
+            ]
+        for m in macs:
+            sims[m].heartbeat(transport)
+        svc.drain()
+
+    # Final sync round flushes whatever the faults left queued.
+    for m in macs:
+        sims[m].heartbeat(transport)
+    svc.drain()
+
+    # Every sensor's latest clean analysis found the two known modes.
+    for m in macs:
+        assert m in analyzed and abs(analyzed[m]["peak_freq"] - 12.207) < 0.01, (
+            m, analyzed.get(m))
+
+    # Queues fully drained; nothing orphaned on disk that isn't uploaded.
+    for q in (svc.ftp_queue, svc.api_queue, svc.influx_queue):
+        for m, pending in q.items():
+            assert pending == [], (m, pending)
+    # All uploads happened: clean + faulted (incomplete marker) + shock + reduced.
+    assert len(ftp_uploads) >= clean_streams + 2
+    assert len(api_posts) >= clean_streams
+    # Fault evidence: the dropped packet left an inline gap marker in its
+    # stream file (snapshotted before the sync-time upload+cleanup), and the
+    # truncation an anomalous-closure history entry.
+    assert any("* MISSING PACKETS FROM" in txt for txt in gap_texts)
+    assert "Anomalous closure" in open(svc.config.logger_file).read()
