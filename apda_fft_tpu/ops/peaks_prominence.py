@@ -21,11 +21,15 @@ Semantics replicated exactly (see docstrings below for the per-step mapping):
 * stored values rounded exactly like the reference: freq/mag to 4 decimals,
   damping (in %) and Q to 2 decimals (``:187-194``).
 
-One deliberate divergence, documented: the reference considers *every*
-candidate in magnitude order; we pre-select the top ``max_candidates`` (static,
-default 32) by magnitude so the scan work is bounded.  Spectra with more than
-``max_candidates`` threshold-crossing local maxima competing for the top-k can
-in principle differ; raise ``max_candidates`` to tighten.
+Candidate budget: the reference considers *every* candidate in magnitude
+order; this op pre-selects the top ``max_candidates`` by magnitude so the
+scan work is bounded, and reports the true pre-budget count in
+``n_candidates``.  With a pinned static budget, spectra with more
+threshold-crossing maxima than the budget can in principle decide
+differently - but the pipeline's default is the *dynamic* budget
+(``models/pipeline.py``): it checks ``n_candidates`` against the budget and
+re-runs larger on overflow, so default-path decisions always match the
+unbounded reference.
 """
 
 from __future__ import annotations
