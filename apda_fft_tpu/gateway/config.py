@@ -44,6 +44,9 @@ class GatewayConfig:
     config_file: str
     data_dir: str
     is_flexible_structure: bool = True
+    #: optional on-disk XLA compilation cache so gateway restarts don't
+    #: re-pay the 10-40 s first-compile per epoch shape
+    compilation_cache_dir: str = ""
 
     @classmethod
     def load(cls, config_path: str | os.PathLike) -> "GatewayConfig":
@@ -66,6 +69,7 @@ class GatewayConfig:
                     "data_dir", str(Path(gw["logger_file"]).parent) + os.sep
                 ),
                 is_flexible_structure=bool(flexible),
+                compilation_cache_dir=gw.get("compilation_cache_dir", ""),
             )
         except GatewayConfigError:
             raise

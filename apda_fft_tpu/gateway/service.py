@@ -97,6 +97,11 @@ class GatewayService:
     # -- lifecycle -----------------------------------------------------------
 
     def start(self) -> None:
+        if self.config.compilation_cache_dir:
+            from apda_fft_tpu.utils.compilecache import enable_compilation_cache
+
+            path = enable_compilation_cache(self.config.compilation_cache_dir)
+            self.history(f"\t[XLA] persistent compilation cache at {path}\n")
         self.transport.start(self.history)
         self.history(f"--- Gateway Start: {self.clock()} ---\n\n")
         self.devices.reset()

@@ -1,0 +1,41 @@
+"""Persistent XLA compilation cache for production gateways.
+
+First compilation of an epoch program costs 10-40 s on TPU; a gateway that
+restarts (the reference's deployment restarts on every crash,
+``GT_FFT_v5.py:858-859``) would re-pay it for every (N, batch, mode, budget)
+shape.  JAX's persistent compilation cache serves those from disk instead.
+Opt-in: call :func:`enable_compilation_cache` early (before the first
+compile), or set ``"compilation_cache_dir"`` in the ``gateway`` section of
+``gw_config.json`` and the service enables it at startup.
+"""
+
+from __future__ import annotations
+
+import os
+
+_enabled_dir: str | None = None
+
+
+def enable_compilation_cache(cache_dir: str, min_compile_time_secs: float = 1.0) -> str:
+    """Enable JAX's on-disk compilation cache at ``cache_dir``.
+
+    Idempotent; returns the directory in effect.  Programs whose compile time
+    is below ``min_compile_time_secs`` are not persisted (they recompile
+    faster than they deserialize).
+    """
+    global _enabled_dir
+    if _enabled_dir is not None:
+        return _enabled_dir
+    import jax
+
+    cache_dir = os.path.abspath(os.path.expanduser(cache_dir))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", min_compile_time_secs)
+    # Cache even when only one device is attached (default policy can skip).
+    try:
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # noqa: BLE001 - older jax without this knob
+        pass
+    _enabled_dir = cache_dir
+    return cache_dir

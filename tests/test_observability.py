@@ -115,3 +115,22 @@ def test_benchmark_suite_configs_smoke(monkeypatch):
     for cfg in (1, 2, 3, 4):
         out = run_all.run_config(cfg, "matmul")
         assert out["value"] > 0 and "metric" in out and out["vs_baseline"] > 0
+
+
+def test_compilation_cache_opt_in(tmp_path):
+    """enable_compilation_cache populates the dir and is idempotent."""
+    import jax
+    import jax.numpy as jnp
+
+    from apda_fft_tpu.utils import compilecache
+
+    # reset module state for the test (process-global otherwise)
+    compilecache._enabled_dir = None
+    d = compilecache.enable_compilation_cache(str(tmp_path / "xla_cache"),
+                                              min_compile_time_secs=0.0)
+    assert compilecache.enable_compilation_cache("/elsewhere") == d  # idempotent
+    # force a fresh compile so something can be persisted
+    x = jnp.arange(1024, dtype=jnp.float32).reshape(32, 32)
+    jax.block_until_ready(jax.jit(lambda a: (a @ a.T).sum() * 3.14159)(x))
+    import os
+    assert os.path.isdir(d)
