@@ -19,11 +19,28 @@ import sys
 _RESTART_ENV = "APDA_CONNECT_RESTARTS"
 
 
-def connect_with_watchdog(stall_seconds: int = 300, max_restarts: int = 3) -> None:
+def _default_probe() -> None:
+    """One tiny device op: forces backend init + a real round trip."""
+    import jax
+    import jax.numpy as jnp
+
+    float(jnp.sum(jnp.ones((8, 8))))
+    print(f"# device ready: {jax.devices()}", file=sys.stderr)
+
+
+def connect_with_watchdog(
+    stall_seconds: int = 300,
+    max_restarts: int = 3,
+    probe=_default_probe,
+    execv=os.execv,
+) -> None:
     """Force device connection up front; re-exec this process on a stall.
 
-    Re-exec preserves ``sys.argv`` and the environment (plus an incremented
-    restart counter).  After ``max_restarts`` stalls the process exits 2.
+    Runs ``probe`` (a first device op by default) under a SIGALRM of
+    ``stall_seconds``.  On stall, re-execs preserving ``sys.argv`` and the
+    environment plus an incremented restart counter; after ``max_restarts``
+    stalls the process exits 2.  ``probe``/``execv`` are injectable so the
+    stall path is testable without a wedged device.
     """
     import signal
 
@@ -39,15 +56,11 @@ def connect_with_watchdog(stall_seconds: int = 300, max_restarts: int = 3) -> No
             file=sys.stderr,
         )
         os.environ[_RESTART_ENV] = str(restarts + 1)
-        os.execv(sys.executable, [sys.executable] + sys.argv)
+        execv(sys.executable, [sys.executable] + sys.argv)
 
     signal.signal(signal.SIGALRM, on_stall)
     signal.alarm(stall_seconds)
     try:
-        import jax
-        import jax.numpy as jnp
-
-        float(jnp.sum(jnp.ones((8, 8))))
-        print(f"# device ready: {jax.devices()}", file=sys.stderr)
+        probe()
     finally:
         signal.alarm(0)

@@ -134,3 +134,33 @@ def test_compilation_cache_opt_in(tmp_path):
     jax.block_until_ready(jax.jit(lambda a: (a @ a.T).sum() * 3.14159)(x))
     import os
     assert os.path.isdir(d)
+
+
+def test_connect_watchdog_stall_reexecs(monkeypatch):
+    """A probe that outlives the alarm triggers exactly one re-exec attempt
+    with the restart counter incremented; a fast probe never does."""
+    import os
+    import time
+
+    from apda_fft_tpu.utils import watchdog
+
+    calls = []
+
+    def fake_execv(exe, argv):
+        calls.append((exe, argv))
+        raise RuntimeError("stop-here")  # execv never returns; simulate exit
+
+    monkeypatch.delenv(watchdog._RESTART_ENV, raising=False)
+    # fast probe: no re-exec, alarm cleared
+    watchdog.connect_with_watchdog(stall_seconds=5, probe=lambda: None, execv=fake_execv)
+    assert calls == []
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="stop-here"):
+        watchdog.connect_with_watchdog(
+            stall_seconds=1, probe=lambda: time.sleep(3), execv=fake_execv
+        )
+    assert len(calls) == 1
+    assert os.environ[watchdog._RESTART_ENV] == "1"
+    monkeypatch.delenv(watchdog._RESTART_ENV, raising=False)
