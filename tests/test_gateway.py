@@ -624,3 +624,25 @@ def test_multi_sensor_soak_with_faults(tmp_path):
     # truncation an anomalous-closure history entry.
     assert any("* MISSING PACKETS FROM" in txt for txt in gap_texts)
     assert "Anomalous closure" in open(svc.config.logger_file).read()
+
+
+def test_malformed_packets_never_kill_the_loop(tmp_path):
+    """Garbage payloads (random bytes, truncated headers, empty frames) must
+    be survived by the step loop (reference catch-all parity,
+    GT_FFT_v5.py:858) and logged, and a clean acquisition afterwards still
+    analyzes correctly."""
+    svc, transport, _, _ = make_service(tmp_path)
+    rng = np.random.default_rng(99)
+    # every packet-type byte with truncated/garbage bodies
+    for lead in (0xA1, 0xD1, 0xD2, 0xD3, 0xD4, 0xC1, 0x00, 0xFF):
+        for size in (1, 2, 5, 17):
+            transport.push(bytes([lead]) + rng.bytes(size - 1), MAC)
+    transport.push(b"", MAC)
+    for _ in range(64):
+        transport.push(rng.bytes(int(rng.integers(1, 60))), MAC)
+    svc.drain()
+
+    sim = SensorSimulator(MAC, fs=500.0, axis="X", chunk=100)
+    sim.stream_acquisition(transport, two_mode_signal(1024, 500.0))
+    svc.drain()
+    assert abs(svc.fft_results[MAC]["X"]["peak_freq"] - 12.207) < 0.01

@@ -29,6 +29,8 @@ CORPUS = [
     (1024, 125.0, 9),
     (4096, 31.25, 10),
     (8192, 500.0, 11),
+    (16384, 500.0, 12),
+    (65536, 500.0, 13),  # BASELINE config-5 scale; exercises budget auto-growth
 ]
 
 
