@@ -52,8 +52,12 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             # Jobs see the current on-disk framework, not whatever an earlier
-            # job imported.
-            for mod in [m for m in sys.modules if m.startswith("apda_fft_tpu")]:
+            # job imported (tests/benchmarks modules too - a stale cached
+            # tests.test_peaks_match once served an old parity corpus).
+            for mod in [
+                m for m in sys.modules
+                if m.startswith(("apda_fft_tpu", "tests", "benchmarks"))
+            ]:
                 del sys.modules[mod]
             src = open(path).read()
             with contextlib.redirect_stdout(buf), contextlib.redirect_stderr(buf):
