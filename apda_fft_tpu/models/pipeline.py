@@ -60,9 +60,14 @@ def default_max_candidates(n_fft: int) -> int:
 #: so the number of distinct compiled programs stays <= log2(H)).  The floor
 #: is 2: a clean two-mode window needs exactly that, and each halving of the
 #: budget buys real throughput (measured B=2048/N=4096 on TPU v5e: M=2
-#: 2.52M w/s, M=4 2.03M, M=8 1.39M).  A signal class with more candidates
-#: costs one wasted cheap pass the first time it appears, then sticks.
+#: 2.52M w/s, M=4 2.03M, M=8 1.39M).  The budget follows the last epoch's
+#: count, so workloads alternating quiet/noisy epochs on the same key pay
+#: one extra *small-budget* pass per upward transition (~7% of the noisy
+#: epoch's cost - far cheaper than running quiet epochs at the noisy
+#: budget); the overflow re-run jumps straight to the key's high-water mark
+#: so repeated growth steps are never paid.
 _dynamic_budget: dict[tuple[int, str], int] = {}
+_dynamic_budget_hwm: dict[tuple[int, str], int] = {}
 _DYNAMIC_FLOOR = 2
 
 
@@ -305,11 +310,17 @@ def analyze_epoch(
     # by the data instead of a worst-case constant.  Costs one scalar device
     # readback per epoch; unavailable under an outer trace (tracers cannot be
     # read back), where the static default applies.
-    traced = isinstance(samples, jax.core.Tracer) or isinstance(fs, jax.core.Tracer)
+    traced = any(
+        isinstance(x, jax.core.Tracer) for x in (samples, fs, lengths) if x is not None
+    )
+    empty = any(d == 0 for d in samples.shape[:-1])
     dynamic = (
         max_candidates in (None, "dynamic")
         and mode in ("flexible", "adaptive")
         and not traced
+        # Zero-window epochs have no candidate counts to read back (and
+        # nothing to get wrong); the static path returns the empty result.
+        and not empty
     )
     if max_candidates == "dynamic" and traced:
         raise ValueError("max_candidates='dynamic' cannot run under an outer jit trace")
@@ -373,8 +384,12 @@ def analyze_epoch(
         n_max = int(jax.device_get(jnp.max(res.n_candidates)))
         if n_max <= budget or budget >= h:
             break
-        budget = min(max(_pow2_at_least(n_max), _DYNAMIC_FLOOR), h)
+        budget = min(
+            max(_pow2_at_least(n_max), _dynamic_budget_hwm.get(key, 0), _DYNAMIC_FLOOR),
+            h,
+        )
     _dynamic_budget[key] = min(max(_pow2_at_least(n_max), _DYNAMIC_FLOOR), h)
+    _dynamic_budget_hwm[key] = max(_dynamic_budget_hwm.get(key, 0), budget)
     return res
 
 

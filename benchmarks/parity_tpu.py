@@ -19,7 +19,14 @@ Exit status 0 iff every case matches.
 from __future__ import annotations
 
 import json
+import os
 import sys
+
+# Make the repo root importable regardless of invocation cwd
+# (python benchmarks/parity_tpu.py puts benchmarks/ first on sys.path).
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 
 def run_corpus() -> dict:

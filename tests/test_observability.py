@@ -104,17 +104,29 @@ def test_benchmark_suite_configs_smoke(monkeypatch):
     """BASELINE configs 1-4 build and run one evaluation each (CPU)."""
     from benchmarks import run_all
 
-    def _quick(fn, *args, **kw):
+    def _quick_stats(fn, *args, **kw):
         import jax
 
         jax.block_until_ready(fn(*args))
+        return {"per_iter_s": 0.01, "dispatch_s": 0.001, "iters": 1}
+
+    def _quick_wall(fn, *args, **kw):
+        import jax
+
+        jax.block_until_ready(jax.jit(fn)(*args))
         return 0.01
 
-    # run_config imports the timer from benchtime at call time.
-    monkeypatch.setattr("apda_fft_tpu.utils.benchtime.per_iteration_seconds", _quick)
+    # run_config imports the timers from benchtime at call time; stub BOTH
+    # measurement entry points or the smoke test silently runs real adaptive
+    # timing (many minutes on CPU - caught by round-2 review).
+    monkeypatch.setattr("apda_fft_tpu.utils.benchtime.per_iteration_stats", _quick_stats)
+    monkeypatch.setattr(
+        "apda_fft_tpu.utils.benchtime.pipelined_wall_seconds", _quick_wall
+    )
     for cfg in (1, 2, 3, 4):
         out = run_all.run_config(cfg, "matmul")
         assert out["value"] > 0 and "metric" in out and out["vs_baseline"] > 0
+        assert "dispatch_ms" in out
 
 
 def test_compilation_cache_opt_in(tmp_path):

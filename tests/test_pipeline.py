@@ -234,3 +234,23 @@ def test_max_candidates_input_validation():
     x = np.zeros((1, 256), np.float32)
     with pytest.raises(ValueError, match="max_candidates"):
         analyze_epoch(x, 100.0, max_candidates="bogus")
+
+
+def test_empty_epoch_returns_empty_result():
+    """Zero-window epochs must return shape-(0,) results, not crash the
+    dynamic-budget readback (round-2 review finding)."""
+    import jax
+    import numpy as np
+
+    empty = np.zeros((0, 64), np.float32)
+    for mode in ("flexible", "rigid", "adaptive"):
+        res = analyze_epoch(empty, 100.0, mode=mode)
+        assert res.count.shape == (0,)
+
+    # A lengths-only tracer must fall back to the static budget, not blow up
+    # on an impossible readback.
+    x = np.random.default_rng(0).standard_normal((2, 256)).astype(np.float32)
+    res = jax.jit(
+        lambda L: analyze_epoch(x, 100.0, lengths=L)
+    )(np.array([200, 256]))
+    assert res.count.shape == (2,)
