@@ -68,6 +68,10 @@ def default_max_candidates(n_fft: int) -> int:
 #: so repeated growth steps are never paid.
 _dynamic_budget: dict[tuple[int, str], int] = {}
 _dynamic_budget_hwm: dict[tuple[int, str], int] = {}
+#: Observability: stats of the most recent dynamic-budget run in this
+#: process (budget used, true candidate max, number of passes).  Read by
+#: SpectralPipeline into ``last_metrics``.
+last_dynamic_stats: dict[str, float] = {}
 _DYNAMIC_FLOOR = 2
 
 
@@ -379,7 +383,9 @@ def analyze_epoch(
     h = n_fft // 2
     key = (n_fft, mode)
     budget = min(_dynamic_budget.get(key, _DYNAMIC_FLOOR), max(h, 1))
+    passes = 0
     while True:
+        passes += 1
         res = _analyze_epoch_impl(samples, fs, lengths, max_candidates=budget, **kwargs)
         n_max = int(jax.device_get(jnp.max(res.n_candidates)))
         if n_max <= budget or budget >= h:
@@ -390,6 +396,10 @@ def analyze_epoch(
         )
     _dynamic_budget[key] = min(max(_pow2_at_least(n_max), _DYNAMIC_FLOOR), h)
     _dynamic_budget_hwm[key] = max(_dynamic_budget_hwm.get(key, 0), budget)
+    last_dynamic_stats.clear()
+    last_dynamic_stats.update(
+        candidate_budget=budget, n_candidates_max=n_max, budget_passes=passes
+    )
     return res
 
 
@@ -430,6 +440,7 @@ class SpectralPipeline:
 
     def __call__(self, samples, fs, *, n_fft: int | None = None, lengths=None) -> EpochResult:
         cfg = self.config
+        last_dynamic_stats.clear()  # don't inherit a previous call's stats
         t_cpu0 = time.process_time()
         t_wall0 = time.perf_counter()
         if self.mesh is not None:
@@ -473,5 +484,7 @@ class SpectralPipeline:
             "wall_time": wall,
             "percentage_cpu": (cpu / wall * 100.0) if wall > 0 else 0.0,
             "memrss": float(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss),
+            # dynamic-budget observability (empty on static-budget runs)
+            **last_dynamic_stats,
         }
         return result

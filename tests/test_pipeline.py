@@ -254,3 +254,21 @@ def test_empty_epoch_returns_empty_result():
         lambda L: analyze_epoch(x, 100.0, lengths=L)
     )(np.array([200, 256]))
     assert res.count.shape == (2,)
+
+
+def test_pipeline_metrics_include_dynamic_budget():
+    from apda_fft_tpu import SpectralPipeline
+
+    pipe = SpectralPipeline()
+    x = np.stack([modal_signal(1024, 500.0, seed=1)]).astype(np.float32)
+    pipe(x, 500.0)
+    m = pipe.last_metrics
+    assert m["candidate_budget"] >= m["n_candidates_max"] >= 1
+    assert m["budget_passes"] >= 1
+
+    # static-budget runs don't carry stale dynamic stats
+    from apda_fft_tpu import PipelineConfig
+
+    pipe2 = SpectralPipeline(PipelineConfig(max_candidates=16))
+    pipe2(x, 500.0)
+    assert "candidate_budget" not in pipe2.last_metrics
