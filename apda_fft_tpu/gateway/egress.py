@@ -70,6 +70,7 @@ class FtpSink:
             return []
         uploaded: list[str] = []
         log(f"\t[FTP] connecting to {self.settings.server}...\n")
+        session = None
         try:
             session = self._connect()
             for filename in list(files_to_send):
@@ -81,10 +82,17 @@ class FtpSink:
                 except Exception as exc:  # noqa: BLE001 - partial failure aborts flush
                     log(f"[FTP] error on {filename}: {exc}\n")
                     return []
-            session.close()
         except Exception as exc:  # noqa: BLE001
             log(f"\t[FTP] upload error for {addr}: {exc}")
             return []
+        finally:
+            # Close on every path: a per-file failure returning [] each sync
+            # would otherwise leak one socket per retry until fd exhaustion.
+            if session is not None:
+                try:
+                    session.close()
+                except Exception:  # noqa: BLE001
+                    pass
         return uploaded
 
 

@@ -308,6 +308,11 @@ class GatewayService:
     def _on_reduced(self, payload: bytes, addr: str) -> None:
         t = self.clock()
         self.history(f"{t.strftime('%d/%m/%Y, %H:%M:%S')}, {addr} - Reduced data transmission\n")
+        # 0xD4/0xC1 are asynchronous events that can land mid-acquisition;
+        # the reference clobbered open_file_dict/first_data_dict and lost
+        # the in-progress stream (defect-8 fix: save/restore around the
+        # self-contained fast-path file).
+        prev_open = self.open_file.get(addr)
         header = packets.parse_reduced_header(list(payload))
         filename = os.path.join(
             self.config.data_dir, f"{addr}_{t.strftime('%d_%m_%Y_%H_%M_%S')}_reduced.log"
@@ -328,11 +333,18 @@ class GatewayService:
         name = os.path.basename(filename)
         self.influx_queue.setdefault(addr, []).append(name)
         self.ftp_queue.setdefault(addr, []).append(name)
-        self.open_file.pop(addr, None)
+        if prev_open is not None:
+            self.open_file[addr] = prev_open
+        else:
+            self.open_file.pop(addr, None)
 
     def _on_shock(self, payload: bytes, addr: str) -> None:
         t = self.clock()
         self.history(f"{t.strftime('%d/%m/%Y, %H:%M:%S')}, {addr} - Shock data transmission\n")
+        # Mid-acquisition shock: preserve the open stream + baseline the
+        # reference destroyed (defect-8 fix, see _on_reduced).
+        prev_open = self.open_file.get(addr)
+        prev_baseline = self.baseline.get(addr)
         header = packets.parse_shock_header(list(payload))
         filename = os.path.join(
             self.config.data_dir, f"{addr}_{t.strftime('%d_%m_%Y_%H_%M_%S')}_shock.log"
@@ -356,8 +368,14 @@ class GatewayService:
         self._flush_influx(addr)
         uploaded = self._flush_ftp(addr)
         self._prune(self.ftp_queue, addr, uploaded)
-        self.open_file.pop(addr, None)
-        self.baseline.pop(addr, None)
+        if prev_open is not None:
+            self.open_file[addr] = prev_open
+        else:
+            self.open_file.pop(addr, None)
+        if prev_baseline is not None:
+            self.baseline[addr] = prev_baseline
+        else:
+            self.baseline.pop(addr, None)
 
     def _on_unknown(self, payload: bytes, addr: str) -> None:
         t = self.clock()
@@ -406,19 +424,28 @@ class GatewayService:
             self._flush_influx(addr)
 
         # Cleanup: delete local files no longer pending anywhere (:346-355).
-        # Unlike the reference, "anywhere" includes the API queue: the
+        # Unlike the reference, "anywhere" includes the API queue (the
         # reference only checked FTP, so a transient FastAPI failure paired
-        # with an FTP success deleted the file while it was still queued for
-        # the API - poisoning that queue with permanent FILE-NOT-FOUND
-        # retries (defect-6 fix).
-        still_pending = set(self.ftp_queue.get(addr, [])) | set(self.api_queue.get(addr, []))
-        for filename in os.listdir(self.config.data_dir):
-            if filename.startswith(addr) and filename.endswith(".log"):
-                if filename not in still_pending:
-                    try:
-                        os.remove(os.path.join(self.config.data_dir, filename))
-                    except OSError as exc:
-                        self.history(f"\t[ERROR] cleanup failed for {filename}: {exc}")
+        # with an FTP success deleted the file while still queued for the
+        # API - defect-6 fix) AND files still open mid-acquisition (a
+        # heartbeat between 0xD1 and 0xD3 would otherwise delete the
+        # in-progress acquisition the reference silently lost).  With async
+        # uploads in flight the cleanup is deferred entirely: an in-flight
+        # job may still be reading a file no queue mentions.
+        if self._uploads_inflight.get(addr, 0) == 0:
+            still_pending = (
+                set(self.ftp_queue.get(addr, []))
+                | set(self.api_queue.get(addr, []))
+                | set(self.influx_queue.get(addr, []))
+                | {os.path.basename(p) for p in self.open_file.values()}
+            )
+            for filename in os.listdir(self.config.data_dir):
+                if filename.startswith(addr) and filename.endswith(".log"):
+                    if filename not in still_pending:
+                        try:
+                            os.remove(os.path.join(self.config.data_dir, filename))
+                        except OSError as exc:
+                            self.history(f"\t[ERROR] cleanup failed for {filename}: {exc}")
 
         self.history(
             f"\t{device_status.strip()}\n\t{peaks_text}\t{metrics}\t{config_status.strip()}\n"
@@ -449,12 +476,21 @@ class GatewayService:
             return
 
         records = [(np.asarray(rec.samples, np.float32), rec.fs) for _, rec in loaded]
-        per_record = analyze_records(records, analyze=self.pipeline)
-        metrics = self.pipeline.last_metrics
-        for (addr, rec), rp in zip(loaded, per_record):
-            self._store_result(addr, rec.axis, rec.fs, rp.n_fft, rp.result, rp.row, metrics)
+        # Each pow2 bucket is its own pipeline run; snapshot that run's
+        # metrics for exactly its records (a single post-hoc read would
+        # stamp every record with the LAST bucket's numbers).
+        bucket_metrics: dict[int, dict] = {}
 
-    def _store_result(self, addr, axis, fs, n_fft, result, row, metrics) -> None:
+        def grab(_n_fft, idxs):
+            snap = dict(self.pipeline.last_metrics)
+            for i in idxs:
+                bucket_metrics[i] = snap
+
+        per_record = analyze_records(records, analyze=self.pipeline, on_bucket=grab)
+        for i, ((addr, rec), rp) in enumerate(zip(loaded, per_record)):
+            self._store_result(addr, rec.axis, rp, bucket_metrics.get(i, {}))
+
+    def _store_result(self, addr, axis, rp, metrics) -> None:
         """Fill the per-axis peak dict (reference fft_dict shape, :648-659)."""
         entry = {
             "peak_freq": -1, "max_mag": -1,
@@ -463,19 +499,13 @@ class GatewayService:
             "percentage_cpu": metrics.get("percentage_cpu", -1),
             "memrss": metrics.get("memrss", -1),
         }
-        count = int(result.count[row])
         mode = self.pipeline.config.mode
-        for slot in range(count):
-            idx = int(result.idx[row, slot])
-            # Host-side float64 finisher: frequencies are exact once the
-            # peak index is known (bit-matched to the reference).
-            if mode == "flexible":
-                freq = round(idx * fs / n_fft, 4)
-            else:
-                freq = idx * (fs / n_fft)
-            entry[f"peak_freq_{slot + 1}"] = freq
-            entry[f"max_mag_{slot + 1}"] = float(result.mag[row, slot])
-        if count:
+        for slot in range(rp.count):
+            # Host-side float64 finisher (shared with the batching API):
+            # frequencies are exact once the peak index is known.
+            entry[f"peak_freq_{slot + 1}"] = rp.exact_freq(slot, mode)
+            entry[f"max_mag_{slot + 1}"] = float(rp.result.mag[rp.row, slot])
+        if rp.count:
             entry["peak_freq"] = entry["peak_freq_1"]
             entry["max_mag"] = entry["max_mag_1"]
         self.fft_results.setdefault(addr, {})[axis] = entry
@@ -558,16 +588,15 @@ class GatewayService:
             self._uploads_inflight[addr] = jobs
 
     def _async_done(self, addr: str, queue: dict | None, uploaded: list[str]) -> None:
+        # Prune only - NEVER delete files here.  A callback that deleted
+        # checked just the FTP queue, so an uploaded-by-FTP file still
+        # pending in the API queue (or being read by the in-flight influx
+        # job) was removed, poisoning those paths with permanent
+        # FILE-NOT-FOUND retries.  Deletion is the sync-time cleanup's job
+        # (which checks every queue and defers while uploads are in flight),
+        # matching the reference's delete-at-sync lifecycle.
         if queue is not None:
             self._prune(queue, addr, uploaded)
-            for name in uploaded:
-                path = os.path.join(self.config.data_dir, name)
-                if name not in self.ftp_queue.get(addr, []):
-                    try:
-                        if os.path.exists(path):
-                            os.remove(path)
-                    except OSError:
-                        pass
         self._uploads_inflight[addr] = max(self._uploads_inflight.get(addr, 1) - 1, 0)
 
     def _send_config(self, addr: str) -> str:

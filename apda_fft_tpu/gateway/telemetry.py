@@ -24,9 +24,11 @@ def device_status_report(info: SyncInfo) -> str:
     out = [f"Datetime: {info.datetime}"]
     if info.battery is not None:
         out.append(f"Battery: {info.battery:.3f} V")
+    if info.rssi is not None:
         out.append(f"RSSI: {info.rssi} dB")
     if info.temp is not None:
         out.append(f"Temperature: {info.temp:.2f} C")
+    if info.humidity is not None:
         out.append(f"Humidity: {info.humidity:.2f}")
     if info.reset_bit is not None:
         out.append(f"Reset bit: {info.reset_bit}")

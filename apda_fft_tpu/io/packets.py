@@ -116,6 +116,9 @@ def packet_number(p) -> int:
 
 
 def parse_sync_info(p) -> SyncInfo:
+    # Every field is length-guarded (not just the tail ones the reference
+    # guarded): a radio-truncated heartbeat must degrade to None fields, not
+    # IndexError out of the sync handler and cost the sensor its sync reply.
     return SyncInfo(
         datetime=f"{p[1]:x}-{p[2]:x}-{p[3]:x} {p[4]:x}:{p[5]:x}:{p[6]:x}",
         battery=((p[32] + (p[33] << 8)) * 0.001) if len(p) > 33 else None,
@@ -123,8 +126,14 @@ def parse_sync_info(p) -> SyncInfo:
         temp=((p[35] + (p[36] << 8)) * 0.01) if len(p) > 36 else None,
         humidity=((p[37] + (p[38] << 8)) * 0.01) if len(p) > 38 else None,
         reset_bit=(p[39] + (p[40] << 8)) if len(p) > 40 else None,
-        gps_status=p[17],
-        errors={"362": p[7], "355": p[8], "mem": p[9], "radio": p[10], "config": p[11]},
+        gps_status=p[17] if len(p) > 17 else 0,
+        errors={
+            "362": p[7] if len(p) > 7 else 0,
+            "355": p[8] if len(p) > 8 else 0,
+            "mem": p[9] if len(p) > 9 else 0,
+            "radio": p[10] if len(p) > 10 else 0,
+            "config": p[11] if len(p) > 11 else 0,
+        },
     )
 
 

@@ -57,6 +57,7 @@ class RecordPeaks:
 def analyze_records(
     records: Sequence[tuple[np.ndarray, float]],
     analyze=analyze_epoch,
+    on_bucket=None,
     **kwargs,
 ) -> list[RecordPeaks]:
     """Analyze ragged ``(samples, fs)`` records, one XLA program per bucket.
@@ -65,6 +66,9 @@ def analyze_records(
     true lengths passed through (so median-centering stays exact), and results
     are returned in input order.  ``analyze`` is pluggable (e.g. a
     mesh-sharded pipeline); ``kwargs`` forward to it (mode, backend, ...).
+    ``on_bucket(n_fft, record_indices)`` is invoked after each bucket's
+    analyze call, so callers can attribute per-run state (e.g. a metric
+    snapshot) to exactly the records that run produced.
     """
     buckets: dict[int, list[int]] = {}
     for i, (samples, _) in enumerate(records):
@@ -84,6 +88,8 @@ def analyze_records(
             lengths[row] = len(samples)
             fs[row] = rec_fs
         result = analyze(batch, fs, n_fft=n_fft, lengths=lengths, **kwargs)
+        if on_bucket is not None:
+            on_bucket(n_fft, list(idxs))
         for row, i in enumerate(idxs):
             out[i] = RecordPeaks(n_fft=n_fft, fs=records[i][1], result=result, row=row)
     return out  # type: ignore[return-value]

@@ -400,6 +400,14 @@ def test_async_uploads_background_flush(tmp_path):
     svc.uploader.drain(timeout=5.0)
     assert ftp_uploads[:1] == files
     assert files[0] not in svc.ftp_queue[MAC]
+    # Deletion is deferred to the next sync's cleanup (never done from the
+    # async callback, which cannot know about other sinks' in-flight reads).
+    assert os.path.exists(os.path.join(data_dir, files[0]))
+    sim.heartbeat(transport)
+    svc.drain()
+    svc.uploader.drain(timeout=5.0)
+    sim.heartbeat(transport)  # in-flight at last sync; cleanup runs now
+    svc.drain()
     assert not os.path.exists(os.path.join(data_dir, files[0]))
 
 
@@ -646,3 +654,115 @@ def test_malformed_packets_never_kill_the_loop(tmp_path):
     sim.stream_acquisition(transport, two_mode_signal(1024, 500.0))
     svc.drain()
     assert abs(svc.fft_results[MAC]["X"]["peak_freq"] - 12.207) < 0.01
+
+
+def test_heartbeat_mid_acquisition_preserves_open_file(tmp_path):
+    """A sync between 0xD1 and 0xD3 must not delete the in-progress file
+    (round-2 review: cleanup only checked the upload queues)."""
+    svc, transport, _, _ = make_service(tmp_path)
+    sim = SensorSimulator(MAC, fs=500.0, axis="X", chunk=100)
+    x = two_mode_signal(1024, 500.0)
+    sim.stream_acquisition(transport, x, truncate_after=4)  # mid-stream, no 0xD3
+    svc.drain()
+    open_path = svc.open_file[MAC]
+    sim.heartbeat(transport)
+    svc.drain()
+    assert os.path.exists(open_path), "cleanup deleted an in-progress acquisition"
+
+
+def test_shock_mid_acquisition_preserves_stream(tmp_path):
+    """A 0xC1 between 0xD1 and 0xD3 must not destroy the open stream state
+    (the reference clobbered open_file_dict/first_data_dict; defect-8 fix)."""
+    svc, transport, _, _ = make_service(tmp_path)
+    sim = SensorSimulator(MAC, fs=500.0, axis="X", chunk=100)
+    x = two_mode_signal(1024, 500.0)
+    baseline = 0.25
+    sim.stream_acquisition(transport, x, baseline=baseline, truncate_after=4)
+    svc.drain()
+    sim.shock_event(transport, np.sin(np.arange(100) * 0.2))
+    svc.drain()
+    assert MAC in svc.open_file and "shock" not in os.path.basename(svc.open_file[MAC])
+    assert svc.baseline.get(MAC) == baseline
+    # finish the stream: remaining packets append and the analysis is clean
+    rest = (x[400:] - baseline)
+    from apda_fft_tpu.io import packets as pk
+    n_chunks = (len(rest) + 99) // 100
+    for i in range(n_chunks):
+        part = rest[i * 100 : (i + 1) * 100]
+        enc = pk.encode_end_stream if i == n_chunks - 1 else pk.encode_mid_stream
+        transport.push(enc(part, 5 + i), MAC)
+    svc.drain()
+    assert abs(svc.fft_results[MAC]["X"]["peak_freq"] - 12.207) < 0.01
+
+
+def test_truncated_heartbeat_still_gets_sync_reply(tmp_path):
+    """A radio-truncated 0xA1 (temp present, humidity cut) must degrade to
+    None fields and still send the sync reply (review findings 3+6)."""
+    svc, transport, _, _ = make_service(tmp_path)
+    from apda_fft_tpu.io import packets as pk
+
+    full_pkt = pk.encode_sync_request()
+    for cut in (37, 35, 18, 12):
+        transport.push(full_pkt[:cut], MAC)
+    svc.drain()
+    history = open(svc.config.logger_file).read()
+    assert history.count("Sync sent") >= 4
+    assert "[CRITICAL]" not in history
+
+
+def test_ftp_session_closed_on_partial_failure(tmp_path):
+    """The FTP session must be closed even when a STOR fails (fd leak fix)."""
+    from apda_fft_tpu.gateway.egress import FtpSink
+    from apda_fft_tpu.gateway.config import FtpSettings
+
+    closed = []
+
+    class FailingSession:
+        def storbinary(self, cmd, fh):
+            raise OSError("permission denied")
+
+        def close(self):
+            closed.append(True)
+
+    (tmp_path / "f.log").write_text("x")
+    sink = FtpSink(FtpSettings(), str(tmp_path), connect_factory=FailingSession)
+    out = sink.upload(MAC, ["f.log"], lambda m: None)
+    assert out == [] and closed == [True]
+
+
+def test_async_mixed_outcome_keeps_file_for_api_retry(tmp_path):
+    """FTP succeeds, API fails: the file must survive for the API retry and
+    upload successfully at a later sync (round-2 review finding 1)."""
+    svc, transport, ftp_uploads, api_posts = make_service(tmp_path)
+    from apda_fft_tpu.gateway.async_upload import AsyncUploadManager
+
+    svc.uploader = AsyncUploadManager(timeout=10.0)
+    fail_api = {"on": True}
+
+    class FlakyHttp:
+        def upload(self, addr, files, local_dir, fft, log):
+            if fail_api["on"]:
+                return []
+            ok = list(files)
+            api_posts.extend(ok)
+            for f in ok:
+                files.remove(f)
+            return ok
+
+    svc.http_sink = FlakyHttp()
+    sim = SensorSimulator(MAC, fs=500.0, axis="X", chunk=100)
+    sim.stream_acquisition(transport, two_mode_signal(1024, 500.0))
+    svc.drain()
+    files = list(svc.ftp_queue[MAC])
+    sim.heartbeat(transport)
+    svc.drain()
+    svc.uploader.drain(timeout=5.0)
+    # FTP done, API failed: file still queued for API and still on disk.
+    assert ftp_uploads == files and svc.api_queue[MAC] == files
+    assert os.path.exists(os.path.join(svc.config.data_dir, files[0]))
+    # API recovers at the next sync.
+    fail_api["on"] = False
+    sim.heartbeat(transport)
+    svc.drain()
+    svc.uploader.drain(timeout=5.0)
+    assert api_posts == files
