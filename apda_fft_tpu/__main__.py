@@ -51,11 +51,10 @@ def cmd_analyze(args) -> int:
         peaks = []
         for slot in range(rp.count):
             p = rp.peak(slot)
-            # Host-float64 exact finisher for the pure modes; adaptive windows
-            # may have fallen back to the rigid detector, whose rounding
-            # differs - report the device value there.
-            if args.mode in ("flexible", "rigid"):
-                p["freq"] = rp.exact_freq(slot, args.mode)
+            # Host-float64 exact finisher; exact_freq recovers the per-window
+            # detector in adaptive mode (rigid-fallback windows are
+            # unrounded, prominence-served ones 4-dp rounded).
+            p["freq"] = rp.exact_freq(slot, args.mode)
             if args.mode == "rigid":
                 for drop in ("damping", "q_factor", "prominence"):
                     p.pop(drop)

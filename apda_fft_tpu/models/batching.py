@@ -47,8 +47,22 @@ class RecordPeaks:
         }
 
     def exact_freq(self, slot: int, mode: str) -> float:
-        """Host-float64 frequency finisher (bit-exact once the index matches)."""
+        """Host-float64 frequency finisher (bit-exact once the index matches).
+
+        Flexible peaks are stored 4-decimal rounded, rigid peaks unrounded
+        (reference ``get_peak_prominence.py:188`` vs ``get_peak_resolution.py:105``).
+        For ``mode="adaptive"`` the per-window detector is recovered from the
+        result itself: windows served by the prominence pass carry a strictly
+        positive first-slot prominence (acceptance requires prom > 0.5*std),
+        fallback windows have it zeroed by the merge.
+        """
         idx = int(self.result.idx[self.row, slot])
+        if mode == "adaptive":
+            used_flex = (
+                int(self.result.count[self.row]) > 0
+                and float(self.result.prominence[self.row, 0]) > 0.0
+            )
+            mode = "flexible" if used_flex else "rigid"
         if mode == "rigid":
             return idx * (self.fs / self.n_fft)
         return round(idx * self.fs / self.n_fft, 4)
@@ -76,12 +90,20 @@ def analyze_records(
             raise ValueError(f"record {i} is empty")
         buckets.setdefault(next_pow2(len(samples)), []).append(i)
 
+    # Host buffers honor a requested compute dtype: building them as float32
+    # under dtype=float64 would truncate the inputs before the high-precision
+    # path ever saw them.
+    req = kwargs.get("dtype")
+    host_dtype = (
+        np.float64 if req is not None and np.dtype(req) == np.float64 else np.float32
+    )
+
     out: list[RecordPeaks | None] = [None] * len(records)
     for n_fft, idxs in sorted(buckets.items()):
         b = len(idxs)
-        batch = np.zeros((b, n_fft), np.float32)
+        batch = np.zeros((b, n_fft), host_dtype)
         lengths = np.zeros((b,), np.int32)
-        fs = np.zeros((b,), np.float32)
+        fs = np.zeros((b,), host_dtype)
         for row, i in enumerate(idxs):
             samples, rec_fs = records[i]
             batch[row, : len(samples)] = samples

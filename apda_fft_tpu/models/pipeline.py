@@ -18,8 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import resource
-import time
+import threading
 from typing import Any
 
 import jax
@@ -68,10 +67,20 @@ def default_max_candidates(n_fft: int) -> int:
 #: so repeated growth steps are never paid.
 _dynamic_budget: dict[tuple[int, str], int] = {}
 _dynamic_budget_hwm: dict[tuple[int, str], int] = {}
-#: Observability: stats of the most recent dynamic-budget run in this
-#: process (budget used, true candidate max, number of passes).  Read by
-#: SpectralPipeline into ``last_metrics``.
-last_dynamic_stats: dict[str, float] = {}
+#: Observability: stats of the most recent dynamic-budget run on this
+#: *thread* (budget used, true candidate max, number of passes).  Read by
+#: SpectralPipeline into ``last_metrics``; thread-local so concurrent
+#: pipelines cannot cross-contaminate each other's metrics.
+_dynamic_tls = threading.local()
+
+
+def last_dynamic_stats() -> dict:
+    d = getattr(_dynamic_tls, "stats", None)
+    if d is None:
+        d = _dynamic_tls.stats = {}
+    return d
+
+
 _DYNAMIC_FLOOR = 2
 
 
@@ -170,12 +179,16 @@ def _analyze_epoch_impl(
         )
 
     if center == "auto" and not has_lengths and flat.shape[-1] == n_fft:
-        # Full, unpadded windows: subtracting the (constant) median changes
-        # only the DC bin of the transform - which is zeroed anyway
-        # (fft_iterativa.py:85) - so the sort-based median is skipped.  With
-        # zero-padding the subtraction is load-bearing (the pad stays 0) and
-        # the full path below runs.  Pass center="always" to force it.
-        windows = flat
+        # Full, unpadded windows: subtracting a constant changes only the DC
+        # bin of the transform - which is zeroed anyway (fft_iterativa.py:85)
+        # - so the sort-based *median* is skipped.  The cheap *mean* is still
+        # subtracted: in float32 a large raw DC offset (gravity counts) would
+        # otherwise inject offset-scale roundoff into every bin; after mean
+        # removal the residual constant (median - mean) is signal-scale and
+        # its roundoff is of the same order as the FFT's own.  With
+        # zero-padding the median subtraction is load-bearing (the pad stays
+        # 0) and the full path below runs.  Pass center="always" to force it.
+        windows = flat - jnp.mean(flat, axis=-1, keepdims=True)
     else:
         windows = fft_ops.center_and_pad(flat, n_fft, len_flat)
     mags = fft_ops.halfspec_magnitudes(windows, backend=backend)
@@ -332,6 +345,8 @@ def analyze_epoch(
         raise ValueError(
             f"max_candidates must be an int, None or 'dynamic', got {max_candidates!r}"
         )
+    if center not in ("auto", "always"):
+        raise ValueError(f"unknown center {center!r}; expected 'auto' or 'always'")
     if not dynamic and not isinstance(max_candidates, int):
         max_candidates = default_max_candidates(n_fft)
 
@@ -396,8 +411,9 @@ def analyze_epoch(
         )
     _dynamic_budget[key] = min(max(_pow2_at_least(n_max), _DYNAMIC_FLOOR), h)
     _dynamic_budget_hwm[key] = max(_dynamic_budget_hwm.get(key, 0), budget)
-    last_dynamic_stats.clear()
-    last_dynamic_stats.update(
+    stats = last_dynamic_stats()
+    stats.clear()
+    stats.update(
         candidate_budget=budget, n_candidates_max=n_max, budget_passes=passes
     )
     return res
@@ -434,15 +450,26 @@ class SpectralPipeline:
     """
 
     def __init__(self, config: PipelineConfig | None = None, mesh=None):
+        from apda_fft_tpu.utils.profiling import EpochMetrics
+
         self.config = config or PipelineConfig()
         self.mesh = mesh  # optional jax.sharding.Mesh: run epochs data-parallel
+        self._metrics = EpochMetrics()
         self.last_metrics: dict[str, float] = {}
 
     def __call__(self, samples, fs, *, n_fft: int | None = None, lengths=None) -> EpochResult:
+        last_dynamic_stats().clear()  # don't inherit a previous call's stats
+        with self._metrics.measure():
+            result = jax.block_until_ready(self._run(samples, fs, n_fft, lengths))
+        self.last_metrics = {
+            **self._metrics.last,
+            # dynamic-budget observability (empty on static-budget runs)
+            **last_dynamic_stats(),
+        }
+        return result
+
+    def _run(self, samples, fs, n_fft, lengths) -> EpochResult:
         cfg = self.config
-        last_dynamic_stats.clear()  # don't inherit a previous call's stats
-        t_cpu0 = time.process_time()
-        t_wall0 = time.perf_counter()
         if self.mesh is not None:
             from apda_fft_tpu.parallel.mesh import analyze_epoch_sharded
 
@@ -476,15 +503,4 @@ class SpectralPipeline:
                 center=cfg.center,
                 selection=cfg.selection or "auto",
             )
-        result = jax.block_until_ready(result)
-        wall = time.perf_counter() - t_wall0
-        cpu = time.process_time() - t_cpu0
-        self.last_metrics = {
-            "process_time": cpu,
-            "wall_time": wall,
-            "percentage_cpu": (cpu / wall * 100.0) if wall > 0 else 0.0,
-            "memrss": float(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss),
-            # dynamic-budget observability (empty on static-budget runs)
-            **last_dynamic_stats,
-        }
         return result

@@ -326,7 +326,13 @@ def prominence_finalize(cid, is_cand, cmag, proms, bins, fs, n_fft: int, k: int,
 
     def body(i, state):
         count, acc = state
-        prom_ratio = proms[i] / mag_r[i]
+        # The reference divides by the stored 4-dp-rounded magnitude; when a
+        # magnitude rounds to 0 it raises ZeroDivisionError and its outer
+        # catch-all drops the WHOLE window.  Here a zero-rounded magnitude is
+        # treated as ratio 0 (always a shoulder when in range) - documented
+        # divergence: degenerate near-zero peaks are rejected, not fatal.
+        safe_mag = jnp.where(mag_r[i] > 0, mag_r[i], 1.0)
+        prom_ratio = jnp.where(mag_r[i] > 0, proms[i] / safe_mag, 0.0)
         active = slots < count
         rel = jnp.abs(freq_r[i] - acc["freq"]) / jnp.where(acc["freq"] != 0, acc["freq"], 1.0)
         near = jnp.any(active & (rel < EXCLUSION_RATIO))

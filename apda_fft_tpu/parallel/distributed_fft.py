@@ -70,8 +70,14 @@ def distributed_halfspec_magnitudes(
         # Distributed transpose #1: m1-sharded -> m2-sharded.
         a = jax.lax.all_to_all(a, seq_axis, split_axis=2, concat_axis=1, tiled=True)
         # Local N1-point DFT over full m1 (real input: two matmuls).
-        br = jnp.einsum("kn,bnm->bkm", c1, a, preferred_element_type=jnp.float32)
-        bi = jnp.einsum("kn,bnm->bkm", s1, a, preferred_element_type=jnp.float32)
+        # precision=HIGHEST on every DFT matmul: TPU default is bf16 inputs,
+        # which costs ~3e-3 relative spectrum error vs the ~1e-6 contract
+        # (docs/DESIGN.md); CPU-mesh tests cannot catch the omission.
+        hp = jax.lax.Precision.HIGHEST
+        br = jnp.einsum("kn,bnm->bkm", c1, a, preferred_element_type=jnp.float32,
+                        precision=hp)
+        bi = jnp.einsum("kn,bnm->bkm", s1, a, preferred_element_type=jnp.float32,
+                        precision=hp)
         # Twiddle slice for this device's m2 columns.
         off = rank.astype(jnp.int32) * (n2 // ds)
         zero = jnp.zeros((), jnp.int32)
@@ -83,8 +89,10 @@ def distributed_halfspec_magnitudes(
         cr = jax.lax.all_to_all(cr, seq_axis, split_axis=1, concat_axis=2, tiled=True)
         ci = jax.lax.all_to_all(ci, seq_axis, split_axis=1, concat_axis=2, tiled=True)
         # Local N2-point DFT over full m2.
-        dr = jnp.einsum("bkm,mj->bkj", cr, c2) - jnp.einsum("bkm,mj->bkj", ci, s2)
-        di = jnp.einsum("bkm,mj->bkj", cr, s2) + jnp.einsum("bkm,mj->bkj", ci, c2)
+        dr = jnp.einsum("bkm,mj->bkj", cr, c2, precision=hp) - jnp.einsum(
+            "bkm,mj->bkj", ci, s2, precision=hp)
+        di = jnp.einsum("bkm,mj->bkj", cr, s2, precision=hp) + jnp.einsum(
+            "bkm,mj->bkj", ci, c2, precision=hp)
         mag = jnp.sqrt(dr * dr + di * di)[:, :, : n2 // 2]  # [bl, n1/ds, n2/2]
 
         # Reassemble full spectra per window: k = k1 + N1*k2.

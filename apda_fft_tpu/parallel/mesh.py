@@ -79,15 +79,21 @@ def analyze_epoch_sharded(
     pad = (-b) % axis_size
     fs_arr = jnp.asarray(fs)
     if pad:
+        # Pad by REPLICATING the last real row (edge mode), not with zeros:
+        # replicated rows behave exactly like their source row through every
+        # detector (zero rows have count==0, which would force the adaptive
+        # dynamic path's whole-epoch rigid fallback on every call, and
+        # lengths==0 rows drive the median through clamped indices).  The
+        # extra rows are sliced off before returning.
         padding = [(0, pad)] + [(0, 0)] * (samples.ndim - 1)
-        samples = jnp.pad(samples, padding)
+        samples = jnp.pad(samples, padding, mode="edge")
         if fs_arr.ndim >= 1:
             fs_pad = [(0, pad)] + [(0, 0)] * (fs_arr.ndim - 1)
-            fs_arr = jnp.pad(fs_arr, fs_pad, constant_values=1.0)
+            fs_arr = jnp.pad(fs_arr, fs_pad, mode="edge")
         if lengths is not None:
             lengths = jnp.asarray(lengths)
             len_pad = [(0, pad)] + [(0, 0)] * (lengths.ndim - 1)
-            lengths = jnp.pad(lengths, len_pad)
+            lengths = jnp.pad(lengths, len_pad, mode="edge")
 
     samples = shard_batch(samples, mesh, batch_axis)
     if fs_arr.ndim >= 1:

@@ -215,3 +215,30 @@ def test_sharded_ragged_lengths_match_single_device():
     assert sharded.count.shape == (b,)
     for name, a, c in zip(sharded._fields, sharded, single):
         assert np.array_equal(np.asarray(a), np.asarray(c)), name
+
+
+def test_sharded_adaptive_uneven_batch_matches_single_device():
+    """Edge-replication padding: adaptive mode on an uneven sharded batch
+    must match single-device exactly and not be poisoned by zero pad rows
+    (which would force the rigid fallback pass on every call)."""
+    from apda_fft_tpu.models.pipeline import analyze_epoch
+
+    mesh = make_mesh(8, ("data",))
+    xs = np.stack([modal_signal(256, 100.0, seed=40 + i) for i in range(5)])
+    fs = np.full((5,), 100.0, np.float32)
+    sharded = analyze_epoch_sharded(xs, fs, mesh=mesh, n_fft=256, mode="adaptive")
+    single = analyze_epoch(
+        xs, fs, n_fft=256, mode="adaptive", backend="matmul", selection="sort",
+        batch_chunk=0,
+    )
+    # Decisions must be exact; continuous outputs may differ by GEMM
+    # reduction-order ulps (the padded batch runs a different matmul shape).
+    for name in ("count", "idx", "n_candidates"):
+        assert np.array_equal(
+            np.asarray(getattr(sharded, name)), np.asarray(getattr(single, name))
+        ), name
+    for name in ("freq", "mag", "prominence", "damping", "q_factor", "refined_freq"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(sharded, name)), np.asarray(getattr(single, name)),
+            rtol=1e-5, atol=1e-6, err_msg=name,
+        )

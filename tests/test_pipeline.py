@@ -272,3 +272,73 @@ def test_pipeline_metrics_include_dynamic_budget():
     pipe2 = SpectralPipeline(PipelineConfig(max_candidates=16))
     pipe2(x, 500.0)
     assert "candidate_budget" not in pipe2.last_metrics
+
+
+def test_exact_freq_adaptive_recovers_per_window_detector():
+    """Adaptive mode: flexible-served windows get 4-dp rounded frequencies,
+    rigid-fallback windows the unrounded value (review finding)."""
+    from apda_fft_tpu.models.batching import analyze_records
+
+    t = np.arange(1024) / 500.0
+    rng = np.random.default_rng(3)
+    peaky = np.sin(2 * np.pi * 12.3 * t) + 0.05 * rng.standard_normal(1024)
+    sharp = np.exp(-2 * np.pi * 30.0 * 0.10 * t) * np.sin(2 * np.pi * 30.0 * t)
+    recs = analyze_records(
+        [(peaky.astype(np.float32), 500.0), (sharp.astype(np.float32), 500.0)],
+        mode="adaptive",
+    )
+    f_flex = recs[0].exact_freq(0, "adaptive")
+    assert f_flex == round(int(recs[0].result.idx[recs[0].row, 0]) * 500.0 / 1024, 4)
+    idx_rigid = int(recs[1].result.idx[recs[1].row, 0])
+    assert recs[1].count > 0 and float(recs[1].result.prominence[recs[1].row, 0]) == 0.0
+    assert recs[1].exact_freq(0, "adaptive") == idx_rigid * (500.0 / 1024)
+
+
+def test_analyze_records_preserves_float64_inputs():
+    from apda_fft_tpu.models.batching import analyze_records
+
+    seen = {}
+
+    def probe(batch, fs, **kw):
+        seen["dtype"] = batch.dtype
+        return analyze_epoch(batch, fs, **kw)
+
+    x = np.random.default_rng(0).standard_normal(1000)
+    analyze_records([(x, 500.0)], analyze=probe, dtype=jnp.float64)
+    assert seen["dtype"] == np.float64
+    analyze_records([(x, 500.0)], analyze=probe)
+    assert seen["dtype"] == np.float32
+
+
+def test_center_auto_matches_always_under_large_dc_offset():
+    """A gravity-scale raw offset must not perturb peak decisions on the
+    centering-skip path (mean is now subtracted there)."""
+    t = np.arange(4096) / 500.0
+    rng = np.random.default_rng(5)
+    x = (5000.0 + np.sin(2 * np.pi * 12.3 * t) + 0.6 * np.sin(2 * np.pi * 47.7 * t)
+         + 0.05 * rng.standard_normal(4096)).astype(np.float32)[None, :]
+    auto = analyze_epoch(x, 500.0, center="auto")
+    always = analyze_epoch(x, 500.0, center="always")
+    assert np.array_equal(np.asarray(auto.idx), np.asarray(always.idx))
+    assert int(auto.count[0]) == 2
+
+    import pytest
+
+    with pytest.raises(ValueError, match="center"):
+        analyze_epoch(x, 500.0, center="bogus")
+
+
+def test_zero_rounded_magnitude_shoulder_rejected_not_inf():
+    """A shoulder whose stored magnitude rounds to 0 at 4 decimals must be
+    rejected, not accepted via an inf prominence ratio (the reference raised
+    ZeroDivisionError and dropped the whole window; documented divergence)."""
+    from apda_fft_tpu.ops.peaks_prominence import prominence_peaks
+
+    h = 256
+    m = np.full(h, 1e-6, np.float64)
+    m[0] = 0.0
+    m[100] = 4.9e-5  # dominant peak, rounds to 0.0 at 4 dp
+    m[103] = 1.0e-5  # shoulder within 3% relative frequency
+    res = prominence_peaks(jnp.asarray(m, jnp.float32), 500.0, 2 * h)
+    got_idx = [int(i) for i in np.asarray(res.idx)[: int(res.count)]]
+    assert 100 in got_idx and 103 not in got_idx
