@@ -15,7 +15,7 @@ from __future__ import annotations
 import concurrent.futures
 import threading
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable
 
 
@@ -25,7 +25,6 @@ class _Job:
     on_done: Callable[[object], None]
     deadline: float
     label: str = ""
-    abandoned: bool = field(default=False)
 
 
 class AsyncUploadManager:
@@ -75,7 +74,6 @@ class AsyncUploadManager:
                     done.append((job, result))
                     applied += 1
                 elif now > job.deadline:
-                    job.abandoned = True
                     # Drop never-started queued jobs so hung workers don't
                     # also starve the queue; running jobs can't be interrupted
                     # but their late results are ignored.

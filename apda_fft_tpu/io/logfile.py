@@ -19,7 +19,6 @@ is the system's only durability mechanism (SURVEY.md section 5).
 from __future__ import annotations
 
 import dataclasses
-import math
 import os
 
 import numpy as np
@@ -88,23 +87,12 @@ def load_sensor_log(filepath: str | os.PathLike) -> SensorLog | None:
     firsts = lines[3].strip().split(";")
 
     # Sample region (rows 4+): hot path, natively parsed when the C++
-    # data-loader is available (csrc/apda_io.cc), Python fallback otherwise.
+    # data-loader is available (csrc/apda_io.cc); parse_samples itself
+    # carries the NumPy fallback, so the token rules live in exactly two
+    # places (C and the fallback), not three.
     from apda_fft_tpu.io import native
 
-    if native.available():
-        samples = native.parse_samples("".join(lines[4:])).tolist()
-    else:
-        samples = []
-        for line in lines[4:]:
-            for tok in line.strip().split(";"):
-                if not tok:
-                    continue
-                try:
-                    v = float(tok)
-                except ValueError:
-                    continue
-                if math.isfinite(v):
-                    samples.append(v)
+    samples = native.parse_samples("".join(lines[4:])).tolist()
 
     return SensorLog(
         timestamp=header[0],

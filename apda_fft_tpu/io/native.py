@@ -43,7 +43,12 @@ def load() -> ctypes.CDLL | None:
         if _lib is not None or _load_failed:
             return _lib
         try:
-            if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC):
+            # Rebuild when the source is present and newer; a deployment
+            # shipping only the prebuilt .so (no csrc/) must still load it.
+            if not os.path.exists(_LIB_PATH) or (
+                os.path.exists(_SRC)
+                and os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)
+            ):
                 _build()
             lib = ctypes.CDLL(_LIB_PATH)
             lib.apda_decode_half.restype = ctypes.c_long
@@ -118,7 +123,9 @@ def parse_samples(text: str) -> np.ndarray:
             if np.isfinite(v):
                 out.append(v)
         return np.asarray(out, np.float64)
-    out = np.empty(max(len(data) // 2, 16), np.float64)
+    # Max token count for L bytes is (L+1)//2 (1-char tokens + separators):
+    # len//2 alone undersized the buffer and silently dropped the last sample.
+    out = np.empty(max(len(data) // 2 + 1, 16), np.float64)
     n = lib.apda_parse_samples(
         data, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(out)
     )

@@ -22,6 +22,8 @@ def frame_records(records: jnp.ndarray, window: int, hop: int) -> jnp.ndarray:
     W = floor((T - window) / hop) + 1; windows may overlap (hop < window).
     """
     t = records.shape[-1]
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
     if window > t:
         raise ValueError(f"window {window} longer than record {t}")
     if hop < 1:

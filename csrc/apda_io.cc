@@ -44,12 +44,14 @@ long apda_decode_half(const uint8_t* buf, long n_bytes, double first, double* ou
 
 // Render samples as the log-file token stream "v1;v2;...;" using "%8.6f".
 // Returns bytes written (excluding NUL), or -1 if cap would overflow.
+// snprintf returns the UNtruncated length, so w >= cap-used means the token
+// was clipped: that must report overflow (the caller falls back to Python),
+// never return silently corrupt bytes destined for an acquisition log.
 long apda_format_samples(const double* vals, long n, char* out, long cap) {
   long used = 0;
   for (long i = 0; i < n; ++i) {
-    if (used + 32 > cap) return -1;
     const int w = snprintf(out + used, (size_t)(cap - used), "%8.6f;", vals[i]);
-    if (w < 0) return -1;
+    if (w < 0 || (long)w >= cap - used) return -1;
     used += w;
   }
   return used;
@@ -58,24 +60,30 @@ long apda_format_samples(const double* vals, long n, char* out, long cap) {
 // Parse a ';'-separated sample region (log-file rows 4+): numeric tokens
 // become samples, non-finite values are dropped, anything unparsable
 // (e.g. "* MISSING PACKETS ... *" markers) is skipped - load_data.py:67-77.
+//
+// Tokens are parsed in place (the ctypes buffer is NUL-terminated and ';'
+// / '\n' stop strtod anyway), so there is no token-length limit; a fixed
+// 64-byte copy here once truncated long tokens to wrong values.  Tokens
+// containing 'x'/'X' are rejected up front: strtod accepts hex floats that
+// Python's float() (the fallback and the reference) does not.
 long apda_parse_samples(const char* text, long len, double* out, long cap) {
   long count = 0;
   long i = 0;
   while (i < len && count < cap) {
     // token spans up to the next ';' or newline
     long j = i;
-    while (j < len && text[j] != ';' && text[j] != '\n') ++j;
-    if (j > i) {
-      char tmp[64];
-      const long tl = j - i < 63 ? j - i : 63;
-      memcpy(tmp, text + i, (size_t)tl);
-      tmp[tl] = '\0';
+    bool hexlike = false;
+    while (j < len && text[j] != ';' && text[j] != '\n') {
+      if (text[j] == 'x' || text[j] == 'X') hexlike = true;
+      ++j;
+    }
+    if (j > i && !hexlike) {
       char* end = nullptr;
-      const double v = strtod(tmp, &end);
-      if (end && end != tmp) {
+      const double v = strtod(text + i, &end);
+      if (end && end != text + i && end <= text + j) {
         // token must be fully consumed (modulo trailing spaces)
-        while (*end == ' ' || *end == '\r' || *end == '\t') ++end;
-        if (*end == '\0' && std::isfinite(v)) out[count++] = v;
+        while (end < text + j && (*end == ' ' || *end == '\r' || *end == '\t')) ++end;
+        if (end == text + j && std::isfinite(v)) out[count++] = v;
       }
     }
     i = j + 1;

@@ -68,3 +68,42 @@ def test_native_is_faster_than_python_formatting(lib):
     t_native = best(lambda: native.format_samples(vals))
     t_py = best(lambda: "".join(s + ";" for s in halffloat.format_samples(vals)))
     assert t_native < t_py, (t_native, t_py)
+
+
+def test_parse_samples_exact_token_count_and_long_tokens():
+    """Round-2 review repros: 40 one-char tokens must yield 40 samples (the
+    out buffer was undersized); 64+-char tokens must parse exactly (a fixed
+    64-byte copy truncated them to wrong values); hex-float tokens must be
+    skipped like the Python fallback does."""
+    from apda_fft_tpu.io import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+
+    got = native.parse_samples(";".join(["1"] * 40))
+    assert len(got) == 40 and all(v == 1.0 for v in got)
+
+    long_tok = "1" * 64
+    got = native.parse_samples(long_tok + ";2.0")
+    assert got.tolist() == [float(long_tok), 2.0]
+
+    got = native.parse_samples("1" * 62 + "e10;2.0")
+    assert got.tolist() == [float("1" * 62 + "e10"), 2.0]
+
+    assert native.parse_samples("0x1A;2.0").tolist() == [2.0]
+    assert native.parse_samples("0X2;3.0").tolist() == [3.0]
+
+
+def test_format_samples_truncation_falls_back():
+    """Oversized values must fall back to the exact Python renderer, never
+    emit snprintf-clipped bytes into an acquisition log."""
+    import numpy as np
+
+    from apda_fft_tpu.io import halffloat, native
+
+    for vals in (np.array([1e300]), np.full(9, 1e25), np.array([-1e308, 1.5])):
+        got = native.format_samples(vals)
+        want = "".join(s + ";" for s in halffloat.format_samples(vals))
+        assert got == want
