@@ -7,8 +7,9 @@ Baseline: the reference numerical core measures 103 windows/s at N=4096
 (flexible mode, one CPU core; BASELINE.md).  Target: >=1000x on one TPU chip.
 
 Run directly on TPU hardware (does not force the CPU platform).
-Env knobs: APDA_BENCH_BATCH (default 2048), APDA_BENCH_BACKEND (default auto:
-best of xla/matmul/pallas), APDA_BENCH_REPS (default 10).
+Env knobs: APDA_BENCH_BATCH (default 2048), APDA_BENCH_BACKEND (default
+matmul - the measured-fastest backend; set "auto" to sweep
+xla/matmul/pallas and report the best), APDA_BENCH_REPS (default 10).
 """
 
 from __future__ import annotations

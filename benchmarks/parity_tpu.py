@@ -32,12 +32,14 @@ if _ROOT not in sys.path:
 def run_corpus() -> dict:
     import numpy as np
 
-    from apda_fft_tpu import analyze_epoch
     from tests.oracle import oracle_analyze
     from tests.signals import modal_signal
-    from tests.test_peaks_match import CORPUS
+    # Reuse the CPU suite's corpus AND its device-dispatch helper so this
+    # gate can never silently diverge from the tests it mirrors.
+    from tests.test_peaks_match import CORPUS, _run_device
 
     import jax
+    import jax.numpy as jnp
 
     failures = []
     total = 0
@@ -46,15 +48,7 @@ def run_corpus() -> dict:
             total += 1
             x = modal_signal(n, fs, seed=seed)
             ref = oracle_analyze(x, fs, mode=mode)
-            n_fft = 1 << (n - 1).bit_length()
-            if n == n_fft:
-                res = analyze_epoch(x[None, :], fs, mode=mode)
-            else:
-                padded = np.zeros(n_fft)
-                padded[:n] = x
-                res = analyze_epoch(
-                    padded[None, :], fs, mode=mode, lengths=np.array([n])
-                )
+            res, _n_fft = _run_device(x, fs, mode, jnp.float32)
             got_count = int(res.count[0])
             got_idx = [int(i) for i in np.asarray(res.idx[0])[:got_count]]
             ref_idx = [p["idx"] for p in ref]

@@ -162,11 +162,16 @@ def main() -> None:
     from apda_fft_tpu.utils.watchdog import connect_with_watchdog
 
     connect_with_watchdog()
+    failures = 0
     for num in (int(c) for c in args.configs.split(",")):
         try:
             print(json.dumps(run_config(num, args.backend)), flush=True)
         except Exception as exc:  # noqa: BLE001
+            failures += 1
             print(f"# config {num} failed: {exc}", file=sys.stderr, flush=True)
+    if failures:
+        # Missing BASELINE lines must not read as a clean round to automation.
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -41,6 +41,14 @@ def main() -> None:
         if os.path.exists(os.path.join(spool, "STOP")):
             print("[worker] STOP found, exiting", flush=True)
             return
+        # Skip files modified within the last poll interval: a job dropped
+        # non-atomically (scp, `cat >`) could otherwise be exec'd while
+        # half-written and consumed as a bogus error.
+        now = time.time()
+        jobs = [
+            f for f in jobs
+            if now - os.path.getmtime(os.path.join(spool, f)) >= 1.0
+        ]
         if not jobs:
             time.sleep(1.0)
             continue
@@ -60,8 +68,15 @@ def main() -> None:
             ]:
                 del sys.modules[mod]
             src = open(path).read()
+            # __name__/__file__ make main-guarded scripts (bench.py etc.)
+            # actually run instead of silently no-opping via the builtins
+            # __name__ fallback.
+            job_globals = {
+                "__name__": "__main__", "__file__": path,
+                "jax": jax, "jnp": jnp, "np": np,
+            }
             with contextlib.redirect_stdout(buf), contextlib.redirect_stderr(buf):
-                exec(compile(src, path, "exec"), {"jax": jax, "jnp": jnp, "np": np})
+                exec(compile(src, path, "exec"), job_globals)
             status = "ok"
         except KeyboardInterrupt:
             raise
