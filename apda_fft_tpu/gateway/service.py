@@ -313,30 +313,34 @@ class GatewayService:
         # the in-progress stream (defect-8 fix: save/restore around the
         # self-contained fast-path file).
         prev_open = self.open_file.get(addr)
-        header = packets.parse_reduced_header(list(payload))
-        filename = os.path.join(
-            self.config.data_dir, f"{addr}_{t.strftime('%d_%m_%Y_%H_%M_%S')}_reduced.log"
-        )
-        with open(filename, "w+") as fh:
-            fh.write(f"{header.time};{header.range};{header.odr};{header.axis_file};\n")
-            fh.write(f"{header.sync};\n")
-            # Stub summary/first-value rows so the file meets the parser's
-            # 5-line contract.  The reference wrote only the 2 header rows
-            # (GT_FFT_v5.py:496-501), leaving reduced files unparseable by
-            # its own load_sensor - with Influx actually wired here, the
-            # stub rows make the reduced fast-path data servable
-            # (documented divergence, docs/PARITY.md).
-            fh.write("0;0;0;0;0;\n")
-            fh.write("0;0;0;\n")
-        self.open_file[addr] = filename  # register before writing (defect-3 fix)
-        self._append_stream_samples(payload, 11, addr, first_value=0.0)
-        name = os.path.basename(filename)
-        self.influx_queue.setdefault(addr, []).append(name)
-        self.ftp_queue.setdefault(addr, []).append(name)
-        if prev_open is not None:
-            self.open_file[addr] = prev_open
-        else:
-            self.open_file.pop(addr, None)
+        try:
+            header = packets.parse_reduced_header(list(payload))
+            filename = os.path.join(
+                self.config.data_dir, f"{addr}_{t.strftime('%d_%m_%Y_%H_%M_%S')}_reduced.log"
+            )
+            with open(filename, "w+") as fh:
+                fh.write(f"{header.time};{header.range};{header.odr};{header.axis_file};\n")
+                fh.write(f"{header.sync};\n")
+                # Stub summary/first-value rows so the file meets the parser's
+                # 5-line contract.  The reference wrote only the 2 header rows
+                # (GT_FFT_v5.py:496-501), leaving reduced files unparseable by
+                # its own load_sensor - with Influx actually wired here, the
+                # stub rows make the reduced fast-path data servable
+                # (documented divergence, docs/PARITY.md).
+                fh.write("0;0;0;0;0;\n")
+                fh.write("0;0;0;\n")
+            self.open_file[addr] = filename  # register before writing (defect-3 fix)
+            self._append_stream_samples(payload, 11, addr, first_value=0.0)
+            name = os.path.basename(filename)
+            self.influx_queue.setdefault(addr, []).append(name)
+            self.ftp_queue.setdefault(addr, []).append(name)
+        finally:
+            # Restore even if the handler raised (step()'s catch-all would
+            # otherwise leave the stream pointing at the fast-path file).
+            if prev_open is not None:
+                self.open_file[addr] = prev_open
+            else:
+                self.open_file.pop(addr, None)
 
     def _on_shock(self, payload: bytes, addr: str) -> None:
         t = self.clock()
@@ -345,37 +349,40 @@ class GatewayService:
         # reference destroyed (defect-8 fix, see _on_reduced).
         prev_open = self.open_file.get(addr)
         prev_baseline = self.baseline.get(addr)
-        header = packets.parse_shock_header(list(payload))
-        filename = os.path.join(
-            self.config.data_dir, f"{addr}_{t.strftime('%d_%m_%Y_%H_%M_%S')}_shock.log"
-        )
-        self.open_file[addr] = filename
-        with open(filename, "w+") as fh:
-            # "100 Hz" with the standard spacing: the reference wrote
-            # "100Hz", which its parser's strip(" Hz") cannot convert.
-            fh.write(f"{header.time};2g;100 Hz;Unknown_axis; \n")
-            # 5-token summary row: the reference wrote "0;0;0;0;" whose
-            # missing humidity token made float(summary[4]) raise inside its
-            # own load_sensor, so shock files could never be served
-            # (GT_FFT_v5.py:531-535 + utils/load_data.py:58).  Divergence
-            # documented in docs/PARITY.md.
-            fh.write("Asynced;\n0;0;0;0;0;\n0;0;0;\n")
-        self._append_stream_samples(payload, 4, addr, first_value=0.0)
+        try:
+            header = packets.parse_shock_header(list(payload))
+            filename = os.path.join(
+                self.config.data_dir, f"{addr}_{t.strftime('%d_%m_%Y_%H_%M_%S')}_shock.log"
+            )
+            with open(filename, "w+") as fh:
+                # "100 Hz" with the standard spacing: the reference wrote
+                # "100Hz", which its parser's strip(" Hz") cannot convert.
+                fh.write(f"{header.time};2g;100 Hz;Unknown_axis; \n")
+                # 5-token summary row: the reference wrote "0;0;0;0;" whose
+                # missing humidity token made float(summary[4]) raise inside its
+                # own load_sensor, so shock files could never be served
+                # (GT_FFT_v5.py:531-535 + utils/load_data.py:58).  Divergence
+                # documented in docs/PARITY.md.
+                fh.write("Asynced;\n0;0;0;0;0;\n0;0;0;\n")
+            self.open_file[addr] = filename
+            self._append_stream_samples(payload, 4, addr, first_value=0.0)
 
-        name = os.path.basename(filename)
-        self.ftp_queue.setdefault(addr, []).append(name)
-        self.influx_queue.setdefault(addr, []).append(name)
-        self._flush_influx(addr)
-        uploaded = self._flush_ftp(addr)
-        self._prune(self.ftp_queue, addr, uploaded)
-        if prev_open is not None:
-            self.open_file[addr] = prev_open
-        else:
-            self.open_file.pop(addr, None)
-        if prev_baseline is not None:
-            self.baseline[addr] = prev_baseline
-        else:
-            self.baseline.pop(addr, None)
+            name = os.path.basename(filename)
+            self.ftp_queue.setdefault(addr, []).append(name)
+            self.influx_queue.setdefault(addr, []).append(name)
+            self._flush_influx(addr)
+            uploaded = self._flush_ftp(addr)
+            self._prune(self.ftp_queue, addr, uploaded)
+        finally:
+            # Restore even if the handler raised (see _on_reduced).
+            if prev_open is not None:
+                self.open_file[addr] = prev_open
+            else:
+                self.open_file.pop(addr, None)
+            if prev_baseline is not None:
+                self.baseline[addr] = prev_baseline
+            else:
+                self.baseline.pop(addr, None)
 
     def _on_unknown(self, payload: bytes, addr: str) -> None:
         t = self.clock()

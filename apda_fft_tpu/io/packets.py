@@ -120,7 +120,10 @@ def parse_sync_info(p) -> SyncInfo:
     # guarded): a radio-truncated heartbeat must degrade to None fields, not
     # IndexError out of the sync handler and cost the sensor its sync reply.
     return SyncInfo(
-        datetime=f"{p[1]:x}-{p[2]:x}-{p[3]:x} {p[4]:x}:{p[5]:x}:{p[6]:x}",
+        datetime=(
+            f"{p[1]:x}-{p[2]:x}-{p[3]:x} {p[4]:x}:{p[5]:x}:{p[6]:x}"
+            if len(p) > 6 else "truncated"
+        ),
         battery=((p[32] + (p[33] << 8)) * 0.001) if len(p) > 33 else None,
         rssi=-p[34] if len(p) > 34 else None,
         temp=((p[35] + (p[36] << 8)) * 0.01) if len(p) > 36 else None,

@@ -92,8 +92,11 @@ def analyze_records(
 
     # Host buffers honor a requested compute dtype: building them as float32
     # under dtype=float64 would truncate the inputs before the high-precision
-    # path ever saw them.
+    # path ever saw them.  The dtype may arrive as a kwarg or be carried by a
+    # SpectralPipeline passed as ``analyze``.
     req = kwargs.get("dtype")
+    if req is None:
+        req = getattr(getattr(analyze, "config", None), "dtype", None)
     host_dtype = (
         np.float64 if req is not None and np.dtype(req) == np.float64 else np.float32
     )

@@ -17,11 +17,19 @@ import jax
 
 
 class EpochMetrics:
-    """Capture process/wall/%CPU/RSS around a device computation."""
+    """Capture process/wall/%CPU/RSS around a device computation.
 
-    def __init__(self):
+    ``history`` is bounded (a deque): a run_forever gateway measures every
+    epoch for months, so an unbounded list would be a slow memory leak.
+    """
+
+    def __init__(self, history_len: int = 256):
+        import collections
+
         self.last: dict[str, float] = {}
-        self.history: list[dict[str, float]] = []
+        self.history: "collections.deque[dict[str, float]]" = collections.deque(
+            maxlen=history_len
+        )
 
     @contextlib.contextmanager
     def measure(self):

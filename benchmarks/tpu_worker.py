@@ -45,10 +45,14 @@ def main() -> None:
         # non-atomically (scp, `cat >`) could otherwise be exec'd while
         # half-written and consumed as a bogus error.
         now = time.time()
-        jobs = [
-            f for f in jobs
-            if now - os.path.getmtime(os.path.join(spool, f)) >= 1.0
-        ]
+
+        def _settled(f):
+            try:
+                return now - os.path.getmtime(os.path.join(spool, f)) >= 1.0
+            except OSError:
+                return False  # deleted/renamed between listdir and stat
+
+        jobs = [f for f in jobs if _settled(f)]
         if not jobs:
             time.sleep(1.0)
             continue

@@ -766,3 +766,37 @@ def test_async_mixed_outcome_keeps_file_for_api_retry(tmp_path):
     svc.drain()
     svc.uploader.drain(timeout=5.0)
     assert api_posts == files
+
+
+def test_shock_handler_exception_restores_stream_state(tmp_path, monkeypatch):
+    """If the shock handler raises mid-way, the try/finally must still
+    restore the in-progress stream's open_file/baseline (round-2 review)."""
+    from apda_fft_tpu.gateway import service as svc_mod
+
+    svc, transport, _, _ = make_service(tmp_path)
+    sim = SensorSimulator(MAC, fs=500.0, axis="X", chunk=100)
+    x = two_mode_signal(1024, 500.0)
+    sim.stream_acquisition(transport, x, baseline=0.25, truncate_after=4)
+    svc.drain()
+    open_before = svc.open_file[MAC]
+
+    def boom(p):
+        raise RuntimeError("simulated handler crash")
+
+    monkeypatch.setattr(svc_mod.packets, "parse_shock_header", boom)
+    sim.shock_event(transport, np.sin(np.arange(50) * 0.3))
+    svc.drain()  # step() swallows the crash
+    assert svc.open_file.get(MAC) == open_before
+    assert svc.baseline.get(MAC) == 0.25
+
+
+def test_sub7_byte_heartbeat_degrades(tmp_path):
+    """A heartbeat truncated below the datetime bytes must still produce a
+    sync reply (datetime reported as 'truncated')."""
+    svc, transport, _, _ = make_service(tmp_path)
+    transport.push(bytes([0xA1, 1, 2]), MAC)
+    transport.push(bytes([0xA1]), MAC)
+    svc.drain()
+    history = open(svc.config.logger_file).read()
+    assert history.count("Sync sent") >= 2
+    assert "truncated" in history
