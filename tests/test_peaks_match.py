@@ -175,3 +175,17 @@ def test_noisy_long_windows_exceed_static_budget():
         assert got == [p["idx"] for p in ref], seed
         # the diagnostic exposes the pre-budget candidate count
         assert int(res.n_candidates[0]) > 32
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_alternate_backends_decision_parity(backend):
+    """The non-default FFT backends must produce the same peak decisions as
+    the float64 oracle on representative corpus cases (the parity gate runs
+    the matmul default; spectra-level accuracy alone doesn't pin decisions)."""
+    for n, fs, seed in [(1024, 500.0, 0), (4096, 500.0, 3), (2048, 62.5, 6)]:
+        x = modal_signal(n, fs, seed=seed)
+        for mode in ("flexible", "rigid"):
+            ref = oracle_analyze(x, fs, mode=mode)
+            res = analyze_epoch(x[None, :], fs, mode=mode, backend=backend)
+            got = [int(i) for i in np.asarray(res.idx[0])[: int(res.count[0])]]
+            assert got == [p["idx"] for p in ref], (backend, mode, n, seed)
