@@ -29,6 +29,12 @@ def frame_records(records: jnp.ndarray, window: int, hop: int) -> jnp.ndarray:
     if hop < 1:
         raise ValueError("hop must be >= 1")
     w = (t - window) // hop + 1
+    if hop == window:
+        # Non-overlapping framing is a pure reshape (after trimming any
+        # ragged tail) - no gather.  TPU gathers are expensive; the gather
+        # below is only needed when windows genuinely overlap.
+        trimmed = records[..., : w * window]
+        return trimmed.reshape(*records.shape[:-1], w, window)
     starts = jnp.arange(w) * hop
     idx = starts[:, None] + jnp.arange(window)[None, :]  # [W, window]
     return records[..., idx]
