@@ -70,6 +70,7 @@ def test_fuzz_resolution(seed):
     assert got_idx == [p["idx"] for p in ref], (seed, h, fs)
 
 
+@pytest.mark.slow
 def test_dynamic_budget_always_matches_unbounded():
     """Property sweep: across signal families and sizes, the dynamic default
     must decide identically to a huge static budget, and the sticky cache

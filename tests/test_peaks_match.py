@@ -75,6 +75,7 @@ def test_peak_indices_match_oracle_f32(case, mode):
             assert float(res.q_factor[0, slot]) == pytest.approx(p["q-factor"], rel=1e-3)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["flexible", "rigid"])
 def test_randomized_sweep_f32(mode):
     """Wider randomized sweep: every window's decisions must match the oracle."""
@@ -133,6 +134,7 @@ def test_selection_paths_agree_on_ties():
     np.testing.assert_array_equal(np.asarray(a.idx), np.asarray(b.idx))
 
 
+@pytest.mark.slow
 def test_scan_impls_agree_exhaustively():
     """Sparse-table doubling scans == masked reductions on adversarial spectra."""
     from apda_fft_tpu.ops.peaks_prominence import prominence_peaks
@@ -177,6 +179,7 @@ def test_noisy_long_windows_exceed_static_budget():
         assert int(res.n_candidates[0]) > 32
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("backend", ["xla", "pallas"])
 def test_alternate_backends_decision_parity(backend):
     """The non-default FFT backends must produce the same peak decisions as
