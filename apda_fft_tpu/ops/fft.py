@@ -103,6 +103,14 @@ def _twiddle_tables(n1: int, n2: int, dtype_name: str) -> tuple[np.ndarray, np.n
     return np.cos(ang).astype(dtype_name), np.sin(ang).astype(dtype_name)
 
 
+@functools.lru_cache(maxsize=None)
+def _untwist_tables(n: int, dtype_name: str) -> tuple[np.ndarray, np.ndarray]:
+    """(cos, sin) of W_N^k = exp(-2i*pi*k/N) for k = 0..N/2-1 (rfft untwist)."""
+    k = np.arange(n // 2, dtype=np.int64)
+    ang = (-2.0 * np.pi / n) * k.astype(np.float64)
+    return np.cos(ang).astype(dtype_name), np.sin(ang).astype(dtype_name)
+
+
 def split_pow2(n: int) -> tuple[int, int]:
     """Factor a power of two as N1*N2 with N1 >= N2, both powers of two."""
     log = n.bit_length() - 1
@@ -171,6 +179,83 @@ def fft_matmul_real(
     # Step 4: output index k = k1 + N1*k2 -> transpose (k1,k2) -> (k2,k1) and flatten.
     re = jnp.swapaxes(dr, -1, -2).reshape(*x.shape[:-1], n_out)
     im = jnp.swapaxes(di, -1, -2).reshape(*x.shape[:-1], n_out)
+    return re, im
+
+
+def rfft_packed_matmul(
+    x: jnp.ndarray, precision=jax.lax.Precision.HIGHEST
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """First N/2 DFT bins of real ``x`` [..., N] as (re, im), packed algorithm.
+
+    The classic real-input trick the plain four-step leaves on the table:
+    pack adjacent sample pairs into one complex sequence z[m] = x[2m] +
+    i*x[2m+1] of length N/2, transform THAT with the four-step (N/2 = n1*n2),
+    and untwist:
+
+        E[k] = (Z[k] + conj(Z[(N/2-k) mod N/2])) / 2        (even-sample DFT)
+        O[k] = -i*(Z[k] - conj(Z[(N/2-k) mod N/2])) / 2      (odd-sample DFT)
+        X[k] = E[k] + W_N^k * O[k],   k = 0..N/2-1
+
+    vs :func:`fft_matmul_real` ``half=True`` this cuts step-3 matmul MACs 2x
+    (transform length halved; all N/2 bins of Z are needed so there is no
+    half-output slack left) and halves every post-step-1 intermediate, at the
+    cost of a handful of elementwise lane ops (two stride-2 deinterleaves, a
+    flip+roll reversal, the untwist FMA chain).  Total MACs per window:
+    2*N*n1 + 4*(N/2)*n2 vs 2*N*(n1+n2).
+
+    The deinterleave never touches the input: x reshaped to [n1, 2*n2] feeds
+    step 1 directly (the even/odd structure surfaces only in the OUTPUT
+    columns of the step-1 products, where the slices are cheap relative to
+    the matmuls).
+
+    Reference contract as elsewhere (``metrics/fft_iterativa.py:38-70``);
+    accuracy vs numpy.rfft is the same class as the plain four-step
+    (tables f64-computed; see tests/test_fft.py).
+    """
+    n = x.shape[-1]
+    if not is_pow2(n) or n < 4:
+        raise ValueError(f"packed rfft requires power-of-two length >= 4, got {n}")
+    dtype = x.dtype.name
+    nh = n // 2
+    n1, n2 = split_pow2(nh)
+
+    c1, s1 = (jnp.asarray(t) for t in _dft_tables(n1, dtype))
+    c2, s2 = (jnp.asarray(t) for t in _dft_tables(n2, dtype))
+    tc, ts = (jnp.asarray(t) for t in _twiddle_tables(n1, n2, dtype))
+    wc, ws = (jnp.asarray(t) for t in _untwist_tables(n, dtype))
+
+    # z[m] = x[2m] + i*x[2m+1], m = m2 + n2*m1.  u[m1, j] = x[j + 2*n2*m1]
+    # (pure reshape): column j = 2*m2 + c holds component c of z[m2 + n2*m1].
+    u = x.reshape(*x.shape[:-1], n1, 2 * n2)
+    # Step 1: DFT over m1 for all interleaved columns at once.
+    p = jnp.einsum("kn,...nj->...kj", c1, u, precision=precision)
+    q = jnp.einsum("kn,...nj->...kj", s1, u, precision=precision)
+    pr, pi = p[..., 0::2], p[..., 1::2]
+    qr, qi = q[..., 0::2], q[..., 1::2]
+    br = pr - qi  # Re(DFT_{n1} z) = c1@zr - s1@zi
+    bi = qr + pi  # Im(DFT_{n1} z) = s1@zr + c1@zi
+    # Step 2: twiddle W_{N/2}^{k1*m2}.
+    cr = br * tc - bi * ts
+    ci = br * ts + bi * tc
+    # Step 3: DFT over m2 (complex), all n2 output columns.
+    zr = jnp.einsum("...km,mj->...kj", cr, c2, precision=precision) - jnp.einsum(
+        "...km,mj->...kj", ci, s2, precision=precision
+    )
+    zi = jnp.einsum("...km,mj->...kj", cr, s2, precision=precision) + jnp.einsum(
+        "...km,mj->...kj", ci, c2, precision=precision
+    )
+    # Step 4: Z[k], k = k1 + n1*k2.
+    zr = jnp.swapaxes(zr, -1, -2).reshape(*x.shape[:-1], nh)
+    zi = jnp.swapaxes(zi, -1, -2).reshape(*x.shape[:-1], nh)
+    # Untwist.  rev[k] = (N/2 - k) mod N/2 is a flip followed by a 1-roll.
+    zr_rev = jnp.roll(jnp.flip(zr, axis=-1), 1, axis=-1)
+    zi_rev = jnp.roll(jnp.flip(zi, axis=-1), 1, axis=-1)
+    er = 0.5 * (zr + zr_rev)
+    ei = 0.5 * (zi - zi_rev)
+    our = 0.5 * (zi + zi_rev)
+    oi = 0.5 * (zr_rev - zr)
+    re = er + wc * our - ws * oi
+    im = ei + wc * oi + ws * our
     return re, im
 
 
