@@ -28,10 +28,11 @@ from apda_fft_tpu.ops.fft import (
     halfspec_magnitudes,
     next_pow2,
 )
+from apda_fft_tpu.ops.latency_pallas import analyze_window_lowlat
 from apda_fft_tpu.ops.peaks_prominence import ProminencePeaks, prominence_peaks
 from apda_fft_tpu.ops.peaks_resolution import ResolutionPeaks, resolution_peaks
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "EpochResult",
@@ -43,6 +44,7 @@ __all__ = [
     "analyze_epoch",
     "analyze_records",
     "analyze_stream",
+    "analyze_window_lowlat",
     "center_and_pad",
     "frame_records",
     "default_k",
