@@ -57,6 +57,42 @@ def run_corpus() -> dict:
                     {"mode": mode, "n": n, "fs": fs, "seed": seed,
                      "got": got_idx, "want": ref_idx}
                 )
+
+    # Second section: the fused single-window latency kernel
+    # (apda_fft_tpu.analyze_window_lowlat) over the full-window corpus cases
+    # at its latency-use-case sizes.  The budget mirrors the dynamic
+    # contract: re-run larger iff n_candidates overflowed (cap 64 - a cap
+    # overflow is recorded as a failure, never skipped silently).
+    from apda_fft_tpu.ops.latency_pallas import analyze_window_lowlat
+
+    for mode in ("flexible", "rigid"):
+        for n, fs, seed in CORPUS:
+            if n & (n - 1) or n > 8192:
+                continue  # latency path: full pow2 windows at latency-use-case sizes
+            total += 1
+            x = modal_signal(n, fs, seed=seed).astype(np.float32)
+            ref = oracle_analyze(x, fs, mode=mode)
+            budget = 8
+            while True:
+                res = analyze_window_lowlat(
+                    x, fs, n_fft=n, mode=mode, max_candidates=budget
+                )
+                n_cand = int(res.n_candidates[0])
+                # The budget bounds only the flexible detector's scan slots;
+                # the rigid greedy loop is unbounded in the kernel.
+                if mode == "rigid" or n_cand <= budget or budget >= 64:
+                    break
+                budget = min(64, max(2 * budget, 1 << (n_cand - 1).bit_length()))
+            truncated = mode == "flexible" and n_cand > budget
+            got_count = int(res.count[0])
+            got_idx = [int(i) for i in np.asarray(res.idx[0])[:got_count]]
+            ref_idx = [p["idx"] for p in ref]
+            if got_idx != ref_idx or truncated:
+                failures.append(
+                    {"mode": mode, "n": n, "fs": fs, "seed": seed, "path": "lowlat",
+                     "got": got_idx, "want": ref_idx, "n_candidates": n_cand,
+                     "budget": budget}
+                )
     return {
         "metric": "oracle_parity_tpu",
         "pass": total - len(failures),

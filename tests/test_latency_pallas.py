@@ -79,6 +79,27 @@ def test_lowlat_validation_errors():
         analyze_window_lowlat(x, 500.0, mode="adaptive")
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["rigid", "flexible"])
+def test_lowlat_matches_float64_oracle(mode):
+    """End-to-end oracle parity for the fused kernel (corpus subset).
+
+    Mirrors tests/test_peaks_match.py for the latency path; the full-corpus
+    on-hardware version runs in benchmarks/parity_tpu.py each round.
+    """
+    from tests.oracle import oracle_analyze
+    from tests.signals import modal_signal
+
+    for n, fs, seed in ((1024, 500.0, 0), (4096, 500.0, 3), (2048, 62.5, 6)):
+        x = modal_signal(n, fs, seed=seed).astype(np.float32)
+        ref = oracle_analyze(x, fs, mode=mode)
+        res = analyze_window_lowlat(x, fs, n_fft=n, mode=mode, max_candidates=16)
+        assert int(res.n_candidates[0]) <= 16
+        got_count = int(res.count[0])
+        got_idx = [int(i) for i in np.asarray(res.idx[0])[:got_count]]
+        assert got_idx == [p["idx"] for p in ref], (n, fs, seed)
+
+
 def test_lowlat_budget_overflow_reported():
     # Pure noise has many threshold-crossing maxima; a tiny budget truncates
     # and must report the true pre-budget count for the caller's re-run.
