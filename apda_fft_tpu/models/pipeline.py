@@ -269,6 +269,7 @@ def analyze_epoch(
     center: str = "auto",
     selection: str = "auto",
     batch_chunk: int = 2048,
+    lowlat: str = "auto",
 ) -> EpochResult:
     """Analyze one epoch of sensor windows in a single XLA program.
 
@@ -303,6 +304,11 @@ def analyze_epoch(
         sharded path needs "sort").
       batch_chunk: epochs larger than this are processed in lax.map chunks
         to bound the on-chip working set (0 disables).
+      lowlat: "auto" (default) routes single-full-window epochs on a real
+        TPU through the fused whole-pipeline kernel
+        (:func:`apda_fft_tpu.ops.latency_pallas.analyze_window_lowlat`,
+        ~5x lower latency, decision-equivalent - gated by the on-hardware
+        parity suite); "never" disables the routing.
 
     Returns:
       :class:`EpochResult` with batch-shaped arrays.
@@ -347,8 +353,75 @@ def analyze_epoch(
         )
     if center not in ("auto", "always"):
         raise ValueError(f"unknown center {center!r}; expected 'auto' or 'always'")
+    if lowlat not in ("auto", "never"):
+        raise ValueError(f"unknown lowlat {lowlat!r}; expected 'auto' or 'never'")
     if not dynamic and not isinstance(max_candidates, int):
         max_candidates = default_max_candidates(n_fft)
+
+    # Single-full-window epochs on a real TPU: the fused whole-pipeline
+    # kernel is ~5x lower latency than the batched program at B=1
+    # (docs/DESIGN.md "Single-window fused kernel").  Routed only inside the
+    # kernel's validated envelope; decision equivalence is gated on hardware
+    # every round (benchmarks/parity_tpu.py lowlat section).
+    if (
+        lowlat == "auto"
+        and not traced
+        and mode in ("flexible", "rigid")
+        and backend == "matmul"
+        and center == "auto"
+        and selection == "auto"
+        and lengths is None
+        and jnp.dtype(dtype) == jnp.float32
+        and samples.shape[-1] == n_fft
+        and n_fft >= 64
+        and all(d == 1 for d in samples.shape[:-1])
+        and jax.default_backend() == "tpu"
+    ):
+        from apda_fft_tpu.ops.latency_pallas import analyze_window_lowlat
+
+        lead = samples.shape[:-1]
+        flat = samples.reshape(-1)
+        fs_scalar = jnp.broadcast_to(jnp.asarray(fs, dtype), lead).reshape(())
+
+        def run_lowlat(budget: int) -> EpochResult:
+            return analyze_window_lowlat(
+                flat, fs_scalar, n_fft=n_fft, mode=mode, k=k,
+                max_candidates=budget, refine=refine,
+            )
+
+        res = None
+        if mode == "rigid":
+            res = run_lowlat(_DYNAMIC_FLOOR)  # budget unused by rigid
+        elif dynamic:
+            # Same sticky-budget + overflow-re-run contract as the batched
+            # dynamic path, sharing its per-(n_fft, mode) budget table; a
+            # required budget past 64 falls back to the batched path (the
+            # unrolled kernel's compile time grows with the budget).
+            key = (n_fft, mode)
+            budget = min(_dynamic_budget.get(key, _DYNAMIC_FLOOR), 64)
+            passes = 0
+            while True:
+                passes += 1
+                res = run_lowlat(budget)
+                n_max = int(jax.device_get(jnp.max(res.n_candidates)))
+                if n_max <= budget:
+                    break
+                if n_max > 64:
+                    res = None  # batched path below handles the re-run
+                    break
+                budget = min(max(_pow2_at_least(n_max), _DYNAMIC_FLOOR), 64)
+            if res is not None:
+                _dynamic_budget[key] = min(max(_pow2_at_least(n_max), _DYNAMIC_FLOOR), n_fft // 2)
+                _dynamic_budget_hwm[key] = max(_dynamic_budget_hwm.get(key, 0), budget)
+                stats = last_dynamic_stats()
+                stats.clear()
+                stats.update(
+                    candidate_budget=budget, n_candidates_max=n_max, budget_passes=passes
+                )
+        elif isinstance(max_candidates, int) and max_candidates <= 64:
+            res = run_lowlat(max_candidates)
+        if res is not None:
+            return EpochResult(*(x.reshape(lead + x.shape[1:]) for x in res))
 
     kwargs = dict(
         n_fft=n_fft,
@@ -433,6 +506,9 @@ class PipelineConfig:
     #: None = auto: "auto" single-device, "sort" when a mesh is used
     #: (lax.top_k has no SPMD partitioning rule).
     selection: str | None = None
+    #: "auto" routes single-full-window epochs through the fused latency
+    #: kernel on a real TPU; "never" disables.
+    lowlat: str = "auto"
 
     @classmethod
     def from_gateway_flag(cls, is_flexibile_structure: bool, **kw) -> "PipelineConfig":
@@ -502,5 +578,6 @@ class SpectralPipeline:
                 dtype=cfg.dtype,
                 center=cfg.center,
                 selection=cfg.selection or "auto",
+                lowlat=cfg.lowlat,
             )
         return result

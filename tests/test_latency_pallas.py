@@ -100,6 +100,22 @@ def test_lowlat_matches_float64_oracle(mode):
         assert got_idx == [p["idx"] for p in ref], (n, fs, seed)
 
 
+def test_analyze_epoch_lowlat_param():
+    """lowlat routing: validated param; inactive on the CPU test platform.
+
+    (The actual routing requires a real TPU backend; routed-vs-unrouted
+    equivalence is checked on hardware - docs/DESIGN.md. Here we pin that
+    the param is validated and the CPU path is unchanged by it.)
+    """
+    x = _window(1024, 500.0, seed=11)
+    a = analyze_epoch(x[None], 500.0, mode="rigid")
+    b = analyze_epoch(x[None], 500.0, mode="rigid", lowlat="never")
+    assert int(a.count[0]) == int(b.count[0])
+    assert np.array_equal(np.asarray(a.idx[0]), np.asarray(b.idx[0]))
+    with pytest.raises(ValueError, match="lowlat"):
+        analyze_epoch(x[None], 500.0, lowlat="bogus")
+
+
 def test_lowlat_budget_overflow_reported():
     # Pure noise has many threshold-crossing maxima; a tiny budget truncates
     # and must report the true pre-budget count for the caller's re-run.
