@@ -34,5 +34,5 @@ def test_parity_corpus_runner_smoke(monkeypatch):
 
     monkeypatch.setattr(tpm, "CORPUS", tpm.CORPUS[:1])
     report = pt.run_corpus()
-    assert report["total"] == 2  # 1 case x 2 modes
+    assert report["total"] == 4  # 1 case x 2 modes x (batched + lowlat sections)
     assert report["ok"] and report["fail"] == 0

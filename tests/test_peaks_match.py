@@ -38,7 +38,11 @@ def _run_device(x, fs, mode, dtype):
     n = len(x)
     n_fft = 1 << (n - 1).bit_length()
     if n == n_fft:
-        res = analyze_epoch(x[None, :], fs, mode=mode, dtype=dtype)
+        # lowlat="never": this helper (and the parity gate built on it) must
+        # exercise the BATCHED pipeline; on a TPU the default would route
+        # single full windows to the fused latency kernel, which has its own
+        # parity section in benchmarks/parity_tpu.py.
+        res = analyze_epoch(x[None, :], fs, mode=mode, dtype=dtype, lowlat="never")
     else:
         padded = np.zeros(n_fft)
         padded[:n] = x
