@@ -347,6 +347,19 @@ def _flex_kernel(x_ref, cs1_ref, twc_ref, tws_ref, c2h_ref, s2h_ref, fs_ref,
     cnt_ref[0, 0] = count
 
 
+def _latency_split(n: int) -> tuple[int, int]:
+    """Four-step split for the latency kernel: the balanced ``split_pow2``.
+
+    A VPU-tile-occupancy split (n1=8, wide lanes - fewer, fuller (8, 128)
+    tiles per masked reduction) was measured and is SLOWER: 11.7 vs 10.8 us
+    rigid N=1024, 13.0 vs 11.1 us flexible N=4096 on TPU v5e.  The kernel's
+    reduction chain is bound by serial dependency latency, not per-op tile
+    throughput, so partial tiles cost nothing and the balanced split's
+    smaller tables win.
+    """
+    return split_pow2(n)
+
+
 def _tables(n1: int, n2: int):
     import numpy as np
 
@@ -410,7 +423,7 @@ def analyze_window_lowlat(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    n1, n2 = split_pow2(n)
+    n1, n2 = _latency_split(n)
     tables = _tables(n1, n2)
     fs2 = jnp.reshape(jnp.asarray(fs, jnp.float32), (1, 1))
     a = x.reshape(n1, n2)
