@@ -28,11 +28,21 @@ from apda_fft_tpu.ops.fft import (
     halfspec_magnitudes,
     next_pow2,
 )
-from apda_fft_tpu.ops.latency_pallas import analyze_window_lowlat
 from apda_fft_tpu.ops.peaks_prominence import ProminencePeaks, prominence_peaks
 from apda_fft_tpu.ops.peaks_resolution import ResolutionPeaks, resolution_peaks
 
 __version__ = "0.2.0"
+
+
+def __getattr__(name):
+    # Lazy: importing the Pallas kernel module pulls in
+    # jax.experimental.pallas, which CPU-only users never need (same
+    # convention as the lazy Pallas FFT backend in ops/fft.py).
+    if name == "analyze_window_lowlat":
+        from apda_fft_tpu.ops.latency_pallas import analyze_window_lowlat
+
+        return analyze_window_lowlat
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 __all__ = [
     "EpochResult",

@@ -392,11 +392,13 @@ def analyze_epoch(
         res = None
         if mode == "rigid":
             res = run_lowlat(_DYNAMIC_FLOOR)  # budget unused by rigid
-        elif dynamic:
+        elif dynamic and _dynamic_budget.get((n_fft, mode), 0) <= 64:
             # Same sticky-budget + overflow-re-run contract as the batched
             # dynamic path, sharing its per-(n_fft, mode) budget table; a
             # required budget past 64 falls back to the batched path (the
-            # unrolled kernel's compile time grows with the budget).
+            # unrolled kernel's compile time grows with the budget), and a
+            # sticky budget already past 64 skips the kernel attempt entirely
+            # rather than paying a guaranteed-discarded dispatch + readback.
             key = (n_fft, mode)
             budget = min(_dynamic_budget.get(key, _DYNAMIC_FLOOR), 64)
             passes = 0
@@ -409,7 +411,10 @@ def analyze_epoch(
                 if n_max > 64:
                     res = None  # batched path below handles the re-run
                     break
-                budget = min(max(_pow2_at_least(n_max), _DYNAMIC_FLOOR), 64)
+                budget = min(
+                    max(_pow2_at_least(n_max), _dynamic_budget_hwm.get(key, 0), _DYNAMIC_FLOOR),
+                    64,
+                )
             if res is not None:
                 _dynamic_budget[key] = min(max(_pow2_at_least(n_max), _DYNAMIC_FLOOR), n_fft // 2)
                 _dynamic_budget_hwm[key] = max(_dynamic_budget_hwm.get(key, 0), budget)
@@ -446,7 +451,7 @@ def analyze_epoch(
             samples, fs, n_fft=n_fft, mode="flexible", k=k, backend=backend,
             max_candidates=max_candidates, refine=refine, lengths=lengths,
             dtype=dtype, center=center, selection=selection,
-            batch_chunk=batch_chunk,
+            batch_chunk=batch_chunk, lowlat=lowlat,
         )
         if int(jax.device_get(jnp.min(flex.count))) > 0:
             return flex

@@ -49,9 +49,9 @@ from apda_fft_tpu.ops.peaks_prominence import (
     MIN_PROM_RATIO,
 )
 from apda_fft_tpu.ops.peaks_resolution import (
-    EXCLUSION_FRACTION,
     RESOLUTION_MIN,
     RESOLUTION_NORMALIZATION,
+    _discard_count,
 )
 
 _HIGHEST = jax.lax.Precision.HIGHEST
@@ -185,15 +185,9 @@ def _rigid_kernel(x_ref, cs1_ref, twc_ref, tws_ref, c2h_ref, s2h_ref, fs_ref,
         mag = jnp.where(write, peak, mag)
         count = count + take.astype(i32)
 
-        # Wipe round(freq*0.02/df) bins each side (float64-faithful rounding
-        # at halves - ops/peaks_resolution.py _discard_count).
-        freqj = j.astype(f32) * ds
-        x = freqj * f32(EXCLUSION_FRACTION) / ds
-        doubled = x + x
-        nearest = _round_half_even(doubled)
-        near_half = jnp.abs(doubled - nearest) < f32(1e-3)
-        snapped = jnp.where(near_half, nearest * f32(0.5), x)
-        nd = _round_half_even(snapped).astype(i32)
+        # Wipe round(freq*0.02/df) bins each side; pure-jnp helper shared
+        # with the batched detector so the halves-snapping rule can't drift.
+        nd = _discard_count(j.astype(f32) * ds, ds)
         start = jnp.maximum(0, j - nd)
         end = jnp.minimum(h, j + nd + 1)
         m = jnp.where(found & (kmat >= start) & (kmat < end), f32(0), m)

@@ -59,16 +59,20 @@ def run_corpus() -> dict:
                 )
 
     # Second section: the fused single-window latency kernel
-    # (apda_fft_tpu.analyze_window_lowlat) over the full-window corpus cases
-    # at its latency-use-case sizes.  The budget mirrors the dynamic
-    # contract: re-run larger iff n_candidates overflowed (cap 64 - a cap
-    # overflow is recorded as a failure, never skipped silently).
+    # (apda_fft_tpu.analyze_window_lowlat) over every full-pow2-window corpus
+    # case (validated through N=65536 on hardware - docs/DESIGN.md).  The
+    # budget mirrors the production routing contract exactly: re-run larger
+    # iff n_candidates overflowed, and past the 64-slot cap the routing
+    # falls back to the batched pipeline - so the gate validates that
+    # fallback result instead of recording a phantom failure (the first
+    # section already proves the batched path; this re-checks it through the
+    # routing's own overflow handoff, never skipping a case silently).
     from apda_fft_tpu.ops.latency_pallas import analyze_window_lowlat
 
     for mode in ("flexible", "rigid"):
         for n, fs, seed in CORPUS:
-            if n & (n - 1) or n > 8192:
-                continue  # latency path: full pow2 windows at latency-use-case sizes
+            if n & (n - 1):
+                continue  # latency path: full pow2 windows only
             total += 1
             x = modal_signal(n, fs, seed=seed).astype(np.float32)
             ref = oracle_analyze(x, fs, mode=mode)
@@ -83,13 +87,18 @@ def run_corpus() -> dict:
                 if mode == "rigid" or n_cand <= budget or budget >= 64:
                     break
                 budget = min(64, max(2 * budget, 1 << (n_cand - 1).bit_length()))
-            truncated = mode == "flexible" and n_cand > budget
+            path = "lowlat"
+            if mode == "flexible" and n_cand > budget:
+                # >64 candidates needed: production routing discards the
+                # kernel result and re-runs the batched dynamic path.
+                path = "lowlat-fallback"
+                res, _n_fft = _run_device(x, fs, mode, jnp.float32)
             got_count = int(res.count[0])
             got_idx = [int(i) for i in np.asarray(res.idx[0])[:got_count]]
             ref_idx = [p["idx"] for p in ref]
-            if got_idx != ref_idx or truncated:
+            if got_idx != ref_idx:
                 failures.append(
-                    {"mode": mode, "n": n, "fs": fs, "seed": seed, "path": "lowlat",
+                    {"mode": mode, "n": n, "fs": fs, "seed": seed, "path": path,
                      "got": got_idx, "want": ref_idx, "n_candidates": n_cand,
                      "budget": budget}
                 )
