@@ -21,7 +21,11 @@ from apda_fft_tpu.models.pipeline import (
 )
 from apda_fft_tpu.models.batching import RecordPeaks, analyze_records
 from apda_fft_tpu.models.results import EpochResult
-from apda_fft_tpu.models.streaming import analyze_stream, frame_records
+from apda_fft_tpu.models.streaming import (
+    analyze_epochs_pipelined,
+    analyze_stream,
+    frame_records,
+)
 from apda_fft_tpu.ops.fft import (
     center_and_pad,
     full_spectrum,
@@ -52,6 +56,7 @@ __all__ = [
     "ResolutionPeaks",
     "SpectralPipeline",
     "analyze_epoch",
+    "analyze_epochs_pipelined",
     "analyze_records",
     "analyze_stream",
     "analyze_window_lowlat",

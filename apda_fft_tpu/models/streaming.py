@@ -10,10 +10,16 @@ peak list.
 
 from __future__ import annotations
 
+from collections import deque
+from typing import Iterable, Iterator
+
+import jax
 import jax.numpy as jnp
 
+from apda_fft_tpu.models import pipeline as _pipeline
 from apda_fft_tpu.models.pipeline import analyze_epoch
 from apda_fft_tpu.models.results import EpochResult
+from apda_fft_tpu.ops import fft as fft_ops
 
 
 def frame_records(records: jnp.ndarray, window: int, hop: int) -> jnp.ndarray:
@@ -65,3 +71,103 @@ def analyze_stream(
     hop = window if hop is None else hop
     framed = frame_records(records, window, hop)
     return analyze_epoch(framed, fs, **kwargs)
+
+
+def analyze_epochs_pipelined(
+    epochs: Iterable,
+    fs,
+    *,
+    depth: int = 4,
+    mode: str = "flexible",
+    n_fft: int | None = None,
+    **kwargs,
+) -> Iterator[EpochResult]:
+    """Analyze a stream of epochs with up to ``depth`` dispatches in flight.
+
+    The dynamic candidate budget's exactness contract normally costs one
+    *blocking* scalar readback per epoch (``analyze_epoch``'s overflow
+    check), which serializes host dispatch across epochs.  This generator
+    defers that check: each epoch is dispatched immediately with the sticky
+    budget (async, no readback), and the overflow validation happens only
+    when its result is yielded - re-running just the rare overflowing epoch
+    with a larger budget, exactly like the sequential dynamic loop.  Results
+    are yielded in input order and are decision-identical to calling
+    :func:`analyze_epoch` per epoch (the budget only sizes the scan stage;
+    validated decisions never depend on it).
+
+    The sticky per-``(n_fft, mode)`` budget table is shared with
+    ``analyze_epoch``; in-flight epochs may use a budget up to ``depth``
+    epochs stale, which costs at most an extra re-run, never exactness.
+
+    Args:
+      epochs: iterable of ``[..., L]`` sample arrays (one epoch each).
+      fs: sampling rate, shared by the stream (scalar or broadcastable).
+      depth: max epochs in flight (1 = sequential-but-deferred).
+      mode: ``"flexible"`` or ``"rigid"`` (``"adaptive"``'s per-window
+        fallback needs an immediate readback - use ``analyze_epoch``).
+      n_fft: optional fixed FFT length; default per-epoch ``next_pow2(L)``.
+      **kwargs: forwarded to :func:`analyze_epoch` (backend, k, refine,
+        lowlat, ...).  ``max_candidates`` is managed here and rejected.
+    """
+    if mode not in ("flexible", "rigid"):
+        raise ValueError(
+            f"pipelined analysis supports 'flexible' or 'rigid', got {mode!r}"
+        )
+    if "max_candidates" in kwargs:
+        raise ValueError(
+            "analyze_epochs_pipelined manages the candidate budget; pin one "
+            "via analyze_epoch instead"
+        )
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    dtype = kwargs.get("dtype", jnp.float32)
+
+    def dispatch(samples):
+        samples = jnp.asarray(samples, dtype)
+        nf = n_fft if n_fft is not None else fft_ops.next_pow2(samples.shape[-1])
+        h = max(nf // 2, 1)
+        key = (nf, mode)
+        if mode == "rigid":
+            budget = _pipeline._DYNAMIC_FLOOR  # unused by the rigid detector
+        else:
+            budget = min(
+                _pipeline._dynamic_budget.get(key, _pipeline._DYNAMIC_FLOOR), h
+            )
+        res = analyze_epoch(
+            samples, fs, n_fft=nf, mode=mode, max_candidates=budget, **kwargs
+        )
+        return samples, nf, h, key, budget, res
+
+    def finalize(item) -> EpochResult:
+        samples, nf, h, key, budget, res = item
+        if mode == "rigid" or res.n_candidates.size == 0:
+            return res
+        n_max = int(jax.device_get(jnp.max(res.n_candidates)))
+        while n_max > budget and budget < h:
+            budget = min(
+                max(
+                    _pipeline._pow2_at_least(n_max),
+                    _pipeline._dynamic_budget_hwm.get(key, 0),
+                    _pipeline._DYNAMIC_FLOOR,
+                ),
+                h,
+            )
+            res = analyze_epoch(
+                samples, fs, n_fft=nf, mode=mode, max_candidates=budget, **kwargs
+            )
+            n_max = int(jax.device_get(jnp.max(res.n_candidates)))
+        _pipeline._dynamic_budget[key] = min(
+            max(_pipeline._pow2_at_least(n_max), _pipeline._DYNAMIC_FLOOR), h
+        )
+        _pipeline._dynamic_budget_hwm[key] = max(
+            _pipeline._dynamic_budget_hwm.get(key, 0), budget
+        )
+        return res
+
+    pending: deque = deque()
+    for samples in epochs:
+        pending.append(dispatch(samples))
+        if len(pending) >= depth + 1:
+            yield finalize(pending.popleft())
+    while pending:
+        yield finalize(pending.popleft())
