@@ -80,6 +80,7 @@ def analyze_epochs_pipelined(
     depth: int = 4,
     mode: str = "flexible",
     n_fft: int | None = None,
+    analyze=analyze_epoch,
     **kwargs,
 ) -> Iterator[EpochResult]:
     """Analyze a stream of epochs with up to ``depth`` dispatches in flight.
@@ -106,8 +107,11 @@ def analyze_epochs_pipelined(
       mode: ``"flexible"`` or ``"rigid"`` (``"adaptive"``'s per-window
         fallback needs an immediate readback - use ``analyze_epoch``).
       n_fft: optional fixed FFT length; default per-epoch ``next_pow2(L)``.
-      **kwargs: forwarded to :func:`analyze_epoch` (backend, k, refine,
-        lowlat, ...).  ``max_candidates`` is managed here and rejected.
+      analyze: the epoch function (default :func:`analyze_epoch`); pass
+        e.g. ``functools.partial(analyze_epoch_sharded, mesh=mesh)`` to
+        pipeline mesh-sharded epochs.
+      **kwargs: forwarded to ``analyze`` (backend, k, refine, lowlat, ...).
+        ``max_candidates`` is managed here and rejected.
     """
     if mode not in ("flexible", "rigid"):
         raise ValueError(
@@ -133,7 +137,7 @@ def analyze_epochs_pipelined(
             budget = min(
                 _pipeline._dynamic_budget.get(key, _pipeline._DYNAMIC_FLOOR), h
             )
-        res = analyze_epoch(
+        res = analyze(
             samples, fs, n_fft=nf, mode=mode, max_candidates=budget, **kwargs
         )
         return samples, nf, h, key, budget, res
@@ -152,7 +156,7 @@ def analyze_epochs_pipelined(
                 ),
                 h,
             )
-            res = analyze_epoch(
+            res = analyze(
                 samples, fs, n_fft=nf, mode=mode, max_candidates=budget, **kwargs
             )
             n_max = int(jax.device_get(jnp.max(res.n_candidates)))

@@ -78,6 +78,22 @@ def test_mixed_sizes_use_per_epoch_n_fft():
     assert (4096, "flexible") in P._dynamic_budget
 
 
+def test_composes_with_sharded_analyze():
+    import functools
+
+    from apda_fft_tpu.parallel.mesh import analyze_epoch_sharded, make_mesh
+
+    fs = 500.0
+    mesh = make_mesh(8, ("data",))
+    sharded = functools.partial(analyze_epoch_sharded, mesh=mesh)
+    epochs = _epochs()
+    got = list(analyze_epochs_pipelined(epochs, fs, depth=2, analyze=sharded))
+    for samples, res in zip(epochs, got):
+        ref = analyze_epoch(samples, fs, mode="flexible")
+        assert np.array_equal(np.asarray(res.count), np.asarray(ref.count))
+        assert np.array_equal(np.asarray(res.idx), np.asarray(ref.idx))
+
+
 def test_validation_errors():
     with pytest.raises(ValueError, match="flexible.*rigid"):
         list(analyze_epochs_pipelined([], 500.0, mode="adaptive"))
