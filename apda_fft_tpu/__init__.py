@@ -31,6 +31,7 @@ from apda_fft_tpu.ops.fft import (
     full_spectrum,
     halfspec_magnitudes,
     next_pow2,
+    taper_window,
 )
 from apda_fft_tpu.ops.peaks_prominence import ProminencePeaks, prominence_peaks
 from apda_fft_tpu.ops.peaks_resolution import ResolutionPeaks, resolution_peaks
@@ -68,4 +69,5 @@ __all__ = [
     "next_pow2",
     "prominence_peaks",
     "resolution_peaks",
+    "taper_window",
 ]

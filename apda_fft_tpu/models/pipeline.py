@@ -121,6 +121,7 @@ def refine_subbin(mags: jnp.ndarray, idx: jnp.ndarray, ds: jnp.ndarray) -> jnp.n
         "center",
         "selection",
         "batch_chunk",
+        "taper",
     ),
 )
 def _analyze_epoch_impl(
@@ -138,6 +139,7 @@ def _analyze_epoch_impl(
     center: str = "auto",
     selection: str = "auto",
     batch_chunk: int = 2048,
+    taper: str = "none",
 ) -> EpochResult:
     lead = samples.shape[:-1]
     flat = samples.reshape((-1, samples.shape[-1]))
@@ -165,7 +167,7 @@ def _analyze_epoch_impl(
                 cs, cf, cl, n_fft=n_fft, mode=mode, k=k, backend=backend,
                 max_candidates=max_candidates, refine=refine,
                 has_lengths=has_lengths, center=center, selection=selection,
-                batch_chunk=0,
+                batch_chunk=0, taper=taper,
             )
 
         chunked = (
@@ -178,7 +180,7 @@ def _analyze_epoch_impl(
             *(x.reshape((-1,) + x.shape[2:])[:b].reshape(lead + x.shape[2:]) for x in res)
         )
 
-    if center == "auto" and not has_lengths and flat.shape[-1] == n_fft:
+    if center == "auto" and not has_lengths and flat.shape[-1] == n_fft and taper == "none":
         # Full, unpadded windows: subtracting a constant changes only the DC
         # bin of the transform - which is zeroed anyway (fft_iterativa.py:85)
         # - so the sort-based *median* is skipped.  The cheap *mean* is still
@@ -188,9 +190,22 @@ def _analyze_epoch_impl(
         # its roundoff is of the same order as the FFT's own.  With
         # zero-padding the median subtraction is load-bearing (the pad stays
         # 0) and the full path below runs.  Pass center="always" to force it.
+        # (With a taper the subtracted constant leaks into every bin via
+        # FFT(taper), so the shortcut is also gated on taper == "none".)
         windows = flat - jnp.mean(flat, axis=-1, keepdims=True)
     else:
         windows = fft_ops.center_and_pad(flat, n_fft, len_flat)
+    if taper != "none":
+        # Applied after centering (the zero-padded tail stays zero either
+        # way); amplitude-normalized so peak magnitudes keep the reference
+        # scale for on-bin tones.  The taper spans the DATA (valid prefix /
+        # pre-pad length), not the padded n_fft.
+        tlen = len_flat if len_flat is not None else (
+            flat.shape[-1] if flat.shape[-1] < n_fft else None
+        )
+        windows = windows * fft_ops.taper_window(
+            taper, windows.shape[-1], windows.dtype, tlen
+        )
     mags = fft_ops.halfspec_magnitudes(windows, backend=backend)
 
     if mode == "flexible":
@@ -270,6 +285,7 @@ def analyze_epoch(
     selection: str = "auto",
     batch_chunk: int = 2048,
     lowlat: str = "auto",
+    taper: str = "none",
 ) -> EpochResult:
     """Analyze one epoch of sensor windows in a single XLA program.
 
@@ -309,6 +325,11 @@ def analyze_epoch(
         (:func:`apda_fft_tpu.ops.latency_pallas.analyze_window_lowlat`,
         ~5x lower latency, decision-equivalent - gated by the on-hardware
         parity suite); "never" disables the routing.
+      taper: spectral-leakage window applied after centering - "none"
+        (default, reference parity: rectangular), "hann", "hamming", or
+        "blackman".  Amplitude-normalized by coherent gain so on-bin tone
+        magnitudes keep the untapered scale; spans the valid/pre-pad data
+        length.  Beyond-reference feature.
 
     Returns:
       :class:`EpochResult` with batch-shaped arrays.
@@ -355,6 +376,8 @@ def analyze_epoch(
         raise ValueError(f"unknown center {center!r}; expected 'auto' or 'always'")
     if lowlat not in ("auto", "never"):
         raise ValueError(f"unknown lowlat {lowlat!r}; expected 'auto' or 'never'")
+    if taper not in fft_ops.TAPERS:
+        raise ValueError(f"unknown taper {taper!r}; expected one of {fft_ops.TAPERS}")
     if not dynamic and not isinstance(max_candidates, int):
         max_candidates = default_max_candidates(n_fft)
 
@@ -370,6 +393,7 @@ def analyze_epoch(
         and backend == "matmul"
         and center == "auto"
         and selection == "auto"
+        and taper == "none"
         and lengths is None
         and jnp.dtype(dtype) == jnp.float32
         and samples.shape[-1] == n_fft
@@ -438,6 +462,7 @@ def analyze_epoch(
         center=center,
         selection=selection,
         batch_chunk=batch_chunk,
+        taper=taper,
     )
     if not dynamic:
         return _analyze_epoch_impl(samples, fs, lengths, max_candidates=max_candidates, **kwargs)
@@ -451,7 +476,7 @@ def analyze_epoch(
             samples, fs, n_fft=n_fft, mode="flexible", k=k, backend=backend,
             max_candidates=max_candidates, refine=refine, lengths=lengths,
             dtype=dtype, center=center, selection=selection,
-            batch_chunk=batch_chunk, lowlat=lowlat,
+            batch_chunk=batch_chunk, lowlat=lowlat, taper=taper,
         )
         if int(jax.device_get(jnp.min(flex.count))) > 0:
             return flex
@@ -514,6 +539,8 @@ class PipelineConfig:
     #: "auto" routes single-full-window epochs through the fused latency
     #: kernel on a real TPU; "never" disables.
     lowlat: str = "auto"
+    #: Spectral-leakage window ("none" = reference-parity rectangular).
+    taper: str = "none"
 
     @classmethod
     def from_gateway_flag(cls, is_flexibile_structure: bool, **kw) -> "PipelineConfig":
@@ -567,6 +594,7 @@ class SpectralPipeline:
                 refine=cfg.refine,
                 dtype=cfg.dtype,
                 center=cfg.center,
+                taper=cfg.taper,
                 **({"selection": cfg.selection} if cfg.selection else {}),
             )
         else:
@@ -584,5 +612,6 @@ class SpectralPipeline:
                 center=cfg.center,
                 selection=cfg.selection or "auto",
                 lowlat=cfg.lowlat,
+                taper=cfg.taper,
             )
         return result

@@ -122,6 +122,11 @@ def analyze_epochs_pipelined(
             "analyze_epochs_pipelined manages the candidate budget; pin one "
             "via analyze_epoch instead"
         )
+    if "lengths" in kwargs:
+        raise ValueError(
+            "a stream-wide lengths array would misapply to every epoch; use "
+            "analyze_records for ragged records"
+        )
     if depth < 1:
         raise ValueError(f"depth must be >= 1, got {depth}")
     dtype = kwargs.get("dtype", jnp.float32)

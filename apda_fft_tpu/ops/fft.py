@@ -80,6 +80,53 @@ def center_and_pad(
     return centered
 
 
+TAPERS = ("none", "hann", "hamming", "blackman")
+
+
+def taper_window(
+    name: str,
+    n: int,
+    dtype,
+    lengths: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Amplitude-normalized taper (window function) of length ``n``.
+
+    Beyond-reference spectral-leakage control (the reference transforms raw
+    median-centered records, i.e. a rectangular window).  Matches numpy's
+    ``hanning``/``hamming``/``blackman`` symmetric definitions, divided by
+    the coherent gain ``mean(w)`` so on-bin sinusoid peak magnitudes stay on
+    the untapered scale.
+
+    ``lengths`` (optional, any leading batch shape) gives per-record valid
+    prefixes: the taper spans exactly the first ``length`` samples of each
+    record (zero beyond), returning shape ``[..., n]``.
+    """
+    if name not in TAPERS:
+        raise ValueError(f"unknown taper {name!r}; expected one of {TAPERS}")
+    if name == "none":
+        raise ValueError("taper_window called with 'none'; skip tapering instead")
+    i = jnp.arange(n, dtype=dtype)
+    if lengths is None:
+        m = jnp.asarray(n, dtype)
+    else:
+        m = jnp.asarray(lengths, dtype)[..., None]
+    x = (2.0 * jnp.pi) * i / jnp.maximum(m - 1.0, 1.0)
+    if name == "hann":
+        w = 0.5 - 0.5 * jnp.cos(x)
+    elif name == "hamming":
+        w = 0.54 - 0.46 * jnp.cos(x)
+    else:  # blackman
+        w = 0.42 - 0.5 * jnp.cos(x) + 0.08 * jnp.cos(2.0 * x)
+    valid = i < m
+    w = jnp.where(valid, w.astype(dtype), jnp.zeros((), dtype))
+    gain = jnp.sum(w, axis=-1, keepdims=True) / jnp.maximum(
+        jnp.sum(valid.astype(dtype), axis=-1, keepdims=True), 1.0
+    )
+    # Degenerate 1-sample records have an all-zero hann taper; leave them
+    # unscaled rather than dividing by zero.
+    return jnp.where(gain > 0, w / jnp.where(gain > 0, gain, 1.0), w)
+
+
 # ---------------------------------------------------------------------------
 # DFT / twiddle tables (float64 at trace time, stored in compute dtype)
 # ---------------------------------------------------------------------------
