@@ -3,7 +3,7 @@
 Usage:
     python -m apda_fft_tpu analyze FILE [FILE...] [--mode flexible|rigid|adaptive]
                                    [--backend xla|matmul|pallas] [--refine]
-                                   [--json]
+                                   [--taper none|hann|hamming|blackman] [--json]
     python -m apda_fft_tpu oracle-check FILE [FILE...]   # vs float64 oracle
 
 ``analyze`` loads gateway-format acquisition logs (``io/logfile.py``), buckets
@@ -45,7 +45,8 @@ def cmd_analyze(args) -> int:
 
     records = [(np.asarray(rec.samples, np.float32), rec.fs) for _, rec in loaded]
     per_record = analyze_records(
-        records, mode=args.mode, backend=args.backend, refine=args.refine
+        records, mode=args.mode, backend=args.backend, refine=args.refine,
+        taper=args.taper,
     )
     for (path, rec), rp in zip(loaded, per_record):
         peaks = []
@@ -118,6 +119,8 @@ def main(argv=None) -> int:
     a.add_argument("--mode", default="flexible", choices=["flexible", "rigid", "adaptive"])
     a.add_argument("--backend", default="matmul", choices=["xla", "matmul", "pallas"])
     a.add_argument("--refine", action="store_true")
+    a.add_argument("--taper", default="none",
+                   choices=["none", "hann", "hamming", "blackman"])
     a.add_argument("--json", action="store_true")
     a.set_defaults(fn=cmd_analyze)
 

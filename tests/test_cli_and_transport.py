@@ -41,6 +41,8 @@ def test_cli_analyze_text_and_modes(log_file, capsys):
     assert main(["analyze", log_file, "--mode", "rigid"]) == 0
     text = capsys.readouterr().out
     assert "f=" in text and "mag=" in text
+    assert main(["analyze", log_file, "--taper", "hann"]) == 0
+    assert "f=" in capsys.readouterr().out
 
 
 def test_cli_oracle_check(log_file, capsys):
