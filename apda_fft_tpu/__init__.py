@@ -24,6 +24,7 @@ from apda_fft_tpu.models.results import EpochResult
 from apda_fft_tpu.models.streaming import (
     analyze_epochs_pipelined,
     analyze_stream,
+    analyze_welch,
     frame_records,
 )
 from apda_fft_tpu.ops.fft import (
@@ -60,6 +61,7 @@ __all__ = [
     "analyze_epochs_pipelined",
     "analyze_records",
     "analyze_stream",
+    "analyze_welch",
     "analyze_window_lowlat",
     "center_and_pad",
     "frame_records",

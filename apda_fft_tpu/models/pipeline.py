@@ -208,6 +208,28 @@ def _analyze_epoch_impl(
         )
     mags = fft_ops.halfspec_magnitudes(windows, backend=backend)
 
+    return EpochResult(
+        *(x.reshape(lead + x.shape[1:]) for x in _detect_from_mags(
+            mags, fs_flat, n_fft=n_fft, mode=mode, k=k,
+            max_candidates=max_candidates, refine=refine, selection=selection,
+        ))
+    )
+
+
+def _detect_from_mags(
+    mags: jnp.ndarray,
+    fs_flat: jnp.ndarray,
+    *,
+    n_fft: int,
+    mode: str,
+    k: int,
+    max_candidates: int,
+    refine: bool,
+    selection: str = "auto",
+) -> EpochResult:
+    """Run the detector + finalize stage on precomputed half-spectrum
+    magnitudes ``[B, H]`` (flat batch).  Shared by the epoch pipeline and
+    the Welch-averaged path (``models.streaming.analyze_welch``)."""
     if mode == "flexible":
         det = jax.vmap(
             lambda m, f: prominence_peaks(
@@ -248,24 +270,21 @@ def _analyze_epoch_impl(
         raise ValueError(f"unknown mode {mode!r}; expected one of {MODES}")
 
     if refine:
-        ds = fs_flat / jnp.asarray(n_fft, flat.dtype)
+        ds = fs_flat / jnp.asarray(n_fft, mags.dtype)
         refined = jax.vmap(refine_subbin)(mags, det.idx, ds)
     else:
         refined = jnp.zeros_like(det.freq)
 
-    def unflat(x):
-        return x.reshape(lead + x.shape[1:])
-
     return EpochResult(
-        count=unflat(det.count),
-        idx=unflat(det.idx),
-        freq=unflat(det.freq),
-        mag=unflat(det.mag),
-        prominence=unflat(prom),
-        damping=unflat(damp),
-        q_factor=unflat(qf),
-        refined_freq=unflat(refined),
-        n_candidates=unflat(n_cand),
+        count=det.count,
+        idx=det.idx,
+        freq=det.freq,
+        mag=det.mag,
+        prominence=prom,
+        damping=damp,
+        q_factor=qf,
+        refined_freq=refined,
+        n_candidates=n_cand,
     )
 
 

@@ -1,0 +1,65 @@
+"""analyze_welch: segment-averaged spectral peak detection (beyond-reference)."""
+
+import numpy as np
+import pytest
+
+from apda_fft_tpu.models.streaming import analyze_welch
+
+
+def _long_record(T=65536, fs=500.0, tone=0.08, noise=1.0, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(T) / fs
+    x = (np.sin(2 * np.pi * 25.0 * t) * tone + noise * rng.standard_normal(T))
+    return x.astype(np.float32)
+
+
+def test_averaging_pulls_tone_from_noise():
+    # A tone at -22 dB vs white noise: single-segment detection at N=4096 is
+    # at the mercy of the noise floor; 31 averaged segments make it the
+    # clear top peak.
+    fs = 500.0
+    x = _long_record(fs=fs, tone=0.08, noise=1.0)
+    res = analyze_welch(x, fs, window=4096)
+    assert int(res.count) >= 1
+    top = int(np.asarray(res.idx)[0])
+    assert abs(top - round(25.0 * 4096 / fs)) <= 1
+
+
+def test_multichannel_batch_shape():
+    fs = 500.0
+    x = np.stack([_long_record(T=16384, seed=s) for s in range(3)])
+    res = analyze_welch(x, fs, window=2048, mode="rigid")
+    assert res.idx.shape == (3, 5)
+    assert res.count.shape == (3,)
+
+
+def test_single_segment_rect_matches_analyze_epoch():
+    # One full-length segment, no taper, no overlap: Welch degenerates to
+    # the plain epoch pipeline (sqrt(mean of one power) == the magnitude).
+    from apda_fft_tpu.models.pipeline import analyze_epoch
+
+    fs = 500.0
+    x = _long_record(T=4096, tone=0.5)
+    w = analyze_welch(x, fs, window=4096, hop=4096, taper="none")
+    e = analyze_epoch(x[None], fs, mode="flexible")
+    assert int(w.count) == int(e.count[0])
+    assert np.array_equal(np.asarray(w.idx), np.asarray(e.idx[0]))
+
+
+def test_overlap_default_and_validation():
+    fs = 500.0
+    x = _long_record(T=8192)
+    res = analyze_welch(x, fs, window=1024)  # hop defaults to 512
+    assert int(res.count) >= 1
+    with pytest.raises(ValueError, match="unknown taper"):
+        analyze_welch(x, fs, window=1024, taper="kaiser")
+    with pytest.raises(ValueError, match="unknown mode"):
+        analyze_welch(x, fs, window=1024, mode="bogus")
+
+
+def test_refine_and_adaptive_run():
+    fs = 500.0
+    x = _long_record(T=16384, tone=0.5)
+    res = analyze_welch(x, fs, window=2048, mode="adaptive", refine=True)
+    assert int(res.count) >= 1
+    assert float(res.refined_freq[0]) == pytest.approx(25.0, abs=0.3)
