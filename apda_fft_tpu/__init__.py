@@ -26,6 +26,7 @@ from apda_fft_tpu.models.streaming import (
     analyze_stream,
     analyze_welch,
     frame_records,
+    spectrogram,
 )
 from apda_fft_tpu.ops.fft import (
     center_and_pad,
@@ -71,5 +72,6 @@ __all__ = [
     "next_pow2",
     "prominence_peaks",
     "resolution_peaks",
+    "spectrogram",
     "taper_window",
 ]

@@ -47,6 +47,9 @@ class GatewayConfig:
     #: optional on-disk XLA compilation cache so gateway restarts don't
     #: re-pay the 10-40 s first-compile per epoch shape
     compilation_cache_dir: str = ""
+    #: optional spectral-leakage taper for the analysis pipeline
+    #: ("none" = reference-parity rectangular; "hann"/"hamming"/"blackman")
+    taper: str = "none"
 
     @classmethod
     def load(cls, config_path: str | os.PathLike) -> "GatewayConfig":
@@ -70,6 +73,7 @@ class GatewayConfig:
                 ),
                 is_flexible_structure=bool(flexible),
                 compilation_cache_dir=gw.get("compilation_cache_dir", ""),
+                taper=gw.get("taper", "none"),
             )
         except GatewayConfigError:
             raise

@@ -68,7 +68,9 @@ class GatewayService:
         self.devices = DeviceRegistry(config.device_file)
         self.sensor_configs = SensorConfigFile(config.config_file)
         self.pipeline = pipeline or SpectralPipeline(
-            PipelineConfig.from_gateway_flag(config.is_flexible_structure)
+            PipelineConfig.from_gateway_flag(
+                config.is_flexible_structure, taper=config.taper
+            )
         )
 
         self.ftp_sink = ftp_sink or FtpSink(config.ftp, config.data_dir)

@@ -75,6 +75,52 @@ def analyze_stream(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("window", "hop", "taper", "backend")
+)
+def _spectrogram_impl(records, *, window, hop, taper, backend):
+    framed = frame_records(records, window, hop)
+    n_fft = fft_ops.next_pow2(window)
+    lead = framed.shape[:-1]
+    flat = framed.reshape((-1, window))
+    segs = fft_ops.center_and_pad(flat, n_fft, None)
+    if taper != "none":
+        segs = segs * fft_ops.taper_window(
+            taper, n_fft, segs.dtype, window if window < n_fft else None
+        )
+    mags = fft_ops.halfspec_magnitudes(segs, backend=backend)
+    return mags.reshape(lead + (mags.shape[-1],))
+
+
+def spectrogram(
+    records,
+    fs,
+    window: int,
+    hop: int | None = None,
+    *,
+    taper: str = "none",
+    backend: str = "matmul",
+    dtype=jnp.float32,
+):
+    """Magnitude spectrogram of ``[..., T]`` records: ``(freqs, mags)``.
+
+    Frames records (``hop`` defaults to ``window``, non-overlapping),
+    median-centers each segment (reference front-end semantics, DC zeroed),
+    optionally tapers, and returns the half-spectrum magnitudes
+    ``mags[..., W, H]`` with the bin frequencies ``freqs[H]`` in Hz.
+    The time-frequency companion of :func:`analyze_stream`.
+    """
+    records = jnp.asarray(records, dtype)
+    hop = window if hop is None else hop
+    if taper not in fft_ops.TAPERS:
+        raise ValueError(f"unknown taper {taper!r}; expected one of {fft_ops.TAPERS}")
+    n_fft = fft_ops.next_pow2(window)
+    freqs = jnp.arange(n_fft // 2, dtype=dtype) * (jnp.asarray(fs, dtype) / n_fft)
+    return freqs, _spectrogram_impl(
+        records, window=window, hop=hop, taper=taper, backend=backend
+    )
+
+
+@functools.partial(
     jax.jit,
     static_argnames=(
         "window", "hop", "n_fft", "mode", "k", "backend", "max_candidates",

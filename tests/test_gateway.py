@@ -286,6 +286,35 @@ def test_reduced_and_shock_files_parse_and_serve_via_influx(tmp_path):
     assert all("WS_Summary" in p and "WS_Samples" in p for p in posted)
 
 
+def test_gateway_config_taper_reaches_pipeline(tmp_path):
+    import json as _json
+
+    data_dir = str(tmp_path / "d") + os.sep
+    os.makedirs(data_dir, exist_ok=True)
+    (tmp_path / "config.txt").write_text("")
+    gw_json = {
+        "ftp": {}, "fastapi": {"url": ""},
+        "gateway": {
+            "logger_file": data_dir + "history.log",
+            "device_file": data_dir + "devices.txt",
+            "config_file": str(tmp_path / "config.txt"),
+            "data_dir": data_dir,
+            "is_flexibile_structure": True,
+            "taper": "hann",
+        },
+    }
+    p = tmp_path / "gw.json"
+    p.write_text(_json.dumps(gw_json))
+    config = GatewayConfig.load(p)
+    assert config.taper == "hann"
+    svc = GatewayService(config, LoopbackTransport(), clock=TickingClock())
+    assert svc.pipeline.config.taper == "hann"
+    # default stays reference-parity rectangular
+    del gw_json["gateway"]["taper"]
+    p.write_text(_json.dumps(gw_json))
+    assert GatewayConfig.load(p).taper == "none"
+
+
 def test_config_row_triggers_reconfiguration_packet(tmp_path):
     row = MAC + " 2g 500Hz XY 8k 2h SYNC1 4g 250Hz Z 2k 10 1500 4 8g 50Hz ODR2 N\n"
     svc, transport, _, _ = make_service(tmp_path, config_rows=(row,))

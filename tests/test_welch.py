@@ -57,6 +57,26 @@ def test_overlap_default_and_validation():
         analyze_welch(x, fs, window=1024, mode="bogus")
 
 
+def test_spectrogram_shapes_and_tone():
+    from apda_fft_tpu.models.streaming import spectrogram
+
+    fs = 500.0
+    x = _long_record(T=16384, tone=2.0, noise=0.1)
+    freqs, mags = spectrogram(x, fs, window=2048, hop=1024, taper="hann")
+    assert mags.shape == ((16384 - 2048) // 1024 + 1, 1024)
+    assert freqs.shape == (1024,)
+    tone_bin = round(25.0 * 2048 / fs)
+    m = np.asarray(mags)
+    assert np.all(np.argmax(m, axis=-1) == tone_bin)  # tone in every frame
+    assert float(freqs[tone_bin]) == pytest.approx(25.0, abs=float(freqs[1]))
+    # Multichannel leading shape passes through.
+    x3 = np.stack([x, x, x])
+    _, m3 = spectrogram(x3, fs, window=2048)
+    assert m3.shape == (3, 8, 1024)
+    with pytest.raises(ValueError, match="unknown taper"):
+        spectrogram(x, fs, window=2048, taper="tukey")
+
+
 def test_refine_and_adaptive_run():
     fs = 500.0
     x = _long_record(T=16384, tone=0.5)
