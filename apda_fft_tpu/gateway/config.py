@@ -60,6 +60,15 @@ class GatewayConfig:
             flexible = gw.get(
                 "is_flexibile_structure", gw.get("is_flexible_structure", True)
             )
+            taper = gw.get("taper", "none")
+            from apda_fft_tpu.ops.fft import TAPERS  # lazy: keeps config jax-free until needed
+
+            if taper not in TAPERS:
+                # Fail at load like every other config mistake, not at the
+                # first epoch analysis in the running gateway.
+                raise GatewayConfigError(
+                    f"unknown taper {taper!r} in {config_path}; expected one of {TAPERS}"
+                )
             return cls(
                 ftp=FtpSettings(**cfg.get("ftp", {})),
                 fastapi_url=cfg.get("fastapi", {}).get("url", ""),
@@ -73,7 +82,7 @@ class GatewayConfig:
                 ),
                 is_flexible_structure=bool(flexible),
                 compilation_cache_dir=gw.get("compilation_cache_dir", ""),
-                taper=gw.get("taper", "none"),
+                taper=taper,
             )
         except GatewayConfigError:
             raise

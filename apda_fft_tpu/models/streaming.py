@@ -77,7 +77,12 @@ def analyze_stream(
 @functools.partial(
     jax.jit, static_argnames=("window", "hop", "taper", "backend")
 )
-def _spectrogram_impl(records, *, window, hop, taper, backend):
+def _segment_mags(records, *, window, hop, taper, backend):
+    """Frame -> median-center -> taper -> half-spectrum magnitudes.
+
+    The shared segment front end of :func:`spectrogram` and
+    :func:`analyze_welch`; returns ``[..., W, H]``.
+    """
     framed = frame_records(records, window, hop)
     n_fft = fft_ops.next_pow2(window)
     lead = framed.shape[:-1]
@@ -114,8 +119,12 @@ def spectrogram(
     if taper not in fft_ops.TAPERS:
         raise ValueError(f"unknown taper {taper!r}; expected one of {fft_ops.TAPERS}")
     n_fft = fft_ops.next_pow2(window)
-    freqs = jnp.arange(n_fft // 2, dtype=dtype) * (jnp.asarray(fs, dtype) / n_fft)
-    return freqs, _spectrogram_impl(
+    # Per-channel fs broadcasts: freqs comes back [..., H] then.
+    fs_arr = jnp.asarray(fs, dtype)
+    freqs = jnp.arange(n_fft // 2, dtype=dtype) * (fs_arr[..., None] / n_fft)
+    if fs_arr.ndim == 0:
+        freqs = freqs.reshape((-1,))
+    return freqs, _segment_mags(
         records, window=window, hop=hop, taper=taper, backend=backend
     )
 
@@ -131,21 +140,13 @@ def _welch_impl(
     records, fs, *, window, hop, n_fft, mode, k, backend, max_candidates,
     refine, taper, selection,
 ):
-    framed = frame_records(records, window, hop)        # [..., W, window]
-    lead = framed.shape[:-2]
-    w = framed.shape[-2]
-    flat = framed.reshape((-1, window))
-    # Reference-style median centering per segment, then taper + magnitudes.
-    segs = fft_ops.center_and_pad(flat, n_fft, None)
-    if taper != "none":
-        segs = segs * fft_ops.taper_window(
-            taper, n_fft, segs.dtype, window if window < n_fft else None
-        )
-    mags = fft_ops.halfspec_magnitudes(segs, backend=backend)
+    mags = _segment_mags(
+        records, window=window, hop=hop, taper=taper, backend=backend
+    )                                                    # [..., W, H]
+    lead = mags.shape[:-2]
     # Welch: average segment POWER, report RMS magnitude (same scale as a
     # single segment's spectrum; the zeroed DC bin stays zero).
-    power = (mags * mags).reshape(lead + (w, mags.shape[-1]))
-    avg = jnp.sqrt(jnp.mean(power, axis=-2))            # [..., H]
+    avg = jnp.sqrt(jnp.mean(mags * mags, axis=-2))       # [..., H]
     avg_flat = avg.reshape((-1, avg.shape[-1]))
     fs_flat = jnp.broadcast_to(jnp.asarray(fs, avg.dtype), lead).reshape((-1,))
     res = _pipeline._detect_from_mags(
@@ -245,6 +246,8 @@ def analyze_epochs_pipelined(
       **kwargs: forwarded to ``analyze`` (backend, k, refine, lowlat, ...).
         ``max_candidates`` is managed here and rejected.
     """
+    # Validate eagerly (this is a plain function returning a generator, so
+    # misconfiguration fails at the call site, not at the first next()).
     if mode not in ("flexible", "rigid"):
         raise ValueError(
             f"pipelined analysis supports 'flexible' or 'rigid', got {mode!r}"
@@ -305,10 +308,13 @@ def analyze_epochs_pipelined(
         )
         return res
 
-    pending: deque = deque()
-    for samples in epochs:
-        pending.append(dispatch(samples))
-        if len(pending) >= depth + 1:
+    def generate():
+        pending: deque = deque()
+        for samples in epochs:
+            if len(pending) >= depth:
+                yield finalize(pending.popleft())
+            pending.append(dispatch(samples))
+        while pending:
             yield finalize(pending.popleft())
-    while pending:
-        yield finalize(pending.popleft())
+
+    return generate()

@@ -62,11 +62,12 @@ def run_corpus() -> dict:
     # (apda_fft_tpu.analyze_window_lowlat) over every full-pow2-window corpus
     # case (validated through N=65536 on hardware - docs/DESIGN.md).  The
     # budget mirrors the production routing contract exactly: re-run larger
-    # iff n_candidates overflowed, and past the 64-slot cap the routing
-    # falls back to the batched pipeline - so the gate validates that
-    # fallback result instead of recording a phantom failure (the first
-    # section already proves the batched path; this re-checks it through the
-    # routing's own overflow handoff, never skipping a case silently).
+    # iff n_candidates overflowed.  Past the 64-slot cap the case is re-run
+    # through analyze_epoch's OWN lowlat="auto" routing (sticky budget
+    # cleared first so the kernel attempt is not skipped), executing the
+    # production discard-and-fall-back handoff on hardware - never skipping
+    # a case silently.
+    from apda_fft_tpu.models.pipeline import _dynamic_budget, analyze_epoch
     from apda_fft_tpu.ops.latency_pallas import analyze_window_lowlat
 
     for mode in ("flexible", "rigid"):
@@ -89,10 +90,14 @@ def run_corpus() -> dict:
                 budget = min(64, max(2 * budget, 1 << (n_cand - 1).bit_length()))
             path = "lowlat"
             if mode == "flexible" and n_cand > budget:
-                # >64 candidates needed: production routing discards the
-                # kernel result and re-runs the batched dynamic path.
+                # >64 candidates needed: exercise the real production
+                # handoff - lowlat="auto" attempts the kernel, reads the
+                # overflow back, discards, and re-runs the batched dynamic
+                # path.  Clearing the sticky budget guarantees the kernel
+                # attempt is not short-circuited by an earlier case.
                 path = "lowlat-fallback"
-                res, _n_fft = _run_device(x, fs, mode, jnp.float32)
+                _dynamic_budget.pop((n, mode), None)
+                res = analyze_epoch(x[None], fs, n_fft=n, mode=mode)
             got_count = int(res.count[0])
             got_idx = [int(i) for i in np.asarray(res.idx[0])[:got_count]]
             ref_idx = [p["idx"] for p in ref]

@@ -53,13 +53,12 @@ def _modal(n, fs=500.0, seed=7):
 def test_single_full_window_routes_through_kernel(fake_tpu, mode):
     x = _modal(1024)
     routed = analyze_epoch(x[None], 500.0, mode=mode)
-    assert len(fake_tpu) >= 1
-    unrouted = analyze_epoch(x[None], 500.0, mode=mode, lowlat="never")
-    assert len(fake_tpu) >= 1  # "never" added no dispatches
     n_routed_calls = len(fake_tpu)
+    assert n_routed_calls >= 1
+    unrouted = analyze_epoch(x[None], 500.0, mode=mode, lowlat="never")
+    assert len(fake_tpu) == n_routed_calls  # "never" added no dispatches
     assert int(routed.count[0]) == int(unrouted.count[0])
     assert np.array_equal(np.asarray(routed.idx[0]), np.asarray(unrouted.idx[0]))
-    assert len(fake_tpu) == n_routed_calls
 
 
 def test_lowlat_never_skips_kernel(fake_tpu):

@@ -94,11 +94,38 @@ def test_composes_with_sharded_analyze():
         assert np.array_equal(np.asarray(res.idx), np.asarray(ref.idx))
 
 
-def test_validation_errors():
+def test_validation_errors_raise_eagerly_at_call_site():
+    # No iteration: misconfiguration must fail at the call, not first next().
     with pytest.raises(ValueError, match="flexible.*rigid"):
-        list(analyze_epochs_pipelined([], 500.0, mode="adaptive"))
+        analyze_epochs_pipelined([], 500.0, mode="adaptive")
     with pytest.raises(ValueError, match="candidate budget"):
-        list(analyze_epochs_pipelined([], 500.0, max_candidates=8))
+        analyze_epochs_pipelined([], 500.0, max_candidates=8)
     with pytest.raises(ValueError, match="depth"):
-        list(analyze_epochs_pipelined([], 500.0, depth=0))
+        analyze_epochs_pipelined([], 500.0, depth=0)
+    with pytest.raises(ValueError, match="lengths"):
+        analyze_epochs_pipelined([], 500.0, lengths=np.array([4]))
     assert list(analyze_epochs_pipelined([], 500.0)) == []
+
+
+def test_at_most_depth_in_flight():
+    # Clean modal epochs (no budget overflow, so every analyze call is a
+    # dispatch and every yield retires exactly one).
+    fs, depth = 500.0, 2
+    n = 1024
+    t = np.arange(n) / fs
+    epochs = [
+        (np.sin(2 * np.pi * 0.025 * fs * t) * (1 + 0.1 * s)).astype(np.float32)[None]
+        for s in range(5)
+    ]
+    outstanding = 0
+    seen_max = 0
+
+    def counting_analyze(samples, f, **kw):
+        nonlocal outstanding, seen_max
+        outstanding += 1
+        seen_max = max(seen_max, outstanding)
+        return analyze_epoch(samples, f, **kw)
+
+    for _ in analyze_epochs_pipelined(epochs, fs, depth=depth, analyze=counting_analyze):
+        outstanding -= 1  # each yield retires the oldest dispatch
+    assert seen_max == depth

@@ -73,6 +73,10 @@ def test_spectrogram_shapes_and_tone():
     x3 = np.stack([x, x, x])
     _, m3 = spectrogram(x3, fs, window=2048)
     assert m3.shape == (3, 8, 1024)
+    # Per-channel fs broadcasts; freqs comes back [C, H].
+    f2, m2 = spectrogram(x3[:2], np.array([500.0, 250.0]), window=2048)
+    assert f2.shape == (2, 1024)
+    assert float(f2[1, 100]) == pytest.approx(float(f2[0, 100]) / 2)
     with pytest.raises(ValueError, match="unknown taper"):
         spectrogram(x, fs, window=2048, taper="tukey")
 
