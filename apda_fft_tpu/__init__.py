@@ -28,6 +28,7 @@ from apda_fft_tpu.models.streaming import (
     frame_records,
     spectrogram,
 )
+from apda_fft_tpu.models.tracking import PeakTracker, Track, match_peaks
 from apda_fft_tpu.ops.fft import (
     center_and_pad,
     full_spectrum,
@@ -53,11 +54,13 @@ def __getattr__(name):
 
 __all__ = [
     "EpochResult",
+    "PeakTracker",
     "PipelineConfig",
     "ProminencePeaks",
     "RecordPeaks",
     "ResolutionPeaks",
     "SpectralPipeline",
+    "Track",
     "analyze_epoch",
     "analyze_epochs_pipelined",
     "analyze_records",
@@ -69,6 +72,7 @@ __all__ = [
     "default_k",
     "full_spectrum",
     "halfspec_magnitudes",
+    "match_peaks",
     "next_pow2",
     "prominence_peaks",
     "resolution_peaks",

@@ -1,0 +1,169 @@
+"""Modal peak tracking across acquisition epochs (beyond-reference).
+
+The reference stops at per-epoch peak lists; structural-health monitoring's
+actual signal is how those modal frequencies DRIFT over time (stiffness
+loss shifts modes down, temperature swings move them seasonally).  This
+module matches each epoch's detected peaks to persistent tracks so drift
+is a first-class output:
+
+    tracker = PeakTracker(rel_tol=0.02)
+    for res in epoch_results:              # EpochResult per epoch
+        tracker.update(res, t=epoch_time)  # or update_freqs([...], t)
+    for tr in tracker.tracks():
+        print(tr.track_id, tr.mean_freq, tr.drift_hz, tr.freqs)
+
+Matching is greedy nearest-frequency within a relative tolerance (modal
+frequencies move slowly per epoch; a 2% default window comfortably covers
+environmental drift while separating distinct modes resolved by the
+detectors' own separation rules).  Host-side NumPy by design: k <= 5 peaks
+per epoch is not TPU work.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Track:
+    """One persistent modal peak over time."""
+
+    track_id: int
+    times: list = dataclasses.field(default_factory=list)
+    freqs: list = dataclasses.field(default_factory=list)
+    mags: list = dataclasses.field(default_factory=list)
+    missed: int = 0  # consecutive epochs without a match
+
+    @property
+    def last_freq(self) -> float:
+        return self.freqs[-1]
+
+    @property
+    def mean_freq(self) -> float:
+        return float(np.mean(self.freqs))
+
+    @property
+    def drift_hz(self) -> float:
+        """Latest frequency minus the track's first observation."""
+        return self.freqs[-1] - self.freqs[0]
+
+    @property
+    def drift_relative(self) -> float:
+        return self.drift_hz / self.freqs[0] if self.freqs[0] else 0.0
+
+    def __len__(self) -> int:
+        return len(self.freqs)
+
+
+def match_peaks(
+    track_freqs: Sequence[float],
+    new_freqs: Sequence[float],
+    rel_tol: float = 0.02,
+) -> list[tuple[int, int]]:
+    """Greedy nearest-frequency matching: ``[(track_idx, new_idx), ...]``.
+
+    Pairs are taken closest-first; each side is used at most once; a pair
+    is accepted iff ``|f_new - f_track| <= rel_tol * f_track``.
+    """
+    if not len(track_freqs) or not len(new_freqs):
+        return []
+    tf = np.asarray(track_freqs, np.float64)
+    nf = np.asarray(new_freqs, np.float64)
+    dist = np.abs(nf[None, :] - tf[:, None])  # [T, N]
+    order = np.argsort(dist, axis=None, kind="stable")
+    used_t: set[int] = set()
+    used_n: set[int] = set()
+    pairs: list[tuple[int, int]] = []
+    for flat in order:
+        ti, ni = divmod(int(flat), len(nf))
+        if ti in used_t or ni in used_n:
+            continue
+        if dist[ti, ni] > rel_tol * tf[ti]:
+            break  # sorted: every later pair is at least this far apart
+        used_t.add(ti)
+        used_n.add(ni)
+        pairs.append((ti, ni))
+    return pairs
+
+
+class PeakTracker:
+    """Accumulate per-epoch peak lists into persistent modal tracks.
+
+    Args:
+      rel_tol: relative matching window vs each track's last frequency.
+      max_missed: a track is retired after this many consecutive unmatched
+        epochs (it stays in :meth:`tracks` history; it just can't match).
+    """
+
+    def __init__(self, rel_tol: float = 0.02, max_missed: int = 5):
+        self.rel_tol = rel_tol
+        self.max_missed = max_missed
+        self._tracks: list[Track] = []
+        self._next_id = 0
+        self._epoch = 0
+
+    def update_freqs(
+        self,
+        freqs: Iterable[float],
+        mags: Iterable[float] | None = None,
+        t=None,
+    ) -> list[Track]:
+        """Match one epoch's peak frequencies; returns tracks matched/born."""
+        t = self._epoch if t is None else t
+        self._epoch += 1
+        fl = [float(f) for f in freqs if f > 0]
+        ml = [float(m) for m in mags] if mags is not None else [0.0] * len(fl)
+
+        active = [tr for tr in self._tracks if tr.missed < self.max_missed]
+        pairs = match_peaks([tr.last_freq for tr in active], fl, self.rel_tol)
+        matched_tracks: list[Track] = []
+        matched_new = set()
+        for ti, ni in pairs:
+            tr = active[ti]
+            tr.times.append(t)
+            tr.freqs.append(fl[ni])
+            tr.mags.append(ml[ni])
+            tr.missed = 0
+            matched_tracks.append(tr)
+            matched_new.add(ni)
+        for tr in active:
+            if tr not in matched_tracks:
+                tr.missed += 1
+        for ni, f in enumerate(fl):
+            if ni not in matched_new:
+                tr = Track(self._next_id, [t], [f], [ml[ni]])
+                self._next_id += 1
+                self._tracks.append(tr)
+                matched_tracks.append(tr)
+        return matched_tracks
+
+    def update(
+        self, result, window: int = 0, t=None, use_refined: bool = True
+    ) -> list[Track]:
+        """Match one window of an :class:`EpochResult` (batch index 0 or
+        ``window``; flatten multi-axis batches yourself for other layouts).
+
+        With ``use_refined`` (default) the sub-bin interpolated frequencies
+        are used when the epoch was analyzed with ``refine=True`` — drift
+        well below one bin (the typical early damage signal) is invisible
+        in the bin-rounded ``freq``.
+        """
+        count = int(np.asarray(result.count).reshape(-1)[window])
+        k = result.freq.shape[-1]
+        freqs = np.asarray(result.freq).reshape(-1, k)[window][:count]
+        if use_refined:
+            refined = np.asarray(result.refined_freq).reshape(-1, k)[window][:count]
+            freqs = np.where(refined > 0, refined, freqs)
+        mags = np.asarray(result.mag).reshape(-1, k)[window][:count]
+        return self.update_freqs(freqs, mags, t=t)
+
+    def tracks(self, min_length: int = 1) -> list[Track]:
+        """All tracks (including retired), longest-lived first."""
+        return sorted(
+            (tr for tr in self._tracks if len(tr) >= min_length),
+            key=len,
+            reverse=True,
+        )

@@ -1,0 +1,90 @@
+"""Modal peak tracking across epochs."""
+
+import numpy as np
+import pytest
+
+from apda_fft_tpu.models.tracking import PeakTracker, Track, match_peaks
+
+
+def test_match_greedy_nearest_with_tolerance():
+    pairs = match_peaks([10.0, 50.0], [50.2, 9.9, 200.0], rel_tol=0.02)
+    assert sorted(pairs) == [(0, 1), (1, 0)]  # 10<->9.9, 50<->50.2; 200 unmatched
+    assert match_peaks([10.0], [10.3], rel_tol=0.02) == []  # 3% off > 2% tol
+    assert match_peaks([], [1.0]) == []
+    assert match_peaks([1.0], []) == []
+
+
+def test_match_each_side_used_once():
+    # Two tracks close together, one new peak: only the nearest track gets it.
+    pairs = match_peaks([25.0, 25.4], [25.39], rel_tol=0.02)
+    assert pairs == [(1, 0)]
+
+
+def test_tracker_follows_slow_drift():
+    tracker = PeakTracker(rel_tol=0.02)
+    # Mode 1 drifts 25.0 -> 24.0 Hz over 50 epochs (2 % slow loss of
+    # stiffness); mode 2 stays at 47.7.
+    for e in range(50):
+        f1 = 25.0 - 0.02 * e
+        tracker.update_freqs([f1, 47.7], t=e)
+    tracks = tracker.tracks()
+    assert len(tracks) == 2
+    drifting = min(tracks, key=lambda tr: tr.mean_freq)
+    assert len(drifting) == 50
+    assert drifting.drift_hz == pytest.approx(-0.98, abs=1e-9)
+    assert drifting.drift_relative == pytest.approx(-0.0392, abs=1e-4)
+    stable = max(tracks, key=lambda tr: tr.mean_freq)
+    assert stable.drift_hz == pytest.approx(0.0)
+
+
+def test_tracker_births_and_retires():
+    tracker = PeakTracker(rel_tol=0.02, max_missed=2)
+    tracker.update_freqs([10.0])
+    tracker.update_freqs([10.0, 30.0])   # 30 Hz mode appears
+    for _ in range(3):
+        tracker.update_freqs([30.0])     # 10 Hz mode vanishes
+    tracker.update_freqs([10.05])        # near the retired track -> NEW track
+    tracks = tracker.tracks()
+    ten_hz = [tr for tr in tracks if abs(tr.mean_freq - 10.0) < 0.5]
+    assert len(ten_hz) == 2              # original (retired) + reborn
+    thirty = [tr for tr in tracks if abs(tr.mean_freq - 30.0) < 0.5][0]
+    assert len(thirty) == 4
+
+
+def test_update_uses_refined_frequencies_for_subbin_drift():
+    from apda_fft_tpu.models.pipeline import analyze_epoch
+
+    fs, n = 500.0, 4096
+    t = np.arange(n) / fs
+    df = fs / n
+    tr_ref = PeakTracker()
+    tr_bin = PeakTracker()
+    # 0.04 Hz/epoch drift, well under one bin (df = 0.122 Hz).
+    for e in range(4):
+        x = np.sin(2 * np.pi * (12.3 + 0.04 * e) * t).astype(np.float32)
+        res = analyze_epoch(x[None], fs, refine=True)
+        tr_ref.update(res, t=e)
+        tr_bin.update(res, t=e, use_refined=False)
+    drift_ref = tr_ref.tracks()[0].drift_hz
+    drift_bin = tr_bin.tracks()[0].drift_hz
+    assert drift_ref == pytest.approx(0.12, abs=0.04)  # sub-bin drift seen
+    assert abs(drift_bin) <= df + 1e-6                  # bin-rounded at best
+
+
+def test_update_from_epoch_result():
+    from apda_fft_tpu.models.pipeline import analyze_epoch
+
+    fs, n = 500.0, 4096
+    t = np.arange(n) / fs
+    tracker = PeakTracker()
+    for e in range(3):
+        f1 = 12.3 + 0.01 * e
+        x = (np.sin(2 * np.pi * f1 * t) + 0.6 * np.sin(2 * np.pi * 47.7 * t)
+             ).astype(np.float32)
+        res = analyze_epoch(x[None], fs, mode="flexible")
+        tracker.update(res, t=e)
+    tracks = tracker.tracks(min_length=3)
+    assert len(tracks) == 2
+    freqs = sorted(tr.mean_freq for tr in tracks)
+    assert freqs[0] == pytest.approx(12.3, abs=0.1)
+    assert freqs[1] == pytest.approx(47.7, abs=0.1)
