@@ -81,6 +81,32 @@ def test_spectrogram_shapes_and_tone():
         spectrogram(x, fs, window=2048, taper="tukey")
 
 
+def test_segment_front_end_matches_numpy_reference():
+    # Independent float64 numpy replication of the documented spec:
+    # frame -> median-center -> hann/coherent-gain taper -> |rfft| -> DC=0.
+    from apda_fft_tpu.models.streaming import _segment_mags
+
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((2, 8192)).astype(np.float32)
+    window, hop = 1024, 512
+    mags = np.asarray(
+        _segment_mags(x, window=window, hop=hop, taper="hann", backend="matmul")
+    )
+    W = (8192 - window) // hop + 1
+    assert mags.shape == (2, W, window // 2)
+    wfun = np.hanning(window)
+    wfun = wfun / wfun.mean()
+    for c in (0, 1):
+        for widx in (0, W // 2, W - 1):
+            seg = x[c, widx * hop : widx * hop + window].astype(np.float64)
+            seg = (seg - np.median(seg)) * wfun
+            ref = np.abs(np.fft.rfft(seg))[: window // 2]
+            ref[0] = 0.0
+            np.testing.assert_allclose(
+                mags[c, widx], ref, rtol=5e-4, atol=5e-3
+            )
+
+
 def test_refine_and_adaptive_run():
     fs = 500.0
     x = _long_record(T=16384, tone=0.5)
