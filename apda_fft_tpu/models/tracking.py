@@ -82,7 +82,11 @@ def match_peaks(
         if ti in used_t or ni in used_n:
             continue
         if dist[ti, ni] > rel_tol * tf[ti]:
-            break  # sorted: every later pair is at least this far apart
+            # The tolerance is RELATIVE to each track while the ordering is
+            # absolute, so a too-far low-frequency pair can sort before a
+            # valid high-frequency one - keep scanning (k <= 5, O(T*N) is
+            # free), never break.
+            continue
         used_t.add(ti)
         used_n.add(ni)
         pairs.append((ti, ni))
@@ -101,7 +105,8 @@ class PeakTracker:
     def __init__(self, rel_tol: float = 0.02, max_missed: int = 5):
         self.rel_tol = rel_tol
         self.max_missed = max_missed
-        self._tracks: list[Track] = []
+        self._tracks: list[Track] = []   # live (matchable) tracks
+        self._archive: list[Track] = []  # retired tracks, kept for history
         self._next_id = 0
         self._epoch = 0
 
@@ -114,10 +119,23 @@ class PeakTracker:
         """Match one epoch's peak frequencies; returns tracks matched/born."""
         t = self._epoch if t is None else t
         self._epoch += 1
-        fl = [float(f) for f in freqs if f > 0]
-        ml = [float(m) for m in mags] if mags is not None else [0.0] * len(fl)
+        fl_all = [float(f) for f in freqs]
+        ml_all = (
+            [float(m) for m in mags] if mags is not None else [0.0] * len(fl_all)
+        )
+        # Drop invalid (padded) slots from freqs and mags TOGETHER so the
+        # magnitudes stay aligned with their peaks.
+        kept = [(f, m) for f, m in zip(fl_all, ml_all) if f > 0]
+        fl = [f for f, _ in kept]
+        ml = [m for _, m in kept]
 
-        active = [tr for tr in self._tracks if tr.missed < self.max_missed]
+        # Retire long-silent tracks into the archive so the live list (and
+        # per-update matching) stays bounded in a months-long deployment.
+        still_live = []
+        for tr in self._tracks:
+            (still_live if tr.missed < self.max_missed else self._archive).append(tr)
+        self._tracks = still_live
+        active = self._tracks
         pairs = match_peaks([tr.last_freq for tr in active], fl, self.rel_tol)
         matched_tracks: list[Track] = []
         matched_new = set()
@@ -161,9 +179,15 @@ class PeakTracker:
         return self.update_freqs(freqs, mags, t=t)
 
     def tracks(self, min_length: int = 1) -> list[Track]:
-        """All tracks (including retired), longest-lived first."""
+        """All tracks (live + retired), longest-lived first."""
         return sorted(
-            (tr for tr in self._tracks if len(tr) >= min_length),
+            (tr for tr in self._tracks + self._archive if len(tr) >= min_length),
             key=len,
             reverse=True,
         )
+
+    def prune_archive(self, min_length: int = 2) -> int:
+        """Drop short retired tracks (noise births); returns how many."""
+        before = len(self._archive)
+        self._archive = [tr for tr in self._archive if len(tr) >= min_length]
+        return before - len(self._archive)

@@ -26,12 +26,15 @@ def main() -> None:
 
     result = apda.analyze_epoch(samples, fs, mode="flexible", refine=True)
 
-    print(f"epoch batch shape: {samples.shape} -> peaks per window:")
+    print(f"epoch batch shape: {samples.shape} -> window 0 of each channel:")
     for c in range(samples.shape[0]):
         count = int(result.count[c, 0])
         freqs = np.asarray(result.freq[c, 0])[:count]
         damps = np.asarray(result.damping[c, 0])[:count]
         print(f"  ch{c}: {count} peaks at {freqs} Hz, damping {damps} %")
+    per_window = np.asarray(result.count)
+    print(f"all {per_window.size} windows found peaks: "
+          f"min {per_window.min()}, max {per_window.max()} per window")
 
     # Single windows on a real TPU route through the fused latency kernel
     # automatically (analyze_epoch(lowlat="auto") is the default).

@@ -37,6 +37,33 @@ def test_tracker_follows_slow_drift():
     assert stable.drift_hz == pytest.approx(0.0)
 
 
+def test_relative_tolerance_does_not_truncate_scan():
+    # The (10, 10.3) pair sorts first by absolute distance but fails its
+    # relative window; the (1000, 1005) pair after it is valid and must
+    # still be found (regression: an early break dropped it).
+    assert match_peaks([10.0, 1000.0], [10.3, 1005.0], rel_tol=0.02) == [(1, 1)]
+
+
+def test_padded_slots_keep_mags_aligned():
+    tracker = PeakTracker()
+    tracker.update_freqs([0.0, 12.3], [0.5, 7.7])
+    (tr,) = tracker.tracks()
+    assert tr.freqs == [12.3]
+    assert tr.mags == [7.7]  # regression: the dropped slot's mag shifted in
+
+
+def test_retired_tracks_leave_the_live_set():
+    tracker = PeakTracker(max_missed=1)
+    tracker.update_freqs([10.0])
+    tracker.update_freqs([50.0])  # 10 Hz missed once -> retires next update
+    tracker.update_freqs([50.0])
+    assert len(tracker._tracks) == 1          # only the 50 Hz track is live
+    assert len(tracker._archive) == 1         # 10 Hz kept as history
+    assert len(tracker.tracks()) == 2         # both visible to the caller
+    assert tracker.prune_archive(min_length=2) == 1
+    assert tracker.tracks()[0].mean_freq == pytest.approx(50.0)
+
+
 def test_tracker_births_and_retires():
     tracker = PeakTracker(rel_tol=0.02, max_missed=2)
     tracker.update_freqs([10.0])
