@@ -27,6 +27,7 @@ from apda_fft_tpu.models.streaming import (
     analyze_welch,
     frame_records,
     spectrogram,
+    welch_psd,
 )
 from apda_fft_tpu.models.tracking import PeakTracker, Track, match_peaks
 from apda_fft_tpu.ops.fft import (
@@ -78,4 +79,5 @@ __all__ = [
     "resolution_peaks",
     "spectrogram",
     "taper_window",
+    "welch_psd",
 ]

@@ -129,6 +129,53 @@ def spectrogram(
     )
 
 
+def welch_psd(
+    records,
+    fs,
+    window: int,
+    hop: int | None = None,
+    *,
+    taper: str = "hann",
+    backend: str = "matmul",
+    dtype=jnp.float32,
+):
+    """One-sided Welch power spectral density: ``(freqs, psd)``.
+
+    Units: ``input_units^2 / Hz`` (the engineering convention, matching
+    ``scipy.signal.welch`` with the same symmetric window and segmenting -
+    cross-checked in tests).  Differences from scipy, by design: segments
+    are median-centered (the reference's detrend) instead of mean-detrended,
+    and the DC bin is zeroed.  ``psd`` has shape ``[..., H]``; ``hop``
+    defaults to 50% overlap.
+    """
+    records = jnp.asarray(records, dtype)
+    hop = max(window // 2, 1) if hop is None else hop
+    if taper not in fft_ops.TAPERS:
+        raise ValueError(f"unknown taper {taper!r}; expected one of {fft_ops.TAPERS}")
+    n_fft = fft_ops.next_pow2(window)
+    mags = _segment_mags(
+        records, window=window, hop=hop, taper=taper, backend=backend
+    )
+    mean_power = jnp.mean(mags * mags, axis=-2)  # [..., H]
+    # _segment_mags tapers with w/mean(w); undo that normalization and apply
+    # the standard one-sided density scaling 2/(fs*sum(w^2)).  (H = n_fft/2
+    # excludes the Nyquist bin; DC is zeroed upstream so its factor-2 excess
+    # is moot.)
+    if taper == "none":
+        wsum2 = float(window)
+    else:
+        import numpy as _np
+
+        w_norm = _np.asarray(fft_ops.taper_window(taper, window, _np.float64))
+        wsum2 = float(_np.sum(w_norm * w_norm))
+    fs_arr = jnp.asarray(fs, dtype)
+    psd = mean_power * (2.0 / (fs_arr[..., None] * wsum2))
+    freqs = jnp.arange(n_fft // 2, dtype=dtype) * (fs_arr[..., None] / n_fft)
+    if fs_arr.ndim == 0:
+        freqs = freqs.reshape((-1,))
+    return freqs, psd
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

@@ -81,6 +81,52 @@ def test_spectrogram_shapes_and_tone():
         spectrogram(x, fs, window=2048, taper="tukey")
 
 
+def test_welch_psd_matches_scipy():
+    # Same segmenting, same symmetric hann window, mean vs median detrend
+    # (negligible on zero-mean noise): the density must track
+    # scipy.signal.welch closely away from the (zeroed) DC bin.
+    import scipy.signal
+
+    from apda_fft_tpu.models.streaming import welch_psd
+
+    fs, window = 500.0, 1024
+    rng = np.random.default_rng(7)
+    noise = rng.standard_normal(1 << 16).astype(np.float32)
+    freqs, psd = welch_psd(noise, fs, window=window)
+    # Ours uses a SYMMETRIC hann (numpy.hanning); hand scipy the same
+    # window (its "hann" string default is periodic) for a tight match.
+    w_sym = np.hanning(window)
+    f_sp, p_sp = scipy.signal.welch(
+        noise.astype(np.float64), fs=fs, window=w_sym, nperseg=window,
+        noverlap=window // 2, detrend="constant",
+    )
+    h = window // 2
+    np.testing.assert_allclose(np.asarray(freqs), f_sp[:h], rtol=0, atol=1e-5)
+    # Bin 1 is excluded: our median detrend leaves a (mean - median)
+    # residual that the taper's FFT spreads into the DC-adjacent bin
+    # (scipy's mean detrend zeroes it exactly) - the documented divergence.
+    np.testing.assert_allclose(np.asarray(psd)[2:h], p_sp[2:h], rtol=2e-2)
+
+    # With a strong tone added, the steep leakage skirt shows f32-vs-f64
+    # sensitivity pointwise, but integrated power still satisfies Parseval.
+    x = (noise + 0.5 * np.sin(2 * np.pi * 50.0 * np.arange(1 << 16) / fs)
+         ).astype(np.float32)
+    _, psd_t = welch_psd(x, fs, window=window)
+    total = float(np.sum(np.asarray(psd_t)[1:h]) * (fs / 1024))
+    assert total == pytest.approx(float(np.var(x)), rel=0.05)
+
+
+def test_welch_psd_multichannel_and_rect():
+    from apda_fft_tpu.models.streaming import welch_psd
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 8192)).astype(np.float32)
+    freqs, psd = welch_psd(x, 250.0, window=512, taper="none")
+    assert psd.shape == (2, 256)
+    assert freqs.shape == (256,)
+    assert float(psd[0, 0]) == 0.0  # DC zeroed by the front end
+
+
 def test_segment_front_end_matches_numpy_reference():
     # Independent float64 numpy replication of the documented spec:
     # frame -> median-center -> hann/coherent-gain taper -> |rfft| -> DC=0.
