@@ -74,20 +74,34 @@ def analyze_stream(
     return analyze_epoch(framed, fs, **kwargs)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("window", "hop", "taper", "backend")
-)
-def _segment_mags(records, *, window, hop, taper, backend):
-    """Frame -> median-center -> taper -> half-spectrum magnitudes.
+DETRENDS = ("median", "mean")
 
-    The shared segment front end of :func:`spectrogram` and
-    :func:`analyze_welch`; returns ``[..., W, H]``.
+
+@functools.partial(
+    jax.jit, static_argnames=("window", "hop", "taper", "backend", "detrend")
+)
+def _segment_mags(records, *, window, hop, taper, backend, detrend="median"):
+    """Frame -> detrend -> taper -> half-spectrum magnitudes.
+
+    The shared segment front end of :func:`spectrogram`,
+    :func:`analyze_welch`, and :func:`welch_psd`; returns ``[..., W, H]``.
+
+    ``detrend="median"`` is the reference front end's centering;
+    ``"mean"`` is the scipy/Welch convention and avoids the per-segment
+    sort, which otherwise dominates the front end's device time at scale
+    (the two differ only in the DC-adjacent bins the taper's leakage
+    reaches; DC itself is always zeroed).
     """
     framed = frame_records(records, window, hop)
     n_fft = fft_ops.next_pow2(window)
     lead = framed.shape[:-1]
     flat = framed.reshape((-1, window))
-    segs = fft_ops.center_and_pad(flat, n_fft, None)
+    if detrend == "mean":
+        segs = flat - jnp.mean(flat, axis=-1, keepdims=True)
+        if window < n_fft:
+            segs = jnp.pad(segs, ((0, 0), (0, n_fft - window)))
+    else:
+        segs = fft_ops.center_and_pad(flat, n_fft, None)
     if taper != "none":
         segs = segs * fft_ops.taper_window(
             taper, n_fft, segs.dtype, window if window < n_fft else None
@@ -105,19 +119,24 @@ def spectrogram(
     taper: str = "none",
     backend: str = "matmul",
     dtype=jnp.float32,
+    detrend: str = "median",
 ):
     """Magnitude spectrogram of ``[..., T]`` records: ``(freqs, mags)``.
 
     Frames records (``hop`` defaults to ``window``, non-overlapping),
-    median-centers each segment (reference front-end semantics, DC zeroed),
-    optionally tapers, and returns the half-spectrum magnitudes
-    ``mags[..., W, H]`` with the bin frequencies ``freqs[H]`` in Hz.
-    The time-frequency companion of :func:`analyze_stream`.
+    detrends each segment (``"median"`` default = reference front-end
+    semantics; ``"mean"`` = scipy convention, faster - see
+    :func:`_segment_mags`; DC zeroed either way), optionally tapers, and
+    returns the half-spectrum magnitudes ``mags[..., W, H]`` with the bin
+    frequencies ``freqs[H]`` in Hz.  The time-frequency companion of
+    :func:`analyze_stream`.
     """
     records = jnp.asarray(records, dtype)
     hop = window if hop is None else hop
     if taper not in fft_ops.TAPERS:
         raise ValueError(f"unknown taper {taper!r}; expected one of {fft_ops.TAPERS}")
+    if detrend not in DETRENDS:
+        raise ValueError(f"unknown detrend {detrend!r}; expected one of {DETRENDS}")
     n_fft = fft_ops.next_pow2(window)
     # Per-channel fs broadcasts: freqs comes back [..., H] then.
     fs_arr = jnp.asarray(fs, dtype)
@@ -125,7 +144,8 @@ def spectrogram(
     if fs_arr.ndim == 0:
         freqs = freqs.reshape((-1,))
     return freqs, _segment_mags(
-        records, window=window, hop=hop, taper=taper, backend=backend
+        records, window=window, hop=hop, taper=taper, backend=backend,
+        detrend=detrend,
     )
 
 
@@ -138,23 +158,28 @@ def welch_psd(
     taper: str = "hann",
     backend: str = "matmul",
     dtype=jnp.float32,
+    detrend: str = "mean",
 ):
     """One-sided Welch power spectral density: ``(freqs, psd)``.
 
     Units: ``input_units^2 / Hz`` (the engineering convention, matching
-    ``scipy.signal.welch`` with the same symmetric window and segmenting -
-    cross-checked in tests).  Differences from scipy, by design: segments
-    are median-centered (the reference's detrend) instead of mean-detrended,
-    and the DC bin is zeroed.  ``psd`` has shape ``[..., H]``; ``hop``
-    defaults to 50% overlap.
+    ``scipy.signal.welch`` with the same symmetric window, segmenting, and
+    the default ``detrend="mean"`` - cross-checked bin-by-bin in tests).
+    ``detrend="median"`` switches to the reference front end's centering
+    (differs from scipy only in the DC-adjacent bin).  The DC bin is always
+    zeroed.  ``psd`` has shape ``[..., H]``; ``hop`` defaults to 50%
+    overlap.
     """
     records = jnp.asarray(records, dtype)
     hop = max(window // 2, 1) if hop is None else hop
     if taper not in fft_ops.TAPERS:
         raise ValueError(f"unknown taper {taper!r}; expected one of {fft_ops.TAPERS}")
+    if detrend not in DETRENDS:
+        raise ValueError(f"unknown detrend {detrend!r}; expected one of {DETRENDS}")
     n_fft = fft_ops.next_pow2(window)
     mags = _segment_mags(
-        records, window=window, hop=hop, taper=taper, backend=backend
+        records, window=window, hop=hop, taper=taper, backend=backend,
+        detrend=detrend,
     )
     mean_power = jnp.mean(mags * mags, axis=-2)  # [..., H]
     # _segment_mags tapers with w/mean(w); undo that normalization and apply
@@ -180,15 +205,16 @@ def welch_psd(
     jax.jit,
     static_argnames=(
         "window", "hop", "n_fft", "mode", "k", "backend", "max_candidates",
-        "refine", "taper", "selection",
+        "refine", "taper", "selection", "detrend",
     ),
 )
 def _welch_impl(
     records, fs, *, window, hop, n_fft, mode, k, backend, max_candidates,
-    refine, taper, selection,
+    refine, taper, selection, detrend,
 ):
     mags = _segment_mags(
-        records, window=window, hop=hop, taper=taper, backend=backend
+        records, window=window, hop=hop, taper=taper, backend=backend,
+        detrend=detrend,
     )                                                    # [..., W, H]
     lead = mags.shape[:-2]
     # Welch: average segment POWER, report RMS magnitude (same scale as a
@@ -217,6 +243,7 @@ def analyze_welch(
     refine: bool = False,
     dtype=jnp.float32,
     selection: str = "auto",
+    detrend: str = "median",
 ) -> EpochResult:
     """Welch-averaged spectral peak detection over long records.
 
@@ -242,6 +269,8 @@ def analyze_welch(
         raise ValueError(f"unknown mode {mode!r}")
     if taper not in fft_ops.TAPERS:
         raise ValueError(f"unknown taper {taper!r}; expected one of {fft_ops.TAPERS}")
+    if detrend not in DETRENDS:
+        raise ValueError(f"unknown detrend {detrend!r}; expected one of {DETRENDS}")
     if k is None:
         k = _pipeline.default_k(mode)
     if max_candidates is None:
@@ -249,7 +278,7 @@ def analyze_welch(
     return _welch_impl(
         records, fs, window=window, hop=hop, n_fft=n_fft, mode=mode, k=k,
         backend=backend, max_candidates=max_candidates, refine=refine,
-        taper=taper, selection=selection,
+        taper=taper, selection=selection, detrend=detrend,
     )
 
 

@@ -102,10 +102,9 @@ def test_welch_psd_matches_scipy():
     )
     h = window // 2
     np.testing.assert_allclose(np.asarray(freqs), f_sp[:h], rtol=0, atol=1e-5)
-    # Bin 1 is excluded: our median detrend leaves a (mean - median)
-    # residual that the taper's FFT spreads into the DC-adjacent bin
-    # (scipy's mean detrend zeroes it exactly) - the documented divergence.
-    np.testing.assert_allclose(np.asarray(psd)[2:h], p_sp[2:h], rtol=2e-2)
+    # Default detrend="mean" matches scipy's detrend="constant", so every
+    # non-DC bin (incl. bin 1) must agree.
+    np.testing.assert_allclose(np.asarray(psd)[1:h], p_sp[1:h], rtol=2e-2)
 
     # With a strong tone added, the steep leakage skirt shows f32-vs-f64
     # sensitivity pointwise, but integrated power still satisfies Parseval.
@@ -114,6 +113,26 @@ def test_welch_psd_matches_scipy():
     _, psd_t = welch_psd(x, fs, window=window)
     total = float(np.sum(np.asarray(psd_t)[1:h]) * (fs / 1024))
     assert total == pytest.approx(float(np.var(x)), rel=0.05)
+
+
+def test_detrend_modes_agree_away_from_dc():
+    from apda_fft_tpu.models.streaming import analyze_welch, welch_psd
+
+    fs = 500.0
+    x = _long_record(T=16384, tone=0.5)
+    _, p_med = welch_psd(x, fs, window=2048, detrend="median")
+    _, p_mean = welch_psd(x, fs, window=2048, detrend="mean")
+    # Identical beyond the DC-adjacent bins the taper leakage reaches.
+    np.testing.assert_allclose(
+        np.asarray(p_med)[3:], np.asarray(p_mean)[3:], rtol=1e-3
+    )
+    a = analyze_welch(x, fs, window=2048)
+    b = analyze_welch(x, fs, window=2048, detrend="mean")
+    assert np.array_equal(np.asarray(a.idx), np.asarray(b.idx))
+    with pytest.raises(ValueError, match="unknown detrend"):
+        analyze_welch(x, fs, window=2048, detrend="linear")
+    with pytest.raises(ValueError, match="unknown detrend"):
+        welch_psd(x, fs, window=2048, detrend="linear")
 
 
 def test_welch_psd_multichannel_and_rect():
