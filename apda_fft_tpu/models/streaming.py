@@ -46,11 +46,31 @@ def frame_records(records: jnp.ndarray, window: int, hop: int) -> jnp.ndarray:
         # Overlapping windows with statically-known starts: W contiguous
         # slices stacked - XLA lowers to copies/concats, still no gather.
         # (Unrolls W slices at trace time, so cap it; beyond the cap fall
-        # back to the general strided gather.)
+        # back to the phase decomposition / gather below.)
         return jnp.stack(
             [records[..., s : s + window] for s in range(0, w * hop, hop)],
             axis=-2,
         )
+    if window % hop == 0:
+        # hop divides window (e.g. Welch's 50% overlap): the overlapping
+        # framing decomposes into p = window//hop interleaved NON-overlap
+        # framings, each a pure reshape - no gather.  Global frame
+        # j = q*p + i is phase i's block q (start q*window + i*hop); phases
+        # short by a block are zero-padded and the pad lands at j >= W, so
+        # the final slice removes exactly the dummies.
+        p = window // hop
+        wmax = -(-w // p)
+        phases = []
+        for i in range(p):
+            wi = (w - i + p - 1) // p
+            xi = records[..., i * hop : i * hop + wi * window]
+            fi = xi.reshape(*records.shape[:-1], wi, window)
+            if wi < wmax:
+                pad = [(0, 0)] * (fi.ndim - 2) + [(0, wmax - wi), (0, 0)]
+                fi = jnp.pad(fi, pad)
+            phases.append(fi)
+        stacked = jnp.stack(phases, axis=-2)  # [..., wmax, p, window]
+        return stacked.reshape(*records.shape[:-1], wmax * p, window)[..., :w, :]
     starts = jnp.arange(w) * hop
     idx = starts[:, None] + jnp.arange(window)[None, :]  # [W, window]
     return records[..., idx]
