@@ -29,10 +29,17 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    # Pay the device connection cost up front.
+    # Pay the device connection cost up front.  If the remote is mid-crash
+    # ("UNAVAILABLE: TPU worker process crashed"), this client never
+    # recovers - re-exec until a connect succeeds.
     t0 = time.perf_counter()
-    jax.block_until_ready(jnp.zeros(()) + 1)
-    float(jnp.sum(jnp.ones((8, 8))))
+    try:
+        jax.block_until_ready(jnp.zeros(()) + 1)
+        float(jnp.sum(jnp.ones((8, 8))))
+    except Exception as exc:  # noqa: BLE001
+        print(f"[worker] connect failed ({exc}); re-exec in 120s", flush=True)
+        time.sleep(120)
+        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__), spool])
     print(f"[worker] device ready: {jax.devices()} ({time.perf_counter() - t0:.0f}s)",
           flush=True)
 
@@ -95,6 +102,16 @@ def main() -> None:
         except OSError:
             pass  # job file removed under us; output is already written
         print(f"[worker] {name} -> {status}", flush=True)
+        if status == "error" and "UNAVAILABLE" in buf.getvalue():
+            # The remote TPU crashed/restarted and this process's client
+            # never recovers - re-exec for a fresh connection (after a
+            # cool-down: the remote takes minutes to come back, and a tight
+            # reconnect loop can wedge it further).  Remaining spool jobs
+            # survive on disk and run after the reconnect.
+            print("[worker] device UNAVAILABLE -> re-exec for a fresh client "
+                  "in 120s", flush=True)
+            time.sleep(120)
+            os.execv(sys.executable, [sys.executable, os.path.abspath(__file__), spool])
 
 
 if __name__ == "__main__":
