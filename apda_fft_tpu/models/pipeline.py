@@ -180,7 +180,7 @@ def _analyze_epoch_impl(
             *(x.reshape((-1,) + x.shape[2:])[:b].reshape(lead + x.shape[2:]) for x in res)
         )
 
-    if center == "auto" and not has_lengths and flat.shape[-1] == n_fft and taper == "none":
+    if center == "auto" and not has_lengths and flat.shape[-1] == n_fft:
         # Full, unpadded windows: subtracting a constant changes only the DC
         # bin of the transform - which is zeroed anyway (fft_iterativa.py:85)
         # - so the sort-based *median* is skipped.  The cheap *mean* is still
@@ -190,8 +190,12 @@ def _analyze_epoch_impl(
         # its roundoff is of the same order as the FFT's own.  With
         # zero-padding the median subtraction is load-bearing (the pad stays
         # 0) and the full path below runs.  Pass center="always" to force it.
-        # (With a taper the subtracted constant leaks into every bin via
-        # FFT(taper), so the shortcut is also gated on taper == "none".)
+        # Under a taper the subtracted constant leaks into the DC-adjacent
+        # bins via FFT(taper), so median-vs-mean is no longer DC-only
+        # there; the shortcut's mean detrend is the standard windowed-
+        # analysis convention (scipy/Welch) and runs ~7x faster than the
+        # median sort at B=2048/N=4096 - center="always" restores the
+        # reference-style median under a taper at that cost.
         windows = flat - jnp.mean(flat, axis=-1, keepdims=True)
     else:
         windows = fft_ops.center_and_pad(flat, n_fft, len_flat)
@@ -348,7 +352,11 @@ def analyze_epoch(
         (default, reference parity: rectangular), "hann", "hamming", or
         "blackman".  Amplitude-normalized by coherent gain so on-bin tone
         magnitudes keep the untapered scale; spans the valid/pre-pad data
-        length.  Beyond-reference feature.
+        length.  Beyond-reference feature.  With center="auto" (default),
+        full tapered windows use the fast mean detrend (the standard
+        windowed-analysis convention); center="always" forces the
+        reference-style median, which differs only in the DC-adjacent bins
+        the taper's leakage reaches.
 
     Returns:
       :class:`EpochResult` with batch-shaped arrays.

@@ -263,7 +263,7 @@ def analyze_welch(
     refine: bool = False,
     dtype=jnp.float32,
     selection: str = "auto",
-    detrend: str = "median",
+    detrend: str = "mean",
 ) -> EpochResult:
     """Welch-averaged spectral peak detection over long records.
 

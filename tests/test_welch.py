@@ -126,8 +126,8 @@ def test_detrend_modes_agree_away_from_dc():
     np.testing.assert_allclose(
         np.asarray(p_med)[3:], np.asarray(p_mean)[3:], rtol=1e-3
     )
-    a = analyze_welch(x, fs, window=2048)
-    b = analyze_welch(x, fs, window=2048, detrend="mean")
+    a = analyze_welch(x, fs, window=2048, detrend="median")
+    b = analyze_welch(x, fs, window=2048, detrend="mean")  # the default
     assert np.array_equal(np.asarray(a.idx), np.asarray(b.idx))
     with pytest.raises(ValueError, match="unknown detrend"):
         analyze_welch(x, fs, window=2048, detrend="linear")
