@@ -76,8 +76,14 @@ def _throughput(backend: str, batch: int, reps: int) -> float:
 
     from apda_fft_tpu.utils.benchtime import per_iteration_seconds
 
-    sec = per_iteration_seconds(
-        lambda s, f: pipeline(s, f, None), samples, fs, reps=reps
+    # The remote device's clock can oscillate between a fast and a degraded
+    # state on a seconds timescale (post-crash recovery); benchtime's
+    # per-call best-of-reps can't span that, so take the best of a few
+    # well-separated measurement rounds (standard min-of-N timing).
+    n_samples = int(os.environ.get("APDA_BENCH_SAMPLES", "3"))
+    sec = min(
+        per_iteration_seconds(lambda s, f: pipeline(s, f, None), samples, fs, reps=reps)
+        for _ in range(max(n_samples, 1))
     )
     return batch / sec
 
