@@ -97,6 +97,23 @@ def analyze_stream(
 DETRENDS = ("median", "mean")
 
 
+def _bin_freqs(fs, n_fft: int, dtype) -> jnp.ndarray:
+    """Half-spectrum bin frequencies; per-channel fs broadcasts to [..., H]."""
+    fs_arr = jnp.asarray(fs, dtype)
+    freqs = jnp.arange(n_fft // 2, dtype=dtype) * (fs_arr[..., None] / n_fft)
+    return freqs.reshape((-1,)) if fs_arr.ndim == 0 else freqs
+
+
+def _taper_power_sum(name: str, window: int) -> float:
+    """sum(w_norm**2) of the coherent-gain-normalized taper, in true float64
+    on the host (the jnp path would silently truncate to f32 without x64)."""
+    import numpy as _np
+
+    w = {"hann": _np.hanning, "hamming": _np.hamming, "blackman": _np.blackman}[name](window)
+    w = w / w.mean()
+    return float(_np.sum(w * w))
+
+
 @functools.partial(
     jax.jit, static_argnames=("window", "hop", "taper", "backend", "detrend")
 )
@@ -112,6 +129,8 @@ def _segment_mags(records, *, window, hop, taper, backend, detrend="median"):
     (the two differ only in the DC-adjacent bins the taper's leakage
     reaches; DC itself is always zeroed).
     """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
     framed = frame_records(records, window, hop)
     n_fft = fft_ops.next_pow2(window)
     lead = framed.shape[:-1]
@@ -158,12 +177,7 @@ def spectrogram(
     if detrend not in DETRENDS:
         raise ValueError(f"unknown detrend {detrend!r}; expected one of {DETRENDS}")
     n_fft = fft_ops.next_pow2(window)
-    # Per-channel fs broadcasts: freqs comes back [..., H] then.
-    fs_arr = jnp.asarray(fs, dtype)
-    freqs = jnp.arange(n_fft // 2, dtype=dtype) * (fs_arr[..., None] / n_fft)
-    if fs_arr.ndim == 0:
-        freqs = freqs.reshape((-1,))
-    return freqs, _segment_mags(
+    return _bin_freqs(fs, n_fft, dtype), _segment_mags(
         records, window=window, hop=hop, taper=taper, backend=backend,
         detrend=detrend,
     )
@@ -206,19 +220,10 @@ def welch_psd(
     # the standard one-sided density scaling 2/(fs*sum(w^2)).  (H = n_fft/2
     # excludes the Nyquist bin; DC is zeroed upstream so its factor-2 excess
     # is moot.)
-    if taper == "none":
-        wsum2 = float(window)
-    else:
-        import numpy as _np
-
-        w_norm = _np.asarray(fft_ops.taper_window(taper, window, _np.float64))
-        wsum2 = float(_np.sum(w_norm * w_norm))
+    wsum2 = float(window) if taper == "none" else _taper_power_sum(taper, window)
     fs_arr = jnp.asarray(fs, dtype)
     psd = mean_power * (2.0 / (fs_arr[..., None] * wsum2))
-    freqs = jnp.arange(n_fft // 2, dtype=dtype) * (fs_arr[..., None] / n_fft)
-    if fs_arr.ndim == 0:
-        freqs = freqs.reshape((-1,))
-    return freqs, psd
+    return _bin_freqs(fs, n_fft, dtype), psd
 
 
 @functools.partial(
@@ -269,8 +274,8 @@ def analyze_welch(
 
     Beyond-reference capability for noisy long acquisitions: frame ``[C, T]``
     (or ``[T]``) records into ``W`` (optionally overlapping) segments,
-    median-center and taper each (hann by default - the standard Welch
-    window), average the segment power spectra, and run the peak detector
+    detrend and taper each (mean detrend + hann by default - the standard
+    Welch recipe), average the segment power spectra, and run the peak detector
     once per channel on the RMS-averaged magnitude spectrum.  Averaging
     shrinks the noise floor's variance by ~W while line components stay
     put, so weak tones that per-segment detection misses become clean

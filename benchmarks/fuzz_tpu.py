@@ -2,17 +2,19 @@
 
 Complements benchmarks/parity_tpu.py (fixed corpus) with randomized windows
 across sizes, rates, modes, and signal kinds - modal, scaled/offset white
-noise, multi-sine - routed the way production routes them: the lowlat
-kernel with the >64-candidate batched fallback.  Two scores are printed:
+noise, multi-sine - run through analyze_epoch's OWN ``lowlat="auto"``
+routing (the sticky budget is cleared per case so the kernel attempt, the
+overflow readback, and the >64-candidate batched fallback all execute for
+real).  Two scores are printed:
 
-- kernel_vs_batched: decision agreement between the fused kernel (or its
-  contractual fallback) and the batched pipeline - must be N/N;
+- routed_vs_batched: decision agreement between the production-routed call
+  and the pinned batched pipeline (``lowlat="never"``) - must be N/N;
 - vs_oracle: agreement with the float64 oracle - expected N/N on modal
   signals; adversarial noise windows may hit characterized precision
   boundaries (docs/DESIGN.md "End-to-end randomized fuzz"), reported but
-  only counted as failures when the kernel and batched paths DISAGREE.
+  only counted as failures when the routed and batched paths DISAGREE.
 
-Prints ONE JSON line; exit 0 iff kernel_vs_batched is perfect.
+Prints ONE JSON line; exit 0 iff routed_vs_batched is perfect.
 """
 
 from __future__ import annotations
@@ -33,15 +35,14 @@ def run_fuzz(n_cases: int = N_CASES) -> dict:
 
     import jax
 
-    from apda_fft_tpu.models.pipeline import analyze_epoch
-    from apda_fft_tpu.ops.latency_pallas import analyze_window_lowlat
+    from apda_fft_tpu.models.pipeline import _dynamic_budget, analyze_epoch
     from tests.oracle import oracle_analyze
     from tests.signals import modal_signal
 
     rng = np.random.default_rng(2024)
     sizes = [256, 512, 1024, 2048, 4096, 8192, 16384]
     fss = [62.5, 125.0, 250.0, 500.0, 1000.0]
-    mismatches = []      # kernel/fallback vs batched - the hard contract
+    mismatches = []      # routed vs batched - the hard contract
     oracle_misses = []   # f32 vs f64 - expected only on noise boundaries
     fallbacks = 0
     for case in range(n_cases):
@@ -63,20 +64,15 @@ def run_fuzz(n_cases: int = N_CASES) -> dict:
             x = np.asarray(x) + 0.2 * rng.standard_normal(n)
         x = x.astype(np.float32)
 
-        budget = 8
-        while True:
-            lo = analyze_window_lowlat(x, fs, n_fft=n, mode=mode, max_candidates=budget)
-            nc = int(lo.n_candidates[0])
-            if mode == "rigid" or nc <= budget or budget >= 64:
-                break
-            budget = min(64, max(2 * budget, 1 << (nc - 1).bit_length()))
+        # Clear the sticky budget so the routing's kernel attempt is never
+        # short-circuited by an earlier case at the same (n, mode).
+        _dynamic_budget.pop((n, mode), None)
+        routed = analyze_epoch(x[None], fs, n_fft=n, mode=mode)  # lowlat="auto"
+        if _dynamic_budget.get((n, mode), 0) > 64:
+            fallbacks += 1  # routing discarded the kernel result
         hi = analyze_epoch(x[None], fs, n_fft=n, mode=mode, lowlat="never")
         hi_idx = [int(i) for i in np.asarray(hi.idx[0])[: int(hi.count[0])]]
-        if mode == "flexible" and nc > budget:
-            fallbacks += 1
-            routed_idx = hi_idx  # contract: the kernel result is discarded
-        else:
-            routed_idx = [int(i) for i in np.asarray(lo.idx[0])[: int(lo.count[0])]]
+        routed_idx = [int(i) for i in np.asarray(routed.idx[0])[: int(routed.count[0])]]
         rec = {"case": case, "n": n, "fs": fs, "mode": mode, "kind": kind}
         if routed_idx != hi_idx:
             mismatches.append({**rec, "routed": routed_idx, "batched": hi_idx})
@@ -87,9 +83,10 @@ def run_fuzz(n_cases: int = N_CASES) -> dict:
     return {
         "metric": "e2e_fuzz_tpu",
         "cases": n_cases,
-        "kernel_vs_batched": f"{n_cases - len(mismatches)}/{n_cases}",
+        "routed_vs_batched": f"{n_cases - len(mismatches)}/{n_cases}",
         "vs_oracle": f"{n_cases - len(oracle_misses)}/{n_cases}",
         "fallbacks": fallbacks,
+        "routing_active": jax.default_backend() == "tpu",
         "platform": jax.default_backend(),
         "ok": not mismatches,
         **({"mismatches": mismatches} if mismatches else {}),

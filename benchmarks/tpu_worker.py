@@ -106,10 +106,20 @@ def main() -> None:
             # The remote TPU crashed/restarted and this process's client
             # never recovers - re-exec for a fresh connection (after a
             # cool-down: the remote takes minutes to come back, and a tight
-            # reconnect loop can wedge it further).  Remaining spool jobs
-            # survive on disk and run after the reconnect.
-            print("[worker] device UNAVAILABLE -> re-exec for a fresh client "
-                  "in 120s", flush=True)
+            # reconnect loop can wedge it further).  The job died from the
+            # infrastructure, not its own bug: requeue it so it reruns on
+            # the fresh client along with the remaining spool jobs - but
+            # only once (a job that itself triggers the crash must not
+            # requeue-loop forever).
+            marker = path[:-3] + ".retried"
+            if not os.path.exists(marker):
+                open(marker, "w").close()
+                try:
+                    os.rename(path[:-3] + ".done", path)
+                except OSError:
+                    pass
+            print("[worker] device UNAVAILABLE -> requeued job; re-exec for "
+                  "a fresh client in 120s", flush=True)
             time.sleep(120)
             os.execv(sys.executable, [sys.executable, os.path.abspath(__file__), spool])
 
