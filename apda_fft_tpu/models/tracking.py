@@ -54,6 +54,19 @@ class Track:
     def drift_relative(self) -> float:
         return self.drift_hz / self.freqs[0] if self.freqs[0] else 0.0
 
+    def to_dict(self) -> dict:
+        """JSON-serializable summary (for egress/telemetry payloads)."""
+        return {
+            "track_id": self.track_id,
+            "epochs": len(self),
+            "times": list(self.times),
+            "freqs": [float(f) for f in self.freqs],
+            "mags": [float(m) for m in self.mags],
+            "mean_freq": self.mean_freq,
+            "drift_hz": float(self.drift_hz),
+            "drift_relative": float(self.drift_relative),
+        }
+
     def __len__(self) -> int:
         return len(self.freqs)
 
@@ -185,6 +198,19 @@ class PeakTracker:
             key=len,
             reverse=True,
         )
+
+    def alerts(self, rel_drift: float = 0.02, min_length: int = 5) -> list[Track]:
+        """Tracks whose relative frequency drift exceeds ``rel_drift``.
+
+        The SHM "so what": a sustained downward modal-frequency shift is
+        the classic stiffness-loss signal.  Only tracks observed at least
+        ``min_length`` epochs qualify (short tracks are noise births).
+        """
+        return [
+            tr
+            for tr in self.tracks(min_length=min_length)
+            if abs(tr.drift_relative) >= rel_drift
+        ]
 
     def prune_archive(self, min_length: int = 2) -> int:
         """Drop short retired tracks (noise births); returns how many."""

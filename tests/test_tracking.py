@@ -78,6 +78,24 @@ def test_tracker_births_and_retires():
     assert len(thirty) == 4
 
 
+def test_alerts_flag_sustained_drift_and_serialize():
+    import json
+
+    tracker = PeakTracker()
+    for e in range(20):
+        tracker.update_freqs([25.0 * (1 - 0.002 * e), 47.7], t=e)
+    alerted = tracker.alerts(rel_drift=0.02, min_length=5)
+    assert len(alerted) == 1
+    assert alerted[0].mean_freq < 26.0
+    assert alerted[0].drift_relative == pytest.approx(-0.038, abs=1e-3)
+    # Stable track does not alert; short noise tracks filtered by length.
+    tracker.update_freqs([25.0 * (1 - 0.002 * 20), 47.7, 123.4])
+    assert len(tracker.alerts(rel_drift=0.02)) == 1
+    d = alerted[0].to_dict()
+    json.dumps(d)  # serializable
+    assert d["epochs"] == len(alerted[0]) and d["drift_hz"] < 0
+
+
 def test_update_uses_refined_frequencies_for_subbin_drift():
     from apda_fft_tpu.models.pipeline import analyze_epoch
 
