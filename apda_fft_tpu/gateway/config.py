@@ -50,6 +50,9 @@ class GatewayConfig:
     #: optional spectral-leakage taper for the analysis pipeline
     #: ("none" = reference-parity rectangular; "hann"/"hamming"/"blackman")
     taper: str = "none"
+    #: modal-drift alert threshold (relative frequency drift per tracked
+    #: mode; 0 disables drift tracking)
+    drift_alert_rel: float = 0.02
 
     @classmethod
     def load(cls, config_path: str | os.PathLike) -> "GatewayConfig":
@@ -83,6 +86,7 @@ class GatewayConfig:
                 is_flexible_structure=bool(flexible),
                 compilation_cache_dir=gw.get("compilation_cache_dir", ""),
                 taper=taper,
+                drift_alert_rel=float(gw.get("drift_alert_rel", 0.02)),
             )
         except GatewayConfigError:
             raise

@@ -90,6 +90,11 @@ class GatewayService:
         self.baseline: dict[str, float] = {}
         # Pending epoch batch: (addr, path) of completed, unanalyzed files.
         self.pending_analysis: list[tuple[str, str]] = []
+        # Modal drift monitoring (beyond-reference): per-(sensor, axis)
+        # peak tracks; a sustained relative drift past the configured
+        # threshold writes one [ALERT] history line per track.
+        self.trackers: dict[tuple[str, str], object] = {}
+        self._alerted: set[tuple[str, str, int]] = set()
         # Background egress (the capability GT_FFT_v5.py:109-113 stubbed).
         self.uploader = AsyncUploadManager(upload_timeout) if async_uploads else None
         self._uploads_inflight: dict[str, int] = {}
@@ -518,6 +523,28 @@ class GatewayService:
             entry["peak_freq"] = entry["peak_freq_1"]
             entry["max_mag"] = entry["max_mag_1"]
         self.fft_results.setdefault(addr, {})[axis] = entry
+        self._track_drift(addr, axis, entry, rp.count)
+
+    def _track_drift(self, addr: str, axis: str, entry: dict, count: int) -> None:
+        rel = self.config.drift_alert_rel
+        if rel <= 0:
+            return
+        from apda_fft_tpu.models.tracking import PeakTracker
+
+        tracker = self.trackers.setdefault((addr, axis), PeakTracker())
+        freqs = [entry[f"peak_freq_{s + 1}"] for s in range(count)]
+        mags = [entry[f"max_mag_{s + 1}"] for s in range(count)]
+        tracker.update_freqs(freqs, mags)
+        for tr in tracker.alerts(rel_drift=rel, min_length=5):
+            key = (addr, axis, tr.track_id)
+            if key in self._alerted:
+                continue
+            self._alerted.add(key)
+            self.history(
+                f"\t[ALERT] {addr} {axis}-axis: mode near {tr.mean_freq:.3f} Hz "
+                f"drifted {tr.drift_relative * 100:+.2f}% over {len(tr)} "
+                f"acquisitions ({tr.freqs[0]:.4f} -> {tr.freqs[-1]:.4f} Hz)\n"
+            )
 
     def _merged_axis_results(self, addr: str) -> dict:
         return self.fft_results.get(addr, {})

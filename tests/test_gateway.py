@@ -286,6 +286,35 @@ def test_reduced_and_shock_files_parse_and_serve_via_influx(tmp_path):
     assert all("WS_Summary" in p and "WS_Samples" in p for p in posted)
 
 
+def test_gateway_drift_alert_written_once(tmp_path):
+    """A sustained modal drift across acquisitions writes ONE [ALERT] line."""
+    svc, transport, ftp_uploads, api_posts = make_service(tmp_path)
+
+    class FakeRP:
+        def __init__(self, freqs, mags):
+            self._f, self._m = freqs, mags
+            self.count = len(freqs)
+            self.row = 0
+            self.result = type("R", (), {"mag": np.asarray([mags])})()
+
+        def exact_freq(self, slot, mode):
+            return self._f[slot]
+
+    for e in range(8):
+        f1 = 25.0 * (1 - 0.01 * e)  # 1%/epoch stiffness loss
+        svc._store_result("0013a20041e7f001", "X", FakeRP([f1, 47.7], [9.0, 5.0]), {})
+    log = open(svc.config.logger_file).read()
+    assert log.count("[ALERT]") == 1
+    assert "X-axis" in log and "drifted" in log
+    # More drifting epochs don't repeat the alert for the same track.
+    svc._store_result("0013a20041e7f001", "X", FakeRP([22.0, 47.7], [9.0, 5.0]), {})
+    assert open(svc.config.logger_file).read().count("[ALERT]") == 1
+    # Per-(sensor, axis) isolation: a stable sensor never alerts.
+    for e in range(8):
+        svc._store_result("0013a20041e7f002", "Y", FakeRP([25.0], [9.0]), {})
+    assert open(svc.config.logger_file).read().count("[ALERT]") == 1
+
+
 def test_gateway_config_taper_reaches_pipeline(tmp_path):
     import json as _json
 
