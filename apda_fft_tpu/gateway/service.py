@@ -44,6 +44,7 @@ from apda_fft_tpu.io.logfile import (
 )
 from apda_fft_tpu.models.batching import analyze_records
 from apda_fft_tpu.models.pipeline import PipelineConfig, SpectralPipeline
+from apda_fft_tpu.models.tracking import PeakTracker
 
 
 class GatewayService:
@@ -69,7 +70,12 @@ class GatewayService:
         self.sensor_configs = SensorConfigFile(config.config_file)
         self.pipeline = pipeline or SpectralPipeline(
             PipelineConfig.from_gateway_flag(
-                config.is_flexible_structure, taper=config.taper
+                config.is_flexible_structure, taper=config.taper,
+                # refine gives the drift tracker sub-bin frequencies (one
+                # cheap parabolic interpolation per epoch); without it,
+                # sub-bin drift is invisible and low-frequency bin jumps
+                # break tracks.  Egress payloads are unaffected.
+                refine=config.drift_alert_rel > 0,
             )
         )
 
@@ -93,7 +99,7 @@ class GatewayService:
         # Modal drift monitoring (beyond-reference): per-(sensor, axis)
         # peak tracks; a sustained relative drift past the configured
         # threshold writes one [ALERT] history line per track.
-        self.trackers: dict[tuple[str, str], object] = {}
+        self.trackers: dict[tuple[str, str], PeakTracker] = {}
         self._alerted: set[tuple[str, str, int]] = set()
         # Background egress (the capability GT_FFT_v5.py:109-113 stubbed).
         self.uploader = AsyncUploadManager(upload_timeout) if async_uploads else None
@@ -504,6 +510,8 @@ class GatewayService:
         for i, ((addr, rec), rp) in enumerate(zip(loaded, per_record)):
             self._store_result(addr, rec.axis, rp, bucket_metrics.get(i, {}))
 
+    _DRIFT_TRACK_KEEP = 512  # archived-track cap per (sensor, axis)
+
     def _store_result(self, addr, axis, rp, metrics) -> None:
         """Fill the per-axis peak dict (reference fft_dict shape, :648-659)."""
         entry = {
@@ -523,18 +531,27 @@ class GatewayService:
             entry["peak_freq"] = entry["peak_freq_1"]
             entry["max_mag"] = entry["max_mag_1"]
         self.fft_results.setdefault(addr, {})[axis] = entry
-        self._track_drift(addr, axis, entry, rp.count)
+        self._track_drift(addr, axis, rp, entry, rp.count)
 
-    def _track_drift(self, addr: str, axis: str, entry: dict, count: int) -> None:
+    def _track_drift(self, addr: str, axis: str, rp, entry: dict, count: int) -> None:
         rel = self.config.drift_alert_rel
         if rel <= 0:
             return
-        from apda_fft_tpu.models.tracking import PeakTracker
-
         tracker = self.trackers.setdefault((addr, axis), PeakTracker())
-        freqs = [entry[f"peak_freq_{s + 1}"] for s in range(count)]
+        # Sub-bin refined frequencies when the pipeline computed them: drift
+        # below one bin (the early damage signal) is invisible in the
+        # bin-quantized entry freqs, and at low frequencies a single bin
+        # jump can exceed the tracker's match window and break the track.
+        freqs = []
+        for s in range(count):
+            refined = float(getattr(rp.result, "refined_freq")[rp.row, s]) \
+                if getattr(rp.result, "refined_freq", None) is not None else 0.0
+            freqs.append(refined if refined > 0 else entry[f"peak_freq_{s + 1}"])
         mags = [entry[f"max_mag_{s + 1}"] for s in range(count)]
         tracker.update_freqs(freqs, mags)
+        tracker.prune_archive(min_length=2)  # drop 1-epoch noise births
+        if len(tracker._archive) > self._DRIFT_TRACK_KEEP:
+            tracker._archive = tracker._archive[-self._DRIFT_TRACK_KEEP:]
         for tr in tracker.alerts(rel_drift=rel, min_length=5):
             key = (addr, axis, tr.track_id)
             if key in self._alerted:

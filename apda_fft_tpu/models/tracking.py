@@ -54,12 +54,32 @@ class Track:
     def drift_relative(self) -> float:
         return self.drift_hz / self.freqs[0] if self.freqs[0] else 0.0
 
+    def sustained_drift_relative(self, k: int = 3) -> float:
+        """Median of the last ``k`` observations vs the first ``k``, relative.
+
+        Robust to a single noisy epoch (``drift_relative`` compares one
+        first and one last sample, so one outlier can fake a drift).
+        """
+        if len(self.freqs) < 2:
+            return 0.0
+        k = max(1, min(k, len(self.freqs) // 2 or 1))
+        start = float(np.median(self.freqs[:k]))
+        end = float(np.median(self.freqs[-k:]))
+        return (end - start) / start if start else 0.0
+
     def to_dict(self) -> dict:
         """JSON-serializable summary (for egress/telemetry payloads)."""
+
+        def _t(v):
+            try:
+                return float(v)
+            except (TypeError, ValueError):
+                return str(v)  # e.g. datetime timestamps
+
         return {
             "track_id": self.track_id,
             "epochs": len(self),
-            "times": list(self.times),
+            "times": [_t(v) for v in self.times],
             "freqs": [float(f) for f in self.freqs],
             "mags": [float(m) for m in self.mags],
             "mean_freq": self.mean_freq,
@@ -200,16 +220,20 @@ class PeakTracker:
         )
 
     def alerts(self, rel_drift: float = 0.02, min_length: int = 5) -> list[Track]:
-        """Tracks whose relative frequency drift exceeds ``rel_drift``.
+        """LIVE tracks whose sustained relative drift exceeds ``rel_drift``.
 
         The SHM "so what": a sustained downward modal-frequency shift is
         the classic stiffness-loss signal.  Only tracks observed at least
-        ``min_length`` epochs qualify (short tracks are noise births).
+        ``min_length`` epochs qualify (short tracks are noise births), the
+        drift metric is median-vs-median (:meth:`Track.
+        sustained_drift_relative`) so one noisy epoch cannot fake it, and
+        retired tracks - which can't receive new data - are not re-scanned.
         """
         return [
             tr
-            for tr in self.tracks(min_length=min_length)
-            if abs(tr.drift_relative) >= rel_drift
+            for tr in self._tracks
+            if len(tr) >= min_length
+            and abs(tr.sustained_drift_relative()) >= rel_drift
         ]
 
     def prune_archive(self, min_length: int = 2) -> int:

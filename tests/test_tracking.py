@@ -96,6 +96,40 @@ def test_alerts_flag_sustained_drift_and_serialize():
     assert d["epochs"] == len(alerted[0]) and d["drift_hz"] < 0
 
 
+def test_single_noisy_epoch_does_not_alert():
+    tracker = PeakTracker()
+    for _ in range(5):
+        tracker.update_freqs([25.0])
+    tracker.update_freqs([24.7])  # one -1.2% outlier within the match window
+    assert tracker.alerts(rel_drift=0.01) == []  # median-vs-median is robust
+    (tr,) = tracker.tracks()
+    assert abs(tr.sustained_drift_relative()) < 0.01
+    assert tr.drift_relative == pytest.approx(-0.012)  # raw endpoints differ
+
+
+def test_alerts_scan_live_tracks_only():
+    tracker = PeakTracker(max_missed=1)
+    for e in range(6):
+        tracker.update_freqs([25.0 * (1 - 0.01 * e)])
+    # Kill the drifting track (two silent epochs) - retired tracks can't
+    # receive data, so they must not keep alerting.
+    tracker.update_freqs([90.0])
+    tracker.update_freqs([90.0])
+    assert tracker.alerts(rel_drift=0.02) == []
+
+
+def test_to_dict_serializes_nonfloat_times():
+    import datetime
+    import json
+
+    tracker = PeakTracker()
+    tracker.update_freqs([10.0], t=np.float32(1.5))
+    tracker.update_freqs([10.0], t=datetime.datetime(2026, 8, 17))
+    (tr,) = tracker.tracks()
+    d = json.loads(json.dumps(tr.to_dict()))
+    assert d["times"][0] == 1.5 and "2026" in d["times"][1]
+
+
 def test_update_uses_refined_frequencies_for_subbin_drift():
     from apda_fft_tpu.models.pipeline import analyze_epoch
 
