@@ -5,6 +5,8 @@ Usage:
                                    [--backend xla|matmul|pallas] [--refine]
                                    [--taper none|hann|hamming|blackman] [--json]
     python -m apda_fft_tpu oracle-check FILE [FILE...]   # vs float64 oracle
+    python -m apda_fft_tpu track FILE [FILE...] [--rel-drift R]  # modal drift
+                                   # (exit 2 when a drift alert fires)
 
 ``analyze`` loads gateway-format acquisition logs (``io/logfile.py``), buckets
 them by padded FFT length, and runs each bucket as one batched XLA program -
@@ -110,6 +112,56 @@ def cmd_oracle_check(args) -> int:
     return 1 if mismatches else 0
 
 
+def cmd_track(args) -> int:
+    """Track modal peaks across a time-series of acquisition files."""
+    import os as _os
+
+    from apda_fft_tpu.gateway.egress import timestamp_from_filename
+    from apda_fft_tpu.models.batching import analyze_records
+    from apda_fft_tpu.models.tracking import PeakTracker
+
+    loaded = _load(args.files)
+    if not loaded:
+        print("no analyzable files", file=sys.stderr)
+        return 1
+    # Chronological order via the embedded filename timestamp (gateway
+    # format {mac}_{axis}axis_{d_m_Y_H_M_S}.log); undated files sort first
+    # in their argv order (stable sort).
+    def _when(pr):
+        ts = timestamp_from_filename(_os.path.basename(pr[0]))
+        return ts.timestamp() if ts else 0.0
+
+    loaded.sort(key=_when)
+    records = [(np.asarray(rec.samples, np.float32), rec.fs) for _, rec in loaded]
+    per_record = analyze_records(records, mode=args.mode, refine=True)
+
+    trackers: dict[str, PeakTracker] = {}
+    for (path, rec), rp in zip(loaded, per_record):
+        key = f"{_os.path.basename(path).split('_')[0]}/{rec.axis}"
+        tracker = trackers.setdefault(key, PeakTracker())
+        ts = timestamp_from_filename(_os.path.basename(path))
+        freqs, mags = [], []
+        for slot in range(rp.count):
+            refined = float(rp.result.refined_freq[rp.row, slot])
+            freqs.append(refined if refined > 0 else rp.exact_freq(slot, args.mode))
+            mags.append(float(rp.result.mag[rp.row, slot]))
+        tracker.update_freqs(freqs, mags, t=ts.timestamp() if ts else None)
+
+    rc = 0
+    for key, tracker in sorted(trackers.items()):
+        print(f"{key}:")
+        for tr in tracker.tracks(min_length=2):
+            print(f"  track {tr.track_id}: {len(tr)} acquisitions, "
+                  f"mean {tr.mean_freq:.3f} Hz, "
+                  f"drift {tr.sustained_drift_relative() * 100:+.2f}%")
+        for tr in tracker.alerts(rel_drift=args.rel_drift, min_length=args.min_epochs):
+            print(f"  ALERT: mode near {tr.mean_freq:.3f} Hz drifted "
+                  f"{tr.sustained_drift_relative() * 100:+.2f}% "
+                  f"({tr.freqs[0]:.4f} -> {tr.freqs[-1]:.4f} Hz)")
+            rc = 2
+    return rc
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="apda_fft_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -127,6 +179,14 @@ def main(argv=None) -> int:
     o = sub.add_parser("oracle-check", help="validate device decisions vs float64 oracle")
     o.add_argument("files", nargs="+")
     o.set_defaults(fn=cmd_oracle_check)
+
+    tr = sub.add_parser("track", help="track modal drift across acquisition files")
+    tr.add_argument("files", nargs="+")
+    tr.add_argument("--mode", default="flexible", choices=["flexible", "rigid", "adaptive"])
+    tr.add_argument("--rel-drift", type=float, default=0.02,
+                    help="alert threshold (relative sustained drift)")
+    tr.add_argument("--min-epochs", type=int, default=5)
+    tr.set_defaults(fn=cmd_track)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -45,6 +45,32 @@ def test_cli_analyze_text_and_modes(log_file, capsys):
     assert "f=" in capsys.readouterr().out
 
 
+def test_cli_track_reports_drift(tmp_path, capsys):
+    import numpy as np
+
+    from apda_fft_tpu.__main__ import main
+
+    fs, n = 500.0, 1024
+    t = np.arange(n) / fs
+    paths = []
+    for e in range(6):
+        f1 = 25.0 * (1 - 0.01 * e)  # 1%/acquisition drift
+        x = np.sin(2 * np.pi * f1 * t) + 0.6 * np.sin(2 * np.pi * 47.7 * t)
+        p = tmp_path / f"0013a20041e7f6b7_Xaxis_1{e}_08_2026_10_20_30.log"
+        logfile.write_acquisition_header(
+            p, "10:20:30", "2g", "500 Hz", "X axis", "Synced",
+            means=["22.0", "0.01", "0.01", "0.98"], humidity=50.0,
+            baselines=(0.0, 0.0, 0.0),
+        )
+        logfile.append_samples(p, [f"{v:8.6f}" for v in x])
+        paths.append(str(p))
+    rc = main(["track", *paths, "--rel-drift", "0.02"])
+    out = capsys.readouterr().out
+    assert rc == 2  # alert fired
+    assert "ALERT" in out and "drifted" in out
+    assert "0013a20041e7f6b7/X" in out
+
+
 def test_cli_oracle_check(log_file, capsys):
     from apda_fft_tpu.__main__ import main
 
