@@ -23,6 +23,7 @@ implicitly (uploads already flush at sync, ``GT_FFT_v5.py:264-360``).
 
 from __future__ import annotations
 
+import json
 import os
 from datetime import datetime
 
@@ -98,9 +99,14 @@ class GatewayService:
         self.pending_analysis: list[tuple[str, str]] = []
         # Modal drift monitoring (beyond-reference): per-(sensor, axis)
         # peak tracks; a sustained relative drift past the configured
-        # threshold writes one [ALERT] history line per track.
+        # threshold writes one [ALERT] history line per track.  Tracker
+        # state persists to disk so months-long drift histories survive
+        # gateway restarts (same durability model as the acquisition
+        # files; the reference had nothing to persist).
         self.trackers: dict[tuple[str, str], PeakTracker] = {}
         self._alerted: set[tuple[str, str, int]] = set()
+        self._drift_state_path = os.path.join(config.data_dir, "drift_tracks.json")
+        self._load_drift_state()
         # Background egress (the capability GT_FFT_v5.py:109-113 stubbed).
         self.uploader = AsyncUploadManager(upload_timeout) if async_uploads else None
         self._uploads_inflight: dict[str, int] = {}
@@ -512,6 +518,38 @@ class GatewayService:
 
     _DRIFT_TRACK_KEEP = 512  # archived-track cap per (sensor, axis)
 
+    def _load_drift_state(self) -> None:
+        try:
+            with open(self._drift_state_path) as fh:
+                state = json.load(fh)
+        except FileNotFoundError:
+            return
+        except Exception as exc:  # noqa: BLE001 - corrupt state starts fresh
+            self.history(f"\t[WARN] drift state unreadable ({exc}), starting fresh\n")
+            return
+        for key, tr_d in state.get("trackers", {}).items():
+            addr, _, axis = key.partition("/")
+            self.trackers[(addr, axis)] = PeakTracker.from_dict(tr_d)
+        self._alerted = {
+            (a, x, int(tid)) for a, x, tid in state.get("alerted", [])
+        }
+
+    def _save_drift_state(self) -> None:
+        state = {
+            "trackers": {
+                f"{addr}/{axis}": tr.to_dict()
+                for (addr, axis), tr in self.trackers.items()
+            },
+            "alerted": [[a, x, tid] for a, x, tid in sorted(self._alerted)],
+        }
+        tmp = self._drift_state_path + ".tmp"
+        try:
+            with open(tmp, "w") as fh:
+                json.dump(state, fh)
+            os.replace(tmp, self._drift_state_path)  # atomic on POSIX
+        except OSError as exc:
+            self.history(f"\t[WARN] drift state not saved ({exc})\n")
+
     def _store_result(self, addr, axis, rp, metrics) -> None:
         """Fill the per-axis peak dict (reference fft_dict shape, :648-659)."""
         entry = {
@@ -552,6 +590,7 @@ class GatewayService:
         tracker.prune_archive(min_length=2)  # drop 1-epoch noise births
         if len(tracker._archive) > self._DRIFT_TRACK_KEEP:
             tracker._archive = tracker._archive[-self._DRIFT_TRACK_KEEP:]
+        self._save_drift_state()
         for tr in tracker.alerts(rel_drift=rel, min_length=5):
             key = (addr, axis, tr.track_id)
             if key in self._alerted:

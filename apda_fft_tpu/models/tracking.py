@@ -236,6 +236,42 @@ class PeakTracker:
             and abs(tr.sustained_drift_relative()) >= rel_drift
         ]
 
+    def to_dict(self) -> dict:
+        """Full serializable state (tracks + archive + counters)."""
+
+        def tr_state(tr: Track) -> dict:
+            return {**tr.to_dict(), "missed": tr.missed}
+
+        return {
+            "rel_tol": self.rel_tol,
+            "max_missed": self.max_missed,
+            "next_id": self._next_id,
+            "epoch": self._epoch,
+            "tracks": [tr_state(t) for t in self._tracks],
+            "archive": [tr_state(t) for t in self._archive],
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "PeakTracker":
+        """Rebuild a tracker saved with :meth:`to_dict` (restart resume)."""
+        self = cls(rel_tol=d.get("rel_tol", 0.02), max_missed=d.get("max_missed", 5))
+        self._next_id = int(d.get("next_id", 0))
+        self._epoch = int(d.get("epoch", 0))
+
+        def mk(s: dict) -> Track:
+            tr = Track(
+                int(s["track_id"]),
+                list(s.get("times", [])),
+                [float(f) for f in s.get("freqs", [])],
+                [float(m) for m in s.get("mags", [])],
+            )
+            tr.missed = int(s.get("missed", 0))
+            return tr
+
+        self._tracks = [mk(s) for s in d.get("tracks", [])]
+        self._archive = [mk(s) for s in d.get("archive", [])]
+        return self
+
     def prune_archive(self, min_length: int = 2) -> int:
         """Drop short retired tracks (noise births); returns how many."""
         before = len(self._archive)

@@ -315,6 +315,41 @@ def test_gateway_drift_alert_written_once(tmp_path):
     assert open(svc.config.logger_file).read().count("[ALERT]") == 1
 
 
+def test_drift_state_survives_gateway_restart(tmp_path):
+    """Tracker histories and alert dedup persist across service restarts."""
+    svc, transport, ftp_uploads, api_posts = make_service(tmp_path)
+
+    class FakeRP:
+        def __init__(self, freqs, mags):
+            self._f, self._m = freqs, mags
+            self.count = len(freqs)
+            self.row = 0
+            self.result = type("R", (), {"mag": np.asarray([mags])})()
+
+        def exact_freq(self, slot, mode):
+            return self._f[slot]
+
+    for e in range(8):
+        svc._store_result("0013a20041e7f001", "X",
+                          FakeRP([25.0 * (1 - 0.01 * e)], [9.0]), {})
+    assert open(svc.config.logger_file).read().count("[ALERT]") == 1
+    assert os.path.exists(os.path.join(svc.config.data_dir, "drift_tracks.json"))
+
+    # Restart: a fresh service on the same workdir resumes the history.
+    svc2 = GatewayService(
+        svc.config, LoopbackTransport(), clock=TickingClock(),
+        ftp_sink=svc.ftp_sink, http_sink=svc.http_sink,
+    )
+    tr = svc2.trackers[("0013a20041e7f001", "X")]
+    assert len(tr.tracks()[0]) == 8  # full pre-restart history resumed
+    # Continued drift (within the match window) does NOT re-alert
+    # (dedup state persisted)...
+    svc2._store_result("0013a20041e7f001", "X", FakeRP([23.0], [9.0]), {})
+    assert open(svc2.config.logger_file).read().count("[ALERT]") == 1
+    # ...and the resumed track keeps growing rather than restarting at 1.
+    assert len(svc2.trackers[("0013a20041e7f001", "X")].tracks()[0]) == 9
+
+
 def test_gateway_config_taper_reaches_pipeline(tmp_path):
     import json as _json
 
