@@ -106,6 +106,7 @@ class GatewayService:
         self.trackers: dict[tuple[str, str], PeakTracker] = {}
         self._alerted: set[tuple[str, str, int]] = set()
         self._drift_state_path = os.path.join(config.data_dir, "drift_tracks.json")
+        self._drift_state_dirty = False
         self._load_drift_state()
         # Background egress (the capability GT_FFT_v5.py:109-113 stubbed).
         self.uploader = AsyncUploadManager(upload_timeout) if async_uploads else None
@@ -515,6 +516,12 @@ class GatewayService:
         per_record = analyze_records(records, analyze=self.pipeline, on_bucket=grab)
         for i, ((addr, rec), rp) in enumerate(zip(loaded, per_record)):
             self._store_result(addr, rec.axis, rp, bucket_metrics.get(i, {}))
+        # One durability flush per analysis batch (not per record: the JSON
+        # covers every tracked sensor, so per-record writes would be O(B)
+        # redundant IO; alerts flush immediately in _track_drift).
+        if self._drift_state_dirty:
+            self._save_drift_state()
+            self._drift_state_dirty = False
 
     _DRIFT_TRACK_KEEP = 512  # archived-track cap per (sensor, axis)
 
@@ -590,7 +597,7 @@ class GatewayService:
         tracker.prune_archive(min_length=2)  # drop 1-epoch noise births
         if len(tracker._archive) > self._DRIFT_TRACK_KEEP:
             tracker._archive = tracker._archive[-self._DRIFT_TRACK_KEEP:]
-        self._save_drift_state()
+        self._drift_state_dirty = True
         for tr in tracker.alerts(rel_drift=rel, min_length=5):
             key = (addr, axis, tr.track_id)
             if key in self._alerted:
@@ -598,9 +605,14 @@ class GatewayService:
             self._alerted.add(key)
             self.history(
                 f"\t[ALERT] {addr} {axis}-axis: mode near {tr.mean_freq:.3f} Hz "
-                f"drifted {tr.drift_relative * 100:+.2f}% over {len(tr)} "
-                f"acquisitions ({tr.freqs[0]:.4f} -> {tr.freqs[-1]:.4f} Hz)\n"
+                f"drifted {tr.sustained_drift_relative() * 100:+.2f}% over "
+                f"{len(tr)} acquisitions "
+                f"({tr.freqs[0]:.4f} -> {tr.freqs[-1]:.4f} Hz)\n"
             )
+            # An alert is the state worth surviving a crash: flush now so
+            # the dedup marker and the track behind it are durable.
+            self._save_drift_state()
+            self._drift_state_dirty = False
 
     def _merged_axis_results(self, addr: str) -> dict:
         return self.fft_results.get(addr, {})

@@ -36,6 +36,7 @@ class Track:
     freqs: list = dataclasses.field(default_factory=list)
     mags: list = dataclasses.field(default_factory=list)
     missed: int = 0  # consecutive epochs without a match
+    observed: int = 0  # total observations ever (>= len() once capped)
 
     @property
     def last_freq(self) -> float:
@@ -78,7 +79,7 @@ class Track:
 
         return {
             "track_id": self.track_id,
-            "epochs": len(self),
+            "epochs": max(self.observed, len(self)),
             "times": [_t(v) for v in self.times],
             "freqs": [float(f) for f in self.freqs],
             "mags": [float(m) for m in self.mags],
@@ -135,9 +136,20 @@ class PeakTracker:
         epochs (it stays in :meth:`tracks` history; it just can't match).
     """
 
-    def __init__(self, rel_tol: float = 0.02, max_missed: int = 5):
+    def __init__(
+        self,
+        rel_tol: float = 0.02,
+        max_missed: int = 5,
+        history_cap: int = 2048,
+    ):
         self.rel_tol = rel_tol
         self.max_missed = max_missed
+        #: per-track observation cap: beyond it the MIDDLE of the history is
+        #: trimmed, preserving the first observations (the drift baseline
+        #: ``drift_relative``/``sustained_drift_relative`` compare against)
+        #: and the recent tail - bounds memory and serialized state for
+        #: months-long tracks.  0 disables.
+        self.history_cap = history_cap
         self._tracks: list[Track] = []   # live (matchable) tracks
         self._archive: list[Track] = []  # retired tracks, kept for history
         self._next_id = 0
@@ -172,12 +184,17 @@ class PeakTracker:
         pairs = match_peaks([tr.last_freq for tr in active], fl, self.rel_tol)
         matched_tracks: list[Track] = []
         matched_new = set()
+        keep_head = 8
         for ti, ni in pairs:
             tr = active[ti]
             tr.times.append(t)
             tr.freqs.append(fl[ni])
             tr.mags.append(ml[ni])
             tr.missed = 0
+            tr.observed += 1
+            if self.history_cap and len(tr.freqs) > self.history_cap:
+                cut = slice(keep_head, keep_head + 1)
+                del tr.times[cut], tr.freqs[cut], tr.mags[cut]
             matched_tracks.append(tr)
             matched_new.add(ni)
         for tr in active:
@@ -185,7 +202,7 @@ class PeakTracker:
                 tr.missed += 1
         for ni, f in enumerate(fl):
             if ni not in matched_new:
-                tr = Track(self._next_id, [t], [f], [ml[ni]])
+                tr = Track(self._next_id, [t], [f], [ml[ni]], observed=1)
                 self._next_id += 1
                 self._tracks.append(tr)
                 matched_tracks.append(tr)
@@ -240,7 +257,7 @@ class PeakTracker:
         """Full serializable state (tracks + archive + counters)."""
 
         def tr_state(tr: Track) -> dict:
-            return {**tr.to_dict(), "missed": tr.missed}
+            return {**tr.to_dict(), "missed": tr.missed, "observed": tr.observed}
 
         return {
             "rel_tol": self.rel_tol,
@@ -266,6 +283,7 @@ class PeakTracker:
                 [float(m) for m in s.get("mags", [])],
             )
             tr.missed = int(s.get("missed", 0))
+            tr.observed = int(s.get("observed", len(tr.freqs)))
             return tr
 
         self._tracks = [mk(s) for s in d.get("tracks", [])]

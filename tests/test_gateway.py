@@ -334,6 +334,9 @@ def test_drift_state_survives_gateway_restart(tmp_path):
                           FakeRP([25.0 * (1 - 0.01 * e)], [9.0]), {})
     assert open(svc.config.logger_file).read().count("[ALERT]") == 1
     assert os.path.exists(os.path.join(svc.config.data_dir, "drift_tracks.json"))
+    # _analyze_files flushes once per batch; _store_result was driven
+    # directly here, so flush the tail updates the way the batch end would.
+    svc._save_drift_state()
 
     # Restart: a fresh service on the same workdir resumes the history.
     svc2 = GatewayService(

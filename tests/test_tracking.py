@@ -152,6 +152,19 @@ def test_update_uses_refined_frequencies_for_subbin_drift():
     assert min(abs(drift_bin), abs(drift_bin - df)) <= 1e-3
 
 
+def test_history_cap_preserves_drift_baseline():
+    tracker = PeakTracker(history_cap=32)
+    for e in range(100):
+        tracker.update_freqs([25.0 - 0.001 * e])
+    (tr,) = tracker.tracks()
+    assert len(tr) == 32                 # trimmed to the cap
+    assert tr.observed == 100            # true observation count retained
+    assert tr.freqs[0] == 25.0           # drift baseline (head) preserved
+    assert tr.freqs[-1] == pytest.approx(25.0 - 0.099)  # recent tail intact
+    assert tr.drift_relative == pytest.approx(-0.099 / 25.0, rel=1e-6)
+    assert tr.to_dict()["epochs"] == 100
+
+
 def test_update_from_epoch_result():
     from apda_fft_tpu.models.pipeline import analyze_epoch
 
