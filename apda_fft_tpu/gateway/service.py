@@ -529,19 +529,31 @@ class GatewayService:
         try:
             with open(self._drift_state_path) as fh:
                 state = json.load(fh)
+            # Schema errors (truncated write, hand-edited file) must start
+            # fresh exactly like parse errors - never block gateway startup.
+            trackers = {}
+            for key, tr_d in state.get("trackers", {}).items():
+                addr, _, axis = key.partition("/")
+                trackers[(addr, axis)] = PeakTracker.from_dict(tr_d)
+            alerted = {(a, x, int(tid)) for a, x, tid in state.get("alerted", [])}
         except FileNotFoundError:
             return
         except Exception as exc:  # noqa: BLE001 - corrupt state starts fresh
             self.history(f"\t[WARN] drift state unreadable ({exc}), starting fresh\n")
             return
-        for key, tr_d in state.get("trackers", {}).items():
-            addr, _, axis = key.partition("/")
-            self.trackers[(addr, axis)] = PeakTracker.from_dict(tr_d)
-        self._alerted = {
-            (a, x, int(tid)) for a, x, tid in state.get("alerted", [])
-        }
+        self.trackers = trackers
+        self._alerted = alerted
 
     def _save_drift_state(self) -> None:
+        # Drop alert markers whose tracks no longer exist anywhere (pruned
+        # past the archive cap) - keeps the dedup set and the state file
+        # bounded under long-term track churn.
+        live_ids = {
+            (addr, axis, tr.track_id)
+            for (addr, axis), tk in self.trackers.items()
+            for tr in tk._tracks + tk._archive
+        }
+        self._alerted &= live_ids
         state = {
             "trackers": {
                 f"{addr}/{axis}": tr.to_dict()
@@ -553,9 +565,15 @@ class GatewayService:
         try:
             with open(tmp, "w") as fh:
                 json.dump(state, fh)
-            os.replace(tmp, self._drift_state_path)  # atomic on POSIX
+                fh.flush()
+                os.fsync(fh.fileno())  # durable before the atomic rename
+            os.replace(tmp, self._drift_state_path)
         except OSError as exc:
             self.history(f"\t[WARN] drift state not saved ({exc})\n")
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
     def _store_result(self, addr, axis, rp, metrics) -> None:
         """Fill the per-axis peak dict (reference fft_dict shape, :648-659)."""
@@ -606,7 +624,7 @@ class GatewayService:
             self.history(
                 f"\t[ALERT] {addr} {axis}-axis: mode near {tr.mean_freq:.3f} Hz "
                 f"drifted {tr.sustained_drift_relative() * 100:+.2f}% over "
-                f"{len(tr)} acquisitions "
+                f"{max(tr.observed, len(tr))} acquisitions "
                 f"({tr.freqs[0]:.4f} -> {tr.freqs[-1]:.4f} Hz)\n"
             )
             # An alert is the state worth surviving a crash: flush now so

@@ -136,6 +136,9 @@ class PeakTracker:
         epochs (it stays in :meth:`tracks` history; it just can't match).
     """
 
+    #: per-archived-track observation cap (head 8 + recent tail)
+    ARCHIVE_OBS_KEEP = 64
+
     def __init__(
         self,
         rel_tol: float = 0.02,
@@ -176,15 +179,25 @@ class PeakTracker:
 
         # Retire long-silent tracks into the archive so the live list (and
         # per-update matching) stays bounded in a months-long deployment.
+        # Retired tracks can never grow again, so their history is trimmed
+        # hard (baseline head + recent tail) - bounds archive memory and
+        # serialized state.
         still_live = []
         for tr in self._tracks:
-            (still_live if tr.missed < self.max_missed else self._archive).append(tr)
+            if tr.missed < self.max_missed:
+                still_live.append(tr)
+            else:
+                if len(tr.freqs) > self.ARCHIVE_OBS_KEEP:
+                    head, tail = 8, self.ARCHIVE_OBS_KEEP - 8
+                    cut = slice(head, len(tr.freqs) - tail)
+                    del tr.times[cut], tr.freqs[cut], tr.mags[cut]
+                self._archive.append(tr)
         self._tracks = still_live
         active = self._tracks
         pairs = match_peaks([tr.last_freq for tr in active], fl, self.rel_tol)
         matched_tracks: list[Track] = []
         matched_new = set()
-        keep_head = 8
+        keep_head = min(8, max(self.history_cap - 1, 0)) if self.history_cap else 8
         for ti, ni in pairs:
             tr = active[ti]
             tr.times.append(t)
@@ -254,14 +267,33 @@ class PeakTracker:
         ]
 
     def to_dict(self) -> dict:
-        """Full serializable state (tracks + archive + counters)."""
+        """Full serializable state (tracks + archive + counters).
+
+        Lean schema: only what :meth:`from_dict` reads (no derived fields -
+        they recompute from the arrays).  Non-numeric times (datetimes)
+        stringify; numeric times round-trip as floats.
+        """
+
+        def _t(v):
+            try:
+                return float(v)
+            except (TypeError, ValueError):
+                return str(v)
 
         def tr_state(tr: Track) -> dict:
-            return {**tr.to_dict(), "missed": tr.missed, "observed": tr.observed}
+            return {
+                "track_id": tr.track_id,
+                "times": [_t(v) for v in tr.times],
+                "freqs": [float(f) for f in tr.freqs],
+                "mags": [float(m) for m in tr.mags],
+                "missed": tr.missed,
+                "observed": tr.observed,
+            }
 
         return {
             "rel_tol": self.rel_tol,
             "max_missed": self.max_missed,
+            "history_cap": self.history_cap,
             "next_id": self._next_id,
             "epoch": self._epoch,
             "tracks": [tr_state(t) for t in self._tracks],
@@ -271,7 +303,11 @@ class PeakTracker:
     @classmethod
     def from_dict(cls, d: dict) -> "PeakTracker":
         """Rebuild a tracker saved with :meth:`to_dict` (restart resume)."""
-        self = cls(rel_tol=d.get("rel_tol", 0.02), max_missed=d.get("max_missed", 5))
+        self = cls(
+            rel_tol=d.get("rel_tol", 0.02),
+            max_missed=d.get("max_missed", 5),
+            history_cap=int(d.get("history_cap", 2048)),
+        )
         self._next_id = int(d.get("next_id", 0))
         self._epoch = int(d.get("epoch", 0))
 

@@ -353,6 +353,17 @@ def test_drift_state_survives_gateway_restart(tmp_path):
     assert len(svc2.trackers[("0013a20041e7f001", "X")].tracks()[0]) == 9
 
 
+def test_schema_corrupt_drift_state_starts_fresh(tmp_path):
+    svc, *_ = make_service(tmp_path)
+    # Valid JSON, wrong schema: must warn + start fresh, never block startup.
+    with open(os.path.join(svc.config.data_dir, "drift_tracks.json"), "w") as fh:
+        fh.write('{"trackers": {"aa/X": {"tracks": [{"freqs": [1.0]}]}}}')
+    svc2 = GatewayService(svc.config, LoopbackTransport(), clock=TickingClock(),
+                          ftp_sink=svc.ftp_sink, http_sink=svc.http_sink)
+    assert svc2.trackers == {}
+    assert "[WARN] drift state unreadable" in open(svc.config.logger_file).read()
+
+
 def test_gateway_config_taper_reaches_pipeline(tmp_path):
     import json as _json
 

@@ -152,6 +152,46 @@ def test_update_uses_refined_frequencies_for_subbin_drift():
     assert min(abs(drift_bin), abs(drift_bin - df)) <= 1e-3
 
 
+def test_tiny_history_cap_keeps_newest_and_honors_cap():
+    # Regression: cap <= 8 used to delete the just-appended newest sample,
+    # freezing the tail forever.
+    for cap in (1, 4, 8):
+        tracker = PeakTracker(history_cap=cap)
+        for e in range(50):
+            tracker.update_freqs([25.0 - 0.01 * e])
+        (tr,) = tracker.tracks()
+        assert len(tr) == cap
+        assert tr.freqs[-1] == pytest.approx(25.0 - 0.49)  # newest retained
+        assert tr.observed == 50
+
+
+def test_archived_tracks_are_trimmed():
+    tracker = PeakTracker(max_missed=1)
+    for e in range(200):
+        tracker.update_freqs([25.0 - 0.0001 * e])
+    tracker.update_freqs([90.0])  # miss
+    tracker.update_freqs([90.0])  # retire the 200-obs track
+    archived = [t for t in tracker.tracks() if t.mean_freq < 50][0]
+    assert len(archived) == PeakTracker.ARCHIVE_OBS_KEEP
+    assert archived.observed == 200
+    assert archived.freqs[0] == 25.0                       # baseline head
+    assert archived.freqs[-1] == pytest.approx(25.0 - 0.0199)  # recent tail
+
+
+def test_state_roundtrip_preserves_config_and_counts():
+    tracker = PeakTracker(rel_tol=0.03, max_missed=2, history_cap=0)
+    for e in range(5):
+        tracker.update_freqs([10.0], t=e)
+    d = tracker.to_dict()
+    back = PeakTracker.from_dict(d)
+    assert back.rel_tol == 0.03 and back.max_missed == 2
+    assert back.history_cap == 0  # '0 disables' survives the round-trip
+    (tr,) = back.tracks()
+    assert tr.freqs == [10.0] * 5 and tr.observed == 5
+    # Lean schema: no derived fields persisted.
+    assert "mean_freq" not in d["tracks"][0]
+
+
 def test_history_cap_preserves_drift_baseline():
     tracker = PeakTracker(history_cap=32)
     for e in range(100):
