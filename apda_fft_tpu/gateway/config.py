@@ -53,6 +53,9 @@ class GatewayConfig:
     #: modal-drift alert threshold (relative frequency drift per tracked
     #: mode; 0 disables drift tracking)
     drift_alert_rel: float = 0.02
+    #: also run spectral analysis on 0xC1 shock transients (the reference
+    #: only uploads them raw; free-decay ring-down is prime damping data)
+    analyze_shock: bool = False
 
     @classmethod
     def load(cls, config_path: str | os.PathLike) -> "GatewayConfig":
@@ -87,6 +90,7 @@ class GatewayConfig:
                 compilation_cache_dir=gw.get("compilation_cache_dir", ""),
                 taper=taper,
                 drift_alert_rel=float(gw.get("drift_alert_rel", 0.02)),
+                analyze_shock=bool(gw.get("analyze_shock", False)),
             )
         except GatewayConfigError:
             raise

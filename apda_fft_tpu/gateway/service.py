@@ -393,6 +393,15 @@ class GatewayService:
             self._flush_influx(addr)
             uploaded = self._flush_ftp(addr)
             self._prune(self.ftp_queue, addr, uploaded)
+            if self.config.analyze_shock:
+                # Beyond-reference: a shock transient is free-decay
+                # ring-down - prime modal/damping data the reference only
+                # uploads raw.  Peaks land in fft_results under the shock
+                # file's axis and in the sync report like any acquisition.
+                if self.flush_mode == "immediate":
+                    self._analyze_files([(addr, filename)])
+                else:
+                    self.pending_analysis.append((addr, filename))
         finally:
             # Restore even if the handler raised (see _on_reduced).
             if prev_open is not None:

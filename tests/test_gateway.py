@@ -227,6 +227,25 @@ def test_shock_event_immediate_upload(tmp_path):
     assert svc.ftp_queue[MAC] == []
 
 
+def test_shock_analysis_opt_in(tmp_path):
+    # Default off = reference parity: shocks upload raw, no analysis.
+    svc, transport, *_ = make_service(tmp_path)
+    sim = SensorSimulator(MAC)
+    t = np.arange(256) / 100.0
+    ring_down = (np.exp(-1.5 * t) * np.sin(2 * np.pi * 20.0 * t)).astype(np.float32)
+    sim.shock_event(transport, ring_down)
+    svc.drain()
+    assert MAC not in svc.fft_results
+
+    # Opted in: the transient is analyzed; its 20 Hz ring-down is a peak.
+    svc2, transport2, *_ = make_service(tmp_path)
+    svc2.config.analyze_shock = True
+    sim.shock_event(transport2, ring_down)
+    svc2.drain()
+    entry = svc2.fft_results[MAC]["Unknown_axis"]
+    assert entry["peak_freq"] == pytest.approx(20.0, abs=0.5)
+
+
 def test_reduced_data_flow(tmp_path):
     svc, transport, _, _ = make_service(tmp_path)
     sim = SensorSimulator(MAC, fs=250.0, axis="Y")
