@@ -30,6 +30,7 @@ from apda_fft_tpu.models.streaming import (
     welch_psd,
 )
 from apda_fft_tpu.models.tracking import PeakTracker, Track, match_peaks
+from apda_fft_tpu.ops.ringdown import ringdown_damping
 from apda_fft_tpu.ops.fft import (
     center_and_pad,
     full_spectrum,
@@ -77,6 +78,7 @@ __all__ = [
     "next_pow2",
     "prominence_peaks",
     "resolution_peaks",
+    "ringdown_damping",
     "spectrogram",
     "taper_window",
     "welch_psd",
