@@ -507,11 +507,11 @@ class GatewayService:
             if rec is None or not rec.samples:
                 self.history(f"\t[WARN] file {path} corrupt or empty, skipping FFT\n")
                 continue
-            loaded.append((addr, rec))
+            loaded.append((addr, path, rec))
         if not loaded:
             return
 
-        records = [(np.asarray(rec.samples, np.float32), rec.fs) for _, rec in loaded]
+        records = [(np.asarray(rec.samples, np.float32), rec.fs) for _, _, rec in loaded]
         # Each pow2 bucket is its own pipeline run; snapshot that run's
         # metrics for exactly its records (a single post-hoc read would
         # stamp every record with the LAST bucket's numbers).
@@ -523,14 +523,39 @@ class GatewayService:
                 bucket_metrics[i] = snap
 
         per_record = analyze_records(records, analyze=self.pipeline, on_bucket=grab)
-        for i, ((addr, rec), rp) in enumerate(zip(loaded, per_record)):
+        for i, ((addr, path, rec), rp) in enumerate(zip(loaded, per_record)):
             self._store_result(addr, rec.axis, rp, bucket_metrics.get(i, {}))
+            if path.endswith("_shock.log") and rp.count:
+                self._shock_ringdown(addr, rec, rp)
         # One durability flush per analysis batch (not per record: the JSON
         # covers every tracked sensor, so per-record writes would be O(B)
         # redundant IO; alerts flush immediately in _track_drift).
         if self._drift_state_dirty:
             self._save_drift_state()
             self._drift_state_dirty = False
+
+    def _shock_ringdown(self, addr: str, rec, rp) -> None:
+        """Free-decay damping for an analyzed shock transient.
+
+        Log-decrement on the band-selected envelope (ops/ringdown.py) - the
+        right damping estimator for free decay, where the detectors'
+        spectral half-power width is biased by the decay itself.
+        """
+        from apda_fft_tpu.ops.ringdown import ringdown_damping
+
+        entry = self.fft_results.get(addr, {}).get(rec.axis)
+        f0 = entry.get("peak_freq", -1) if entry else -1
+        if not entry or f0 <= 0:
+            return
+        zeta = float(ringdown_damping(
+            np.asarray(rec.samples, np.float32), rec.fs, f0
+        ))
+        if np.isnan(zeta):
+            return
+        entry["ringdown_damping_pct"] = round(zeta * 100.0, 3)
+        self.history(
+            f"\tShock ring-down: f={f0:.3f} Hz, zeta={zeta * 100.0:.2f}%\n"
+        )
 
     _DRIFT_TRACK_KEEP = 512  # archived-track cap per (sensor, axis)
 

@@ -244,6 +244,9 @@ def test_shock_analysis_opt_in(tmp_path):
     svc2.drain()
     entry = svc2.fft_results[MAC]["Unknown_axis"]
     assert entry["peak_freq"] == pytest.approx(20.0, abs=0.5)
+    # Free-decay damping from the transient (zeta = 1.5/(2*pi*20) = 1.19%).
+    assert entry["ringdown_damping_pct"] == pytest.approx(1.19, rel=0.15)
+    assert "Shock ring-down" in open(svc2.config.logger_file).read()
 
 
 def test_reduced_data_flow(tmp_path):
