@@ -526,7 +526,7 @@ class GatewayService:
         for i, ((addr, path, rec), rp) in enumerate(zip(loaded, per_record)):
             self._store_result(addr, rec.axis, rp, bucket_metrics.get(i, {}))
             if path.endswith("_shock.log") and rp.count:
-                self._shock_ringdown(addr, rec, rp)
+                self._shock_ringdown(addr, rec.axis, records[i][0], rec.fs)
         # One durability flush per analysis batch (not per record: the JSON
         # covers every tracked sensor, so per-record writes would be O(B)
         # redundant IO; alerts flush immediately in _track_drift).
@@ -534,7 +534,7 @@ class GatewayService:
             self._save_drift_state()
             self._drift_state_dirty = False
 
-    def _shock_ringdown(self, addr: str, rec, rp) -> None:
+    def _shock_ringdown(self, addr: str, axis: str, samples: np.ndarray, fs) -> None:
         """Free-decay damping for an analyzed shock transient.
 
         Log-decrement on the band-selected envelope (ops/ringdown.py) - the
@@ -543,13 +543,11 @@ class GatewayService:
         """
         from apda_fft_tpu.ops.ringdown import ringdown_damping
 
-        entry = self.fft_results.get(addr, {}).get(rec.axis)
+        entry = self.fft_results.get(addr, {}).get(axis)
         f0 = entry.get("peak_freq", -1) if entry else -1
         if not entry or f0 <= 0:
             return
-        zeta = float(ringdown_damping(
-            np.asarray(rec.samples, np.float32), rec.fs, f0
-        ))
+        zeta = float(ringdown_damping(samples, fs, f0))
         if np.isnan(zeta):
             return
         entry["ringdown_damping_pct"] = round(zeta * 100.0, 3)

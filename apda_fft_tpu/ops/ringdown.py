@@ -39,10 +39,14 @@ def _ringdown_impl(x, fs, f0, *, n_fft: int, band_rel: float):
     if n < n_fft:
         xc = jnp.pad(xc, [(0, 0)] * (xc.ndim - 1) + [(0, n_fft - n)])
     spec = jnp.fft.fft(xc, axis=-1)
-    freqs = jnp.arange(n_fft, dtype=dtype) * (fs / n_fft)
-    lo = f0 * (1.0 - band_rel)
-    hi = f0 * (1.0 + band_rel)
-    band = (freqs >= lo) & (freqs <= hi)  # positive-frequency band only
+    # freqs broadcasts over batched fs/f0: [..., n_fft].
+    freqs = jnp.arange(n_fft, dtype=dtype) * (fs[..., None] / n_fft)
+    lo = (f0 * (1.0 - band_rel))[..., None]
+    hi = (f0 * (1.0 + band_rel))[..., None]
+    # Clamp strictly below Nyquist: bins at/above fs/2 are the conjugate
+    # half-spectrum, and doubling them corrupts the analytic envelope
+    # (silently 4x-biased damping for f0 near fs/2).
+    band = (freqs >= lo) & (freqs <= hi) & (freqs < fs[..., None] * 0.5)
     analytic = jnp.fft.ifft(jnp.where(band, spec * 2.0, 0.0), axis=-1)[..., :n]
     env = jnp.abs(analytic).astype(dtype)
 
@@ -65,7 +69,7 @@ def _ringdown_impl(x, fs, f0, *, n_fft: int, band_rel: float):
     )
     fit = in_decay & (iota < first_below[..., None])
 
-    t = iota.astype(dtype) / fs
+    t = iota.astype(dtype) / fs[..., None]
     logy = jnp.log(jnp.maximum(env, jnp.asarray(1e-30, dtype)))
     w = fit.astype(dtype)
     sw = jnp.sum(w, axis=-1)
@@ -78,7 +82,7 @@ def _ringdown_impl(x, fs, f0, *, n_fft: int, band_rel: float):
 
     # x(t) ~ exp(-zeta*w0*t): slope = -zeta*2*pi*f0 (light damping: wd ~ w0).
     zeta = jnp.where(f0 > 0, -slope / (2.0 * jnp.pi * f0), 0.0)
-    return zeta, env, sw
+    return zeta, sw
 
 
 def ringdown_damping(
@@ -107,7 +111,7 @@ def ringdown_damping(
     if x.dtype not in (jnp.float32, jnp.float64):
         x = x.astype(jnp.float32)
     n_fft = fft_ops.next_pow2(x.shape[-1])
-    zeta, _env, n_fit = _ringdown_impl(x, fs, f0, n_fft=n_fft, band_rel=band_rel)
+    zeta, n_fit = _ringdown_impl(x, fs, f0, n_fft=n_fft, band_rel=band_rel)
     fs_a = jnp.asarray(fs, x.dtype)
     f0_a = jnp.asarray(f0, x.dtype)
     cycles = n_fit / fs_a * f0_a

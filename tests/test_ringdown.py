@@ -36,6 +36,25 @@ def test_noise_robustness():
     assert got == pytest.approx(0.02, rel=0.25)
 
 
+def test_near_nyquist_band_is_clamped():
+    # Regression: with fs=500 and f0=230, the default band (276 Hz top)
+    # used to pull conjugate bins past Nyquist into the analytic signal
+    # and return a silently 4x-biased estimate.
+    x = _decay(0.02, f0=230.0, fs=500.0)
+    got = float(ringdown_damping(x, 500.0, 230.0))
+    assert got == pytest.approx(0.02, rel=0.15)
+
+
+def test_batched_f0_per_row():
+    # Regression: documented batch-shaped f0 used to crash ([B]) or return
+    # a [B, B] cross-product ([B, 1]).
+    xs = np.stack([_decay(0.01, f0=20.0), _decay(0.03, f0=80.0)])
+    z = np.asarray(ringdown_damping(xs, 500.0, np.array([20.0, 80.0])))
+    assert z.shape == (2,)
+    assert z[0] == pytest.approx(0.01, rel=0.1)
+    assert z[1] == pytest.approx(0.03, rel=0.1)
+
+
 def test_batched_and_short_window_nan():
     xs = np.stack([_decay(0.01), _decay(0.03)])
     z = np.asarray(ringdown_damping(xs, 500.0, 20.0))
