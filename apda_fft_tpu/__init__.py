@@ -25,6 +25,8 @@ from apda_fft_tpu.models.streaming import (
     analyze_epochs_pipelined,
     analyze_stream,
     analyze_welch,
+    coherence,
+    cross_psd,
     frame_records,
     spectrogram,
     welch_psd,
@@ -70,6 +72,8 @@ __all__ = [
     "analyze_welch",
     "analyze_window_lowlat",
     "center_and_pad",
+    "coherence",
+    "cross_psd",
     "frame_records",
     "default_k",
     "full_spectrum",

@@ -307,6 +307,128 @@ def analyze_welch(
     )
 
 
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window", "hop", "taper", "detrend")
+)
+def _segment_spectra(records, *, window, hop, taper, detrend):
+    """Complex half-spectra of every segment: ``(re, im)`` each [..., W, H].
+
+    Same framing/detrend/taper conventions as :func:`_segment_mags` (DC is
+    NOT zeroed here - cross-spectral estimators handle bin 0 themselves).
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    framed = frame_records(records, window, hop)
+    n_fft = fft_ops.next_pow2(window)
+    lead = framed.shape[:-1]
+    flat = framed.reshape((-1, window))
+    if detrend == "mean":
+        segs = flat - jnp.mean(flat, axis=-1, keepdims=True)
+        if window < n_fft:
+            segs = jnp.pad(segs, ((0, 0), (0, n_fft - window)))
+    else:
+        segs = fft_ops.center_and_pad(flat, n_fft, None)
+    if taper != "none":
+        segs = segs * fft_ops.taper_window(
+            taper, n_fft, segs.dtype, window if window < n_fft else None
+        )
+    re, im = fft_ops.fft_matmul_real(segs, half=True)
+    h = n_fft // 2
+    return re.reshape(lead + (h,)), im.reshape(lead + (h,))
+
+
+def cross_psd(
+    x,
+    y,
+    fs,
+    window: int,
+    hop: int | None = None,
+    *,
+    taper: str = "hann",
+    detrend: str = "mean",
+    dtype=jnp.float32,
+):
+    """One-sided cross power spectral density ``(freqs, pxy)`` (complex).
+
+    Welch-averaged ``E[conj(X(f)) * Y(f)]`` (the scipy sign convention:
+    positive phase = ``y`` leads ``x``) with the same segmenting,
+    symmetric-window, and scaling conventions as :func:`welch_psd`
+    (cross-checked against ``scipy.signal.csd`` incl. phase).
+    ``x``/``y`` are ``[..., T]`` records with matching shapes.
+    """
+    x = jnp.asarray(x, dtype)
+    y = jnp.asarray(y, dtype)
+    if x.shape != y.shape:
+        raise ValueError(f"x and y shapes differ: {x.shape} vs {y.shape}")
+    hop = max(window // 2, 1) if hop is None else hop
+    if taper not in fft_ops.TAPERS:
+        raise ValueError(f"unknown taper {taper!r}; expected one of {fft_ops.TAPERS}")
+    if detrend not in DETRENDS:
+        raise ValueError(f"unknown detrend {detrend!r}; expected one of {DETRENDS}")
+    n_fft = fft_ops.next_pow2(window)
+    xr, xi = _segment_spectra(x, window=window, hop=hop, taper=taper, detrend=detrend)
+    yr, yi = _segment_spectra(y, window=window, hop=hop, taper=taper, detrend=detrend)
+    # conj(X) * Y, averaged over segments (scipy's sign convention).
+    pr = jnp.mean(xr * yr + xi * yi, axis=-2)
+    pi = jnp.mean(xr * yi - xi * yr, axis=-2)
+    wsum2 = float(window) if taper == "none" else _taper_power_sum(taper, window)
+    fs_arr = jnp.asarray(fs, dtype)
+    scale = 2.0 / (fs_arr[..., None] * wsum2)
+    # Assemble the complex result on the host: the device math is all real
+    # (this TPU backend lacks some complex ops), and pxy is a host-facing
+    # quantity anyway.  Returns a numpy complex array.
+    import numpy as _np
+
+    pxy = _np.asarray(pr * scale) + 1j * _np.asarray(pi * scale)
+    pxy[..., 0] = 0.0  # DC zeroed, matching welch_psd
+    return _bin_freqs(fs, n_fft, dtype), pxy
+
+
+def coherence(
+    x,
+    y,
+    fs,
+    window: int,
+    hop: int | None = None,
+    *,
+    taper: str = "hann",
+    detrend: str = "mean",
+    dtype=jnp.float32,
+):
+    """Magnitude-squared coherence ``(freqs, cxy)`` in [0, 1].
+
+    ``|Pxy|^2 / (Pxx * Pyy)`` with Welch averaging (matching
+    ``scipy.signal.coherence``): ~1 where the two channels see the same
+    (linearly related) signal, ~0 where they are independent - the
+    multi-sensor test for "is this the same structural mode?".  Requires
+    overlap-averaging over several segments (single-segment coherence is
+    identically 1).
+    """
+    x = jnp.asarray(x, dtype)
+    y = jnp.asarray(y, dtype)
+    if x.shape != y.shape:
+        raise ValueError(f"x and y shapes differ: {x.shape} vs {y.shape}")
+    hop = max(window // 2, 1) if hop is None else hop
+    if taper not in fft_ops.TAPERS:
+        raise ValueError(f"unknown taper {taper!r}; expected one of {fft_ops.TAPERS}")
+    if detrend not in DETRENDS:
+        raise ValueError(f"unknown detrend {detrend!r}; expected one of {DETRENDS}")
+    n_fft = fft_ops.next_pow2(window)
+    xr, xi = _segment_spectra(x, window=window, hop=hop, taper=taper, detrend=detrend)
+    yr, yi = _segment_spectra(y, window=window, hop=hop, taper=taper, detrend=detrend)
+    pxx = jnp.mean(xr * xr + xi * xi, axis=-2)
+    pyy = jnp.mean(yr * yr + yi * yi, axis=-2)
+    pr = jnp.mean(xr * yr + xi * yi, axis=-2)
+    pi = jnp.mean(xi * yr - xr * yi, axis=-2)
+    denom = pxx * pyy
+    cxy = jnp.where(denom > 0, (pr * pr + pi * pi) / denom, 0.0)
+    cxy = cxy.at[..., 0].set(0.0)
+    return _bin_freqs(fs, n_fft, dtype), cxy
+
+
+
 def analyze_epochs_pipelined(
     epochs: Iterable,
     fs,

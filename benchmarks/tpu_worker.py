@@ -102,13 +102,18 @@ def main() -> None:
         except OSError:
             pass  # job file removed under us; output is already written
         print(f"[worker] {name} -> {status}", flush=True)
-        if status == "error" and "UNAVAILABLE" in buf.getvalue():
-            # The remote TPU crashed/restarted and this process's client
-            # never recovers - re-exec for a fresh connection (after a
-            # cool-down: the remote takes minutes to come back, and a tight
-            # reconnect loop can wedge it further).  The job died from the
-            # infrastructure, not its own bug: requeue it so it reruns on
-            # the fresh client along with the remaining spool jobs - but
+        if status == "error" and (
+            "UNAVAILABLE" in buf.getvalue()
+            or "TPU backend error" in buf.getvalue()
+        ):
+            # The remote TPU crashed/restarted (UNAVAILABLE) or hit a
+            # backend fault that poisons the client (e.g. UNIMPLEMENTED
+            # complex ops - subsequent device_puts fail too); this
+            # process's client never recovers - re-exec for a fresh
+            # connection (after a cool-down: the remote takes minutes to
+            # come back, and a tight reconnect loop can wedge it further).
+            # The job died from the infrastructure, not its own bug:
+            # requeue it so it reruns on the fresh client - but
             # only once (a job that itself triggers the crash must not
             # requeue-loop forever).
             marker = path[:-3] + ".retried"
