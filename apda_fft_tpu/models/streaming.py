@@ -114,20 +114,12 @@ def _taper_power_sum(name: str, window: int) -> float:
     return float(_np.sum(w * w))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("window", "hop", "taper", "backend", "detrend")
-)
-def _segment_mags(records, *, window, hop, taper, backend, detrend="median"):
-    """Frame -> detrend -> taper -> half-spectrum magnitudes.
+def _segment_front_end(records, *, window, hop, taper, detrend):
+    """Frame -> detrend -> pad -> taper: flat segments [B, n_fft] + lead shape.
 
-    The shared segment front end of :func:`spectrogram`,
-    :func:`analyze_welch`, and :func:`welch_psd`; returns ``[..., W, H]``.
-
-    ``detrend="median"`` is the reference front end's centering;
-    ``"mean"`` is the scipy/Welch convention and avoids the per-segment
-    sort, which otherwise dominates the front end's device time at scale
-    (the two differ only in the DC-adjacent bins the taper's leakage
-    reaches; DC itself is always zeroed).
+    The single implementation behind :func:`_segment_mags` (magnitudes) and
+    :func:`_segment_spectra` (complex spectra) - one place for the
+    detrend/pad/taper edge cases.
     """
     if window < 2:
         raise ValueError(f"window must be >= 2, got {window}")
@@ -145,6 +137,27 @@ def _segment_mags(records, *, window, hop, taper, backend, detrend="median"):
         segs = segs * fft_ops.taper_window(
             taper, n_fft, segs.dtype, window if window < n_fft else None
         )
+    return segs, lead
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window", "hop", "taper", "backend", "detrend")
+)
+def _segment_mags(records, *, window, hop, taper, backend, detrend="median"):
+    """Frame -> detrend -> taper -> half-spectrum magnitudes.
+
+    The shared segment front end of :func:`spectrogram`,
+    :func:`analyze_welch`, and :func:`welch_psd`; returns ``[..., W, H]``.
+
+    ``detrend="median"`` is the reference front end's centering;
+    ``"mean"`` is the scipy/Welch convention and avoids the per-segment
+    sort, which otherwise dominates the front end's device time at scale
+    (the two differ only in the DC-adjacent bins the taper's leakage
+    reaches; DC itself is always zeroed).
+    """
+    segs, lead = _segment_front_end(
+        records, window=window, hop=hop, taper=taper, detrend=detrend
+    )
     mags = fft_ops.halfspec_magnitudes(segs, backend=backend)
     return mags.reshape(lead + (mags.shape[-1],))
 
@@ -318,25 +331,41 @@ def _segment_spectra(records, *, window, hop, taper, detrend):
     Same framing/detrend/taper conventions as :func:`_segment_mags` (DC is
     NOT zeroed here - cross-spectral estimators handle bin 0 themselves).
     """
-    if window < 2:
-        raise ValueError(f"window must be >= 2, got {window}")
-    framed = frame_records(records, window, hop)
-    n_fft = fft_ops.next_pow2(window)
-    lead = framed.shape[:-1]
-    flat = framed.reshape((-1, window))
-    if detrend == "mean":
-        segs = flat - jnp.mean(flat, axis=-1, keepdims=True)
-        if window < n_fft:
-            segs = jnp.pad(segs, ((0, 0), (0, n_fft - window)))
-    else:
-        segs = fft_ops.center_and_pad(flat, n_fft, None)
-    if taper != "none":
-        segs = segs * fft_ops.taper_window(
-            taper, n_fft, segs.dtype, window if window < n_fft else None
-        )
+    segs, lead = _segment_front_end(
+        records, window=window, hop=hop, taper=taper, detrend=detrend
+    )
     re, im = fft_ops.fft_matmul_real(segs, half=True)
-    h = n_fft // 2
+    h = re.shape[-1]
     return re.reshape(lead + (h,)), im.reshape(lead + (h,))
+
+
+def _cross_moments(x, y, fs, window, hop, taper, detrend, dtype):
+    """Shared core of :func:`cross_psd` / :func:`coherence`.
+
+    Validates, stacks the pair into ONE jitted :func:`_segment_spectra`
+    dispatch (halving program launches), and returns the Welch-averaged
+    second moments ``(pxx, pyy, pr, pi, n_fft)`` with the cross terms in
+    scipy's ``conj(X) * Y`` sign convention.
+    """
+    x = jnp.asarray(x, dtype)
+    y = jnp.asarray(y, dtype)
+    if x.shape != y.shape:
+        raise ValueError(f"x and y shapes differ: {x.shape} vs {y.shape}")
+    hop = max(window // 2, 1) if hop is None else hop
+    if taper not in fft_ops.TAPERS:
+        raise ValueError(f"unknown taper {taper!r}; expected one of {fft_ops.TAPERS}")
+    if detrend not in DETRENDS:
+        raise ValueError(f"unknown detrend {detrend!r}; expected one of {DETRENDS}")
+    n_fft = fft_ops.next_pow2(window)
+    re, im = _segment_spectra(
+        jnp.stack([x, y]), window=window, hop=hop, taper=taper, detrend=detrend
+    )
+    (xr, yr), (xi, yi) = re, im
+    pxx = jnp.mean(xr * xr + xi * xi, axis=-2)
+    pyy = jnp.mean(yr * yr + yi * yi, axis=-2)
+    pr = jnp.mean(xr * yr + xi * yi, axis=-2)
+    pi = jnp.mean(xr * yi - xi * yr, axis=-2)
+    return pxx, pyy, pr, pi, n_fft
 
 
 def cross_psd(
@@ -350,35 +379,25 @@ def cross_psd(
     detrend: str = "mean",
     dtype=jnp.float32,
 ):
-    """One-sided cross power spectral density ``(freqs, pxy)`` (complex).
+    """One-sided cross power spectral density ``(freqs, pxy)``.
 
     Welch-averaged ``E[conj(X(f)) * Y(f)]`` (the scipy sign convention:
     positive phase = ``y`` leads ``x``) with the same segmenting,
     symmetric-window, and scaling conventions as :func:`welch_psd`
     (cross-checked against ``scipy.signal.csd`` incl. phase).
     ``x``/``y`` are ``[..., T]`` records with matching shapes.
+
+    Returns ``pxy`` as a HOST numpy complex array (not jittable: the
+    device math is kept all-real because this TPU backend lacks complex
+    arithmetic ops, and the complex view is assembled on the host).
     """
-    x = jnp.asarray(x, dtype)
-    y = jnp.asarray(y, dtype)
-    if x.shape != y.shape:
-        raise ValueError(f"x and y shapes differ: {x.shape} vs {y.shape}")
-    hop = max(window // 2, 1) if hop is None else hop
-    if taper not in fft_ops.TAPERS:
-        raise ValueError(f"unknown taper {taper!r}; expected one of {fft_ops.TAPERS}")
-    if detrend not in DETRENDS:
-        raise ValueError(f"unknown detrend {detrend!r}; expected one of {DETRENDS}")
-    n_fft = fft_ops.next_pow2(window)
-    xr, xi = _segment_spectra(x, window=window, hop=hop, taper=taper, detrend=detrend)
-    yr, yi = _segment_spectra(y, window=window, hop=hop, taper=taper, detrend=detrend)
-    # conj(X) * Y, averaged over segments (scipy's sign convention).
-    pr = jnp.mean(xr * yr + xi * yi, axis=-2)
-    pi = jnp.mean(xr * yi - xi * yr, axis=-2)
+    pxx, pyy, pr, pi, n_fft = _cross_moments(
+        x, y, fs, window, hop, taper, detrend, dtype
+    )
+    del pxx, pyy
     wsum2 = float(window) if taper == "none" else _taper_power_sum(taper, window)
     fs_arr = jnp.asarray(fs, dtype)
     scale = 2.0 / (fs_arr[..., None] * wsum2)
-    # Assemble the complex result on the host: the device math is all real
-    # (this TPU backend lacks some complex ops), and pxy is a host-facing
-    # quantity anyway.  Returns a numpy complex array.
     import numpy as _np
 
     pxy = _np.asarray(pr * scale) + 1j * _np.asarray(pi * scale)
@@ -406,27 +425,13 @@ def coherence(
     overlap-averaging over several segments (single-segment coherence is
     identically 1).
     """
-    x = jnp.asarray(x, dtype)
-    y = jnp.asarray(y, dtype)
-    if x.shape != y.shape:
-        raise ValueError(f"x and y shapes differ: {x.shape} vs {y.shape}")
-    hop = max(window // 2, 1) if hop is None else hop
-    if taper not in fft_ops.TAPERS:
-        raise ValueError(f"unknown taper {taper!r}; expected one of {fft_ops.TAPERS}")
-    if detrend not in DETRENDS:
-        raise ValueError(f"unknown detrend {detrend!r}; expected one of {DETRENDS}")
-    n_fft = fft_ops.next_pow2(window)
-    xr, xi = _segment_spectra(x, window=window, hop=hop, taper=taper, detrend=detrend)
-    yr, yi = _segment_spectra(y, window=window, hop=hop, taper=taper, detrend=detrend)
-    pxx = jnp.mean(xr * xr + xi * xi, axis=-2)
-    pyy = jnp.mean(yr * yr + yi * yi, axis=-2)
-    pr = jnp.mean(xr * yr + xi * yi, axis=-2)
-    pi = jnp.mean(xi * yr - xr * yi, axis=-2)
+    pxx, pyy, pr, pi, n_fft = _cross_moments(
+        x, y, fs, window, hop, taper, detrend, dtype
+    )
     denom = pxx * pyy
     cxy = jnp.where(denom > 0, (pr * pr + pi * pi) / denom, 0.0)
     cxy = cxy.at[..., 0].set(0.0)
     return _bin_freqs(fs, n_fft, dtype), cxy
-
 
 
 def analyze_epochs_pipelined(

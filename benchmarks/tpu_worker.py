@@ -102,10 +102,13 @@ def main() -> None:
         except OSError:
             pass  # job file removed under us; output is already written
         print(f"[worker] {name} -> {status}", flush=True)
-        if status == "error" and (
-            "UNAVAILABLE" in buf.getvalue()
-            or "TPU backend error" in buf.getvalue()
-        ):
+        fatal = next(
+            (m for m in ("jax.errors.JaxRuntimeError: UNAVAILABLE",
+                         "JaxRuntimeError: UNIMPLEMENTED: TPU backend error")
+             if m in buf.getvalue()),
+            None,
+        ) if status == "error" else None
+        if fatal:
             # The remote TPU crashed/restarted (UNAVAILABLE) or hit a
             # backend fault that poisons the client (e.g. UNIMPLEMENTED
             # complex ops - subsequent device_puts fail too); this
@@ -117,14 +120,17 @@ def main() -> None:
             # only once (a job that itself triggers the crash must not
             # requeue-loop forever).
             marker = path[:-3] + ".retried"
+            requeued = False
             if not os.path.exists(marker):
                 open(marker, "w").close()
                 try:
                     os.rename(path[:-3] + ".done", path)
+                    requeued = True
                 except OSError:
                     pass
-            print("[worker] device UNAVAILABLE -> requeued job; re-exec for "
-                  "a fresh client in 120s", flush=True)
+            print(f"[worker] client-fatal fault ({fatal.split(': ', 1)[-1]}); "
+                  f"job {'requeued' if requeued else 'NOT requeued (already retried)'}; "
+                  f"re-exec for a fresh client in 120s", flush=True)
             time.sleep(120)
             os.execv(sys.executable, [sys.executable, os.path.abspath(__file__), spool])
 
