@@ -45,6 +45,19 @@ def main() -> None:
     print(f"spectrogram: {mags.shape[0]} frames x {mags.shape[1]} bins, "
           f"df={float(freqs[1]):.3f} Hz")
 
+    # --- Coherence: do two sensors see the same mode? --------------------
+    t2 = np.arange(1 << 16) / fs
+    shared = np.sin(2 * np.pi * 40.0 * t2)
+    s1 = (shared + 0.5 * rng.standard_normal(t2.size)).astype(np.float32)
+    s2 = (0.7 * np.sin(2 * np.pi * 40.0 * t2 - np.pi / 4)
+          + 0.5 * rng.standard_normal(t2.size)).astype(np.float32)
+    cf, cxy = apda.coherence(s1, s2, fs, window=1024)
+    _, pxy = apda.cross_psd(s1, s2, fs, window=1024)
+    b = round(40.0 * 1024 / fs)
+    print(f"coherence at the shared 40 Hz mode: {float(cxy[b]):.3f} "
+          f"(noise floor {float(np.asarray(cxy)[b+30:b+200].mean()):.3f}); "
+          f"cross-phase {float(np.angle(pxy[b])):+.3f} rad")
+
 
 if __name__ == "__main__":
     main()
