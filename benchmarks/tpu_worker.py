@@ -104,7 +104,8 @@ def main() -> None:
         print(f"[worker] {name} -> {status}", flush=True)
         fatal = next(
             (m for m in ("jax.errors.JaxRuntimeError: UNAVAILABLE",
-                         "JaxRuntimeError: UNIMPLEMENTED: TPU backend error")
+                         "JaxRuntimeError: UNIMPLEMENTED: TPU backend error",
+                         "JaxRuntimeError: FAILED_PRECONDITION: TPU backend error")
              if m in buf.getvalue()),
             None,
         ) if status == "error" else None
