@@ -74,6 +74,23 @@ def test_cross_psd_degenerates_to_welch_psd():
     np.testing.assert_allclose(np.asarray(pxx).imag, 0.0, atol=1e-7)
 
 
+def test_coherence_is_jittable_cross_psd_is_not():
+    import jax
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(8192).astype(np.float32)
+    y = rng.standard_normal(8192).astype(np.float32)
+    jitted = jax.jit(lambda a, b: coherence(a, b, 500.0, window=512)[1])
+    np.testing.assert_allclose(
+        np.asarray(jitted(x, y)),
+        np.asarray(coherence(x, y, 500.0, window=512)[1]),
+        rtol=1e-5, atol=1e-7,  # outer-jit refusion moves f32 ulps
+    )
+    # cross_psd documents its host-numpy return: not jittable by design.
+    with pytest.raises(jax.errors.TracerArrayConversionError):
+        jax.jit(lambda a, b: cross_psd(a, b, 500.0, window=512)[1])(x, y)
+
+
 def test_validation():
     x, y, fs = _pair(T=4096)
     with pytest.raises(ValueError, match="shapes differ"):
