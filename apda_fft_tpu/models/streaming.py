@@ -339,13 +339,15 @@ def _segment_spectra(records, *, window, hop, taper, detrend):
     return re.reshape(lead + (h,)), im.reshape(lead + (h,))
 
 
-def _cross_moments(x, y, fs, window, hop, taper, detrend, dtype):
+def _cross_moments(x, y, fs, window, hop, taper, detrend, dtype, want_autos=True):
     """Shared core of :func:`cross_psd` / :func:`coherence`.
 
     Validates, stacks the pair into ONE jitted :func:`_segment_spectra`
     dispatch (halving program launches), and returns the Welch-averaged
     second moments ``(pxx, pyy, pr, pi, n_fft)`` with the cross terms in
-    scipy's ``conj(X) * Y`` sign convention.
+    scipy's ``conj(X) * Y`` sign convention.  ``want_autos=False`` skips
+    the auto-spectra (cross_psd discards them; this math runs outside jit
+    so skipping is a real saving), returning None in their slots.
     """
     x = jnp.asarray(x, dtype)
     y = jnp.asarray(y, dtype)
@@ -361,8 +363,8 @@ def _cross_moments(x, y, fs, window, hop, taper, detrend, dtype):
         jnp.stack([x, y]), window=window, hop=hop, taper=taper, detrend=detrend
     )
     (xr, yr), (xi, yi) = re, im
-    pxx = jnp.mean(xr * xr + xi * xi, axis=-2)
-    pyy = jnp.mean(yr * yr + yi * yi, axis=-2)
+    pxx = jnp.mean(xr * xr + xi * xi, axis=-2) if want_autos else None
+    pyy = jnp.mean(yr * yr + yi * yi, axis=-2) if want_autos else None
     pr = jnp.mean(xr * yr + xi * yi, axis=-2)
     pi = jnp.mean(xr * yi - xi * yr, axis=-2)
     return pxx, pyy, pr, pi, n_fft
@@ -391,10 +393,9 @@ def cross_psd(
     device math is kept all-real because this TPU backend lacks complex
     arithmetic ops, and the complex view is assembled on the host).
     """
-    pxx, pyy, pr, pi, n_fft = _cross_moments(
-        x, y, fs, window, hop, taper, detrend, dtype
+    _, _, pr, pi, n_fft = _cross_moments(
+        x, y, fs, window, hop, taper, detrend, dtype, want_autos=False
     )
-    del pxx, pyy
     wsum2 = float(window) if taper == "none" else _taper_power_sum(taper, window)
     fs_arr = jnp.asarray(fs, dtype)
     scale = 2.0 / (fs_arr[..., None] * wsum2)

@@ -16,6 +16,7 @@ from __future__ import annotations
 import contextlib
 import io
 import os
+import re
 import sys
 import time
 import traceback
@@ -95,20 +96,30 @@ def main() -> None:
             buf.write(traceback.format_exc())
             status = "error"
         buf.write(f"\n[worker] {name}: {status} in {time.perf_counter() - t0:.1f}s\n")
+        out = buf.getvalue()
         with open(out_path, "w") as fh:
-            fh.write(buf.getvalue())
+            fh.write(out)
         try:
             os.rename(path, path[:-3] + ".done")
         except OSError:
             pass  # job file removed under us; output is already written
         print(f"[worker] {name} -> {status}", flush=True)
-        fatal = next(
-            (m for m in ("jax.errors.JaxRuntimeError: UNAVAILABLE",
-                         "JaxRuntimeError: UNIMPLEMENTED: TPU backend error",
-                         "JaxRuntimeError: FAILED_PRECONDITION: TPU backend error")
-             if m in buf.getvalue()),
-            None,
-        ) if status == "error" else None
+        if status == "ok":
+            # A clean run clears any stale retry credit so a future
+            # same-named job keeps its one infra-fault requeue.
+            try:
+                os.unlink(path[:-3] + ".retried")
+            except OSError:
+                pass
+        # Any runtime fault class that poisons this client: UNAVAILABLE
+        # (remote crash) or any "<STATUS>: TPU backend error" (observed:
+        # UNIMPLEMENTED, FAILED_PRECONDITION; INTERNAL etc. behave alike).
+        fatal = None
+        if status == "error":
+            m = re.search(
+                r"JaxRuntimeError: (UNAVAILABLE|[A-Z_]+: TPU backend error)", out
+            )
+            fatal = m.group(1) if m else None
         if fatal:
             # The remote TPU crashed/restarted (UNAVAILABLE) or hit a
             # backend fault that poisons the client (e.g. UNIMPLEMENTED
@@ -123,13 +134,13 @@ def main() -> None:
             marker = path[:-3] + ".retried"
             requeued = False
             if not os.path.exists(marker):
-                open(marker, "w").close()
                 try:
                     os.rename(path[:-3] + ".done", path)
                     requeued = True
+                    open(marker, "w").close()  # only burn the credit on success
                 except OSError:
                     pass
-            print(f"[worker] client-fatal fault ({fatal.split(': ', 1)[-1]}); "
+            print(f"[worker] client-fatal fault ({fatal}); "
                   f"job {'requeued' if requeued else 'NOT requeued (already retried)'}; "
                   f"re-exec for a fresh client in 120s", flush=True)
             time.sleep(120)

@@ -53,7 +53,7 @@ def main() -> None:
           + 0.5 * rng.standard_normal(t2.size)).astype(np.float32)
     cf, cxy = apda.coherence(s1, s2, fs, window=1024)
     _, pxy = apda.cross_psd(s1, s2, fs, window=1024)
-    b = round(40.0 * 1024 / fs)
+    b = int(np.argmin(np.abs(np.asarray(cf) - 40.0)))  # bin nearest 40 Hz
     print(f"coherence at the shared 40 Hz mode: {float(cxy[b]):.3f} "
           f"(noise floor {float(np.asarray(cxy)[b+30:b+200].mean()):.3f}); "
           f"cross-phase {float(np.angle(pxy[b])):+.3f} rad")
