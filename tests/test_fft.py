@@ -43,12 +43,24 @@ def test_center_and_pad_ragged_lengths():
 @pytest.mark.parametrize("n", [256, 1024, 4096, 8192, 65536])
 @pytest.mark.parametrize("backend", ["xla", "matmul"])
 def test_fullspec_accuracy_f32(n, backend):
+    """BASELINE.md contract: spectra <=1e-6 relative error vs numpy.fft.
+
+    Gated at the contract bound itself (normwise L2, the standard relative-
+    error reading).  Measured on TPU v5e the four-step stays ~1e-7 at every
+    N up to 65536 (f64-computed tables keep the error flat in log N); the
+    committed per-N table is ACCURACY_r03.json / benchmarks/accuracy_tpu.py.
+    """
     x = modal_signal(n, 500.0, seed=n % 7)
     spec = fft_ops.full_spectrum(jnp.asarray(x[None, :], jnp.float32), backend=backend)
     ref = np.fft.fft(x.astype(np.float64))
     ref[0] = 0
-    err = np.max(np.abs(np.asarray(spec[0]) - ref)) / np.max(np.abs(ref))
-    assert err < 5e-6, f"normwise relative error {err} at N={n} backend={backend}"
+    err = np.linalg.norm(np.asarray(spec[0]) - ref) / np.linalg.norm(ref)
+    assert err < 1e-6, f"normwise relative error {err} at N={n} backend={backend}"
+    # Secondary: normalized max-abs (peak-scale worst bin).  Wider than the
+    # contract bound because single-bin error is accumulation-order dependent
+    # (CPU einsum hits 4.3e-6 at N=65536 where TPU HIGHEST stays ~5e-7).
+    err_max = np.max(np.abs(np.asarray(spec[0]) - ref)) / np.max(np.abs(ref))
+    assert err_max < 5e-6, f"peak-normalized max error {err_max} at N={n}"
 
 
 @pytest.mark.parametrize("n", [1024, 4096])
