@@ -81,6 +81,164 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_welch(args) -> int:
+    """Welch-averaged peak detection over acquisition files.
+
+    The noise-robust companion of ``analyze``: each record is segmented
+    (``--window``/``--hop``), segment power spectra are averaged, and the
+    detector runs once per file on the averaged spectrum - weak modes that
+    drown in a single-shot spectrum's noise floor become clean peaks.
+    """
+    from apda_fft_tpu.models.batching import analyze_records_welch
+
+    loaded = _load(args.files)
+    if not loaded:
+        print("no analyzable files", file=sys.stderr)
+        return 1
+
+    records = [(np.asarray(rec.samples, np.float32), rec.fs) for _, rec in loaded]
+    per_record = analyze_records_welch(
+        records, window=args.window, hop=args.hop, taper=args.taper,
+        mode=args.mode, refine=args.refine,
+    )
+    for (path, rec), rp in zip(loaded, per_record):
+        peaks = []
+        for slot in range(rp.count):
+            p = rp.peak(slot)
+            p["freq"] = rp.exact_freq(slot, args.mode)
+            if not args.refine:
+                p.pop("refined_freq")
+            peaks.append(p)
+        if args.json:
+            print(json.dumps({"file": path, "fs": rec.fs, "axis": rec.axis,
+                              "n_fft": rp.n_fft, "window": args.window,
+                              "peaks": peaks}))
+        else:
+            print(f"{path} (fs={rec.fs} Hz, axis={rec.axis}, "
+                  f"welch window={args.window}, N={rp.n_fft}):")
+            if not peaks:
+                print("  no peaks above threshold")
+            for p in peaks:
+                line = f"  f={p['freq']:.4f} Hz  mag={p['mag']:.4f}"
+                if args.mode != "rigid":
+                    line += f"  damping={p['damping']:.2f}%  q={p['q_factor']:.2f}"
+                if "refined_freq" in p:
+                    line += f"  refined={p['refined_freq']:.4f} Hz"
+                print(line)
+    return 0
+
+
+def cmd_spectrogram(args) -> int:
+    """Time-frequency view of one or more acquisition files."""
+    from apda_fft_tpu.models.streaming import spectrogram
+
+    loaded = _load(args.files)
+    if not loaded:
+        print("no analyzable files", file=sys.stderr)
+        return 1
+
+    out = {}
+    for path, rec in loaded:
+        samples = np.asarray(rec.samples, np.float32)
+        if len(samples) < args.window:
+            print(f"# skipping {path}: {len(samples)} samples < window "
+                  f"{args.window}", file=sys.stderr)
+            continue
+        freqs, mags = spectrogram(
+            samples, rec.fs, args.window, args.hop, taper=args.taper,
+        )
+        freqs, mags = np.asarray(freqs), np.asarray(mags)
+        out[path] = {"freqs": freqs, "mags": mags}
+        dom = np.argmax(mags, axis=-1)  # [W] dominant bin per frame
+        if args.json:
+            print(json.dumps({
+                "file": path, "fs": rec.fs, "axis": rec.axis,
+                "frames": int(mags.shape[0]), "bins": int(mags.shape[1]),
+                "dominant_freq": [float(freqs[i]) for i in dom],
+                "dominant_mag": [float(m) for m in mags[np.arange(len(dom)), dom]],
+            }))
+        else:
+            print(f"{path} (fs={rec.fs} Hz, axis={rec.axis}): "
+                  f"{mags.shape[0]} frames x {mags.shape[1]} bins")
+            for w, i in enumerate(dom):
+                print(f"  frame {w:3d}: dominant {freqs[i]:9.4f} Hz  "
+                      f"mag={mags[w, i]:.4f}")
+    if args.out and out:
+        arrays = {}
+        for path, d in out.items():
+            stem = _os_basename_noext(path)
+            arrays[f"{stem}__freqs"] = d["freqs"]
+            arrays[f"{stem}__mags"] = d["mags"]
+        np.savez(args.out, **arrays)
+        print(f"# wrote {args.out}", file=sys.stderr)
+    return 0 if out else 1
+
+
+def _os_basename_noext(path: str) -> str:
+    import os as _os
+
+    return _os.path.splitext(_os.path.basename(path))[0]
+
+
+def cmd_coherence(args) -> int:
+    """Two-sensor magnitude-squared coherence report.
+
+    "Is this the same structural mode?" across two simultaneously recorded
+    channels: bands with coherence near 1 are linearly related (one mode
+    seen by both sensors); independent noise sits near 0.  Also reports the
+    cross-spectral phase at each coherent peak (mode-shape sign/lag).
+    """
+    from apda_fft_tpu.models.streaming import coherence, cross_psd
+
+    loaded = _load([args.file_x, args.file_y])
+    if len(loaded) != 2:
+        print("coherence needs two analyzable files", file=sys.stderr)
+        return 1
+    (path_x, rec_x), (path_y, rec_y) = loaded
+    if rec_x.fs != rec_y.fs:
+        print(f"sampling rates differ: {rec_x.fs} vs {rec_y.fs}", file=sys.stderr)
+        return 1
+    x = np.asarray(rec_x.samples, np.float32)
+    y = np.asarray(rec_y.samples, np.float32)
+    t = min(len(x), len(y))
+    if t < 2 * args.window:
+        print(f"need >= 2 overlapping segments ({t} common samples < "
+              f"2*window={2 * args.window})", file=sys.stderr)
+        return 1
+    x, y = x[:t], y[:t]
+    freqs, cxy = coherence(x, y, rec_x.fs, args.window, args.hop)
+    _, pxy = cross_psd(x, y, rec_x.fs, args.window, args.hop)
+    freqs, cxy = np.asarray(freqs), np.asarray(cxy)
+    phase = np.degrees(np.angle(pxy))
+
+    # Coherent peaks: local maxima of coherence above the threshold.
+    above = cxy >= args.threshold
+    rows = []
+    for i in range(1, len(cxy) - 1):
+        if above[i] and cxy[i] >= cxy[i - 1] and cxy[i] > cxy[i + 1]:
+            rows.append(i)
+    rows.sort(key=lambda i: -cxy[i])
+    rows = rows[: args.top]
+    rows.sort()
+    if args.json:
+        print(json.dumps({
+            "file_x": path_x, "file_y": path_y, "fs": rec_x.fs,
+            "window": args.window, "threshold": args.threshold,
+            "coherent_peaks": [
+                {"freq": float(freqs[i]), "coherence": float(cxy[i]),
+                 "phase_deg": float(phase[i])} for i in rows
+            ],
+        }))
+    else:
+        print(f"{path_x} vs {path_y} (fs={rec_x.fs} Hz, window={args.window}):")
+        if not rows:
+            print(f"  no coherent bands above {args.threshold}")
+        for i in rows:
+            print(f"  f={freqs[i]:9.4f} Hz  coherence={cxy[i]:.3f}  "
+                  f"phase={phase[i]:+7.1f} deg")
+    return 0
+
+
 def cmd_oracle_check(args) -> int:
     from apda_fft_tpu import analyze_epoch
     from apda_fft_tpu.ops.fft import next_pow2
@@ -175,6 +333,44 @@ def main(argv=None) -> int:
                    choices=["none", "hann", "hamming", "blackman"])
     a.add_argument("--json", action="store_true")
     a.set_defaults(fn=cmd_analyze)
+
+    w = sub.add_parser("welch", help="Welch-averaged peak detection (noise-robust)")
+    w.add_argument("files", nargs="+")
+    w.add_argument("--window", type=int, default=1024,
+                   help="segment length in samples (padded to next pow2)")
+    w.add_argument("--hop", type=int, default=None,
+                   help="segment hop (default: 50%% overlap)")
+    w.add_argument("--taper", default="hann",
+                   choices=["none", "hann", "hamming", "blackman"])
+    w.add_argument("--mode", default="flexible", choices=["flexible", "rigid", "adaptive"])
+    w.add_argument("--refine", action="store_true")
+    w.add_argument("--json", action="store_true")
+    w.set_defaults(fn=cmd_welch)
+
+    sg = sub.add_parser("spectrogram", help="time-frequency magnitude spectrogram")
+    sg.add_argument("files", nargs="+")
+    sg.add_argument("--window", type=int, default=1024)
+    sg.add_argument("--hop", type=int, default=None,
+                    help="frame hop (default: non-overlapping)")
+    sg.add_argument("--taper", default="hann",
+                    choices=["none", "hann", "hamming", "blackman"])
+    sg.add_argument("--out", default="",
+                    help="also save freqs/mags arrays to this .npz file")
+    sg.add_argument("--json", action="store_true")
+    sg.set_defaults(fn=cmd_spectrogram)
+
+    co = sub.add_parser("coherence", help="two-sensor coherence report")
+    co.add_argument("file_x")
+    co.add_argument("file_y")
+    co.add_argument("--window", type=int, default=1024)
+    co.add_argument("--hop", type=int, default=None,
+                    help="segment hop (default: 50%% overlap)")
+    co.add_argument("--threshold", type=float, default=0.8,
+                    help="minimum coherence for a reported band")
+    co.add_argument("--top", type=int, default=8,
+                    help="max coherent peaks reported")
+    co.add_argument("--json", action="store_true")
+    co.set_defaults(fn=cmd_coherence)
 
     o = sub.add_parser("oracle-check", help="validate device decisions vs float64 oracle")
     o.add_argument("files", nargs="+")

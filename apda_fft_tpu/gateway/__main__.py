@@ -20,7 +20,7 @@ import tempfile
 import numpy as np
 
 
-def _simulate(n_sensors: int, workdir: str | None) -> None:
+def _simulate(n_sensors: int, workdir: str | None, analysis: str = "epoch") -> None:
     from apda_fft_tpu.gateway.config import GatewayConfig
     from apda_fft_tpu.gateway.egress import FtpSink, HttpSink
     from apda_fft_tpu.gateway.service import GatewayService
@@ -41,6 +41,8 @@ def _simulate(n_sensors: int, workdir: str | None) -> None:
                     "config_file": os.path.join(workdir, "config.txt"),
                     "data_dir": data_dir,
                     "is_flexibile_structure": True,
+                    "analysis": analysis,
+                    "welch_window": 1024,
                 },
             },
             fh,
@@ -95,10 +97,12 @@ def main() -> None:
     ap.add_argument("--simulate", action="store_true")
     ap.add_argument("--sensors", type=int, default=4)
     ap.add_argument("--workdir", default=None)
+    ap.add_argument("--analysis", default="epoch", choices=["epoch", "welch"],
+                    help="simulation acquisition analysis strategy")
     args = ap.parse_args()
 
     if args.simulate:
-        _simulate(args.sensors, args.workdir)
+        _simulate(args.sensors, args.workdir, args.analysis)
         return
 
     from apda_fft_tpu.gateway.config import GatewayConfig

@@ -56,6 +56,20 @@ class GatewayConfig:
     #: also run spectral analysis on 0xC1 shock transients (the reference
     #: only uploads them raw; free-decay ring-down is prime damping data)
     analyze_shock: bool = False
+    #: acquisition analysis strategy: "epoch" (reference parity: one
+    #: spectrum per file, ``GT_FFT_v5.py:620-679``) or "welch" (segment the
+    #: record, average segment power spectra, detect once on the averaged
+    #: spectrum - the noise-robust choice for long noisy acquisitions).
+    #: Shock transients always use the epoch path: Welch-averaging a
+    #: decaying transient smears the ring-down.
+    analysis: str = "epoch"
+    #: Welch segment length in samples (padded to the next power of two)
+    welch_window: int = 1024
+    #: Welch hop in samples; 0 = 50% overlap (the standard Welch choice)
+    welch_hop: int = 0
+    #: Welch segment taper (independent of ``taper``, which stays
+    #: reference-parity rectangular by default for the epoch path)
+    welch_taper: str = "hann"
 
     @classmethod
     def load(cls, config_path: str | os.PathLike) -> "GatewayConfig":
@@ -75,6 +89,28 @@ class GatewayConfig:
                 raise GatewayConfigError(
                     f"unknown taper {taper!r} in {config_path}; expected one of {TAPERS}"
                 )
+            analysis = gw.get("analysis", "epoch")
+            if analysis not in ("epoch", "welch"):
+                raise GatewayConfigError(
+                    f"unknown analysis {analysis!r} in {config_path}; "
+                    "expected 'epoch' or 'welch'"
+                )
+            welch_window = int(gw.get("welch_window", 1024))
+            welch_hop = int(gw.get("welch_hop", 0))
+            welch_taper = gw.get("welch_taper", "hann")
+            if welch_window < 2:
+                raise GatewayConfigError(
+                    f"welch_window must be >= 2, got {welch_window} in {config_path}"
+                )
+            if welch_hop < 0:
+                raise GatewayConfigError(
+                    f"welch_hop must be >= 0 (0 = 50% overlap), got {welch_hop}"
+                )
+            if welch_taper not in TAPERS:
+                raise GatewayConfigError(
+                    f"unknown welch_taper {welch_taper!r} in {config_path}; "
+                    f"expected one of {TAPERS}"
+                )
             return cls(
                 ftp=FtpSettings(**cfg.get("ftp", {})),
                 fastapi_url=cfg.get("fastapi", {}).get("url", ""),
@@ -91,6 +127,10 @@ class GatewayConfig:
                 taper=taper,
                 drift_alert_rel=float(gw.get("drift_alert_rel", 0.02)),
                 analyze_shock=bool(gw.get("analyze_shock", False)),
+                analysis=analysis,
+                welch_window=welch_window,
+                welch_hop=welch_hop,
+                welch_taper=welch_taper,
             )
         except GatewayConfigError:
             raise

@@ -43,7 +43,7 @@ from apda_fft_tpu.io.logfile import (
     load_sensor_log,
     write_acquisition_header,
 )
-from apda_fft_tpu.models.batching import analyze_records
+from apda_fft_tpu.models.batching import analyze_records, analyze_records_welch
 from apda_fft_tpu.models.pipeline import PipelineConfig, SpectralPipeline
 from apda_fft_tpu.models.tracking import PeakTracker
 
@@ -522,7 +522,44 @@ class GatewayService:
             for i in idxs:
                 bucket_metrics[i] = snap
 
-        per_record = analyze_records(records, analyze=self.pipeline, on_bucket=grab)
+        if self.config.analysis == "welch":
+            # Welch-averaged analysis for long noisy acquisitions; shock
+            # transients stay on the epoch path (averaging segments of a
+            # decaying transient smears the ring-down), analyzed in a
+            # second pass below.
+            shock = [i for i, (_, p, _) in enumerate(loaded)
+                     if p.endswith("_shock.log")]
+            regular = [i for i in range(len(loaded)) if i not in set(shock)]
+            per_record: list = [None] * len(loaded)
+
+            def grab_sub(idxs_map):
+                def _grab(_n_fft, sub_idxs):
+                    grab(_n_fft, [idxs_map[j] for j in sub_idxs])
+                return _grab
+
+            if regular:
+                for j, rp in enumerate(
+                    analyze_records_welch(
+                        [records[i] for i in regular],
+                        window=self.config.welch_window,
+                        hop=self.config.welch_hop or None,
+                        taper=self.config.welch_taper,
+                        analyze=self.pipeline.welch,
+                        on_bucket=grab_sub(regular),
+                    )
+                ):
+                    per_record[regular[j]] = rp
+            if shock:
+                for j, rp in enumerate(
+                    analyze_records(
+                        [records[i] for i in shock],
+                        analyze=self.pipeline,
+                        on_bucket=grab_sub(shock),
+                    )
+                ):
+                    per_record[shock[j]] = rp
+        else:
+            per_record = analyze_records(records, analyze=self.pipeline, on_bucket=grab)
         for i, ((addr, path, rec), rp) in enumerate(zip(loaded, per_record)):
             self._store_result(addr, rec.axis, rp, bucket_metrics.get(i, {}))
             if path.endswith("_shock.log") and rp.count:

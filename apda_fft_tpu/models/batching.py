@@ -14,6 +14,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Sequence
 
+import jax
 import numpy as np
 
 from apda_fft_tpu.models.pipeline import analyze_epoch
@@ -106,13 +107,81 @@ def analyze_records(
         b = len(idxs)
         batch = np.zeros((b, n_fft), host_dtype)
         lengths = np.zeros((b,), np.int32)
-        fs = np.zeros((b,), host_dtype)
+        # fs stays float64 on the host: the device casts it to the compute
+        # dtype anyway, and the rigid detector's non-dyadic wipe-rounding
+        # table needs the original float64 rate (pipeline._rigid_corr_batch).
+        fs = np.zeros((b,), np.float64)
         for row, i in enumerate(idxs):
             samples, rec_fs = records[i]
             batch[row, : len(samples)] = samples
             lengths[row] = len(samples)
             fs[row] = rec_fs
         result = analyze(batch, fs, n_fft=n_fft, lengths=lengths, **kwargs)
+        # ONE device->host transfer per bucket: RecordPeaks readers index
+        # scalars (count, per-slot idx/freq/mag, drift refined_freq, ...),
+        # and on a remote-tunnel attachment each scalar read off a device
+        # array is a full ~25 ms round trip - measured 26.5 s for a
+        # 96-record epoch before this, ~0.1 s after (docs/DESIGN.md r3).
+        result = jax.device_get(result)
+        if on_bucket is not None:
+            on_bucket(n_fft, list(idxs))
+        for row, i in enumerate(idxs):
+            out[i] = RecordPeaks(n_fft=n_fft, fs=records[i][1], result=result, row=row)
+    return out  # type: ignore[return-value]
+
+
+def analyze_records_welch(
+    records: Sequence[tuple[np.ndarray, float]],
+    *,
+    window: int,
+    hop: int | None = None,
+    taper: str = "hann",
+    analyze=None,
+    on_bucket=None,
+    **kwargs,
+) -> list[RecordPeaks]:
+    """Welch-analyze ragged records, one XLA program per record-length bucket.
+
+    The Welch companion of :func:`analyze_records` for long, noisy
+    acquisitions: each record is segmented (``window``/``hop``, 50% overlap
+    by default), the segment power spectra are averaged, and the detector
+    runs once on the averaged spectrum (see
+    :func:`~apda_fft_tpu.models.streaming.analyze_welch`).
+
+    Records are bucketed by their EXACT length, not ``next_pow2``: zero-
+    padding a record before segmenting would pollute the trailing Welch
+    segments with synthetic silence.  Sensors sharing an acquisition config
+    produce identical record lengths, so buckets stay coarse in practice.
+    Records shorter than ``window`` are analyzed as a single clamped segment
+    (effective window = record length); ``on_bucket(n_fft, record_indices)``
+    reports the effective padded segment length per bucket.
+    """
+    if analyze is None:
+        from apda_fft_tpu.models.streaming import analyze_welch
+
+        analyze = analyze_welch
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    if hop is not None and hop < 1:
+        raise ValueError(f"hop must be >= 1, got {hop}")
+
+    buckets: dict[int, list[int]] = {}
+    for i, (samples, _) in enumerate(records):
+        if len(samples) < 2:
+            raise ValueError(f"record {i} has fewer than 2 samples")
+        buckets.setdefault(len(samples), []).append(i)
+
+    out: list[RecordPeaks | None] = [None] * len(records)
+    for t, idxs in sorted(buckets.items()):
+        eff_window = min(window, t)
+        eff_hop = min(hop, eff_window) if hop is not None else max(eff_window // 2, 1)
+        n_fft = next_pow2(eff_window)
+        batch = np.stack([np.asarray(records[i][0], np.float32) for i in idxs])
+        fs = np.asarray([records[i][1] for i in idxs], np.float64)
+        result = analyze(
+            batch, fs, window=eff_window, hop=eff_hop, taper=taper, **kwargs
+        )
+        result = jax.device_get(result)  # one transfer per bucket (see above)
         if on_bucket is not None:
             on_bucket(n_fft, list(idxs))
         for row, i in enumerate(idxs):

@@ -128,6 +128,7 @@ def _analyze_epoch_impl(
     samples: jnp.ndarray,
     fs: jnp.ndarray,
     lengths: jnp.ndarray | None,
+    half_corr: jnp.ndarray | None = None,
     *,
     n_fft: int,
     mode: str,
@@ -145,6 +146,9 @@ def _analyze_epoch_impl(
     flat = samples.reshape((-1, samples.shape[-1]))
     fs_flat = jnp.broadcast_to(fs, lead).reshape((-1,)).astype(flat.dtype)
     len_flat = lengths.reshape((-1,)) if has_lengths else None
+    corr_flat = (
+        half_corr.reshape((-1, half_corr.shape[-1])) if half_corr is not None else None
+    )
 
     # Very large epochs degrade super-linearly (the detector's [B, M, H]
     # fusion working set outgrows on-chip memory: measured at B=8192/M=8 on
@@ -159,12 +163,14 @@ def _analyze_epoch_impl(
             fs_flat = jnp.pad(fs_flat, ((0, pad),), constant_values=1.0)
             if len_flat is not None:
                 len_flat = jnp.pad(len_flat, ((0, pad),), constant_values=n_fft)
+            if corr_flat is not None:
+                corr_flat = jnp.pad(corr_flat, ((0, pad), (0, 0)))
         nc = flat.shape[0] // batch_chunk
 
         def chunk_fn(args):
-            cs, cf, cl = args
+            cs, cf, cl, cc = args
             return _analyze_epoch_impl(
-                cs, cf, cl, n_fft=n_fft, mode=mode, k=k, backend=backend,
+                cs, cf, cl, cc, n_fft=n_fft, mode=mode, k=k, backend=backend,
                 max_candidates=max_candidates, refine=refine,
                 has_lengths=has_lengths, center=center, selection=selection,
                 batch_chunk=0, taper=taper,
@@ -174,6 +180,8 @@ def _analyze_epoch_impl(
             flat.reshape(nc, batch_chunk, flat.shape[-1]),
             fs_flat.reshape(nc, batch_chunk),
             len_flat.reshape(nc, batch_chunk) if len_flat is not None else None,
+            corr_flat.reshape(nc, batch_chunk, corr_flat.shape[-1])
+            if corr_flat is not None else None,
         )
         res = jax.lax.map(chunk_fn, chunked)
         return EpochResult(
@@ -216,8 +224,44 @@ def _analyze_epoch_impl(
         *(x.reshape(lead + x.shape[1:]) for x in _detect_from_mags(
             mags, fs_flat, n_fft=n_fft, mode=mode, k=k,
             max_candidates=max_candidates, refine=refine, selection=selection,
+            half_corr=corr_flat,
         ))
     )
+
+
+def _rigid_corr_batch(fs_orig, lead, n_fft: int):
+    """Per-window non-dyadic wipe-rounding tables, ``[*lead, ceil(H/50)]`` int8.
+
+    Host-side companion of the rigid detector for arbitrary sampling rates:
+    broadcasts the ORIGINAL (pre-float32-cast) rates over the batch shape and
+    computes :func:`~apda_fft_tpu.ops.peaks_resolution.rigid_half_corrections`
+    once per distinct rate.  Returns None when every table is empty - the
+    dyadic case, which therefore compiles the exact same program as before
+    this feature existed.
+    """
+    import numpy as np
+
+    from apda_fft_tpu.ops.peaks_resolution import rigid_half_corrections
+
+    h = n_fft // 2
+    hq = len(range(25, h, 50))
+    if hq == 0:
+        return None
+    fs_host = np.broadcast_to(
+        np.asarray(jax.device_get(fs_orig), np.float64), lead
+    ).reshape(-1)
+    tables: dict[float, object] = {}
+    out = None
+    for i, v in enumerate(fs_host):
+        key = float(v)
+        if key not in tables:
+            tables[key] = rigid_half_corrections(key, n_fft)
+        c = tables[key]
+        if c is not None:
+            if out is None:
+                out = np.zeros((fs_host.size, hq), np.int8)
+            out[i] = c
+    return out.reshape(tuple(lead) + (hq,)) if out is not None else None
 
 
 def _detect_from_mags(
@@ -230,10 +274,22 @@ def _detect_from_mags(
     max_candidates: int,
     refine: bool,
     selection: str = "auto",
+    half_corr: jnp.ndarray | None = None,
 ) -> EpochResult:
     """Run the detector + finalize stage on precomputed half-spectrum
     magnitudes ``[B, H]`` (flat batch).  Shared by the epoch pipeline and
-    the Welch-averaged path (``models.streaming.analyze_welch``)."""
+    the Welch-averaged path (``models.streaming.analyze_welch``).
+    ``half_corr`` is the optional per-window ``[B, ceil(H/50)]`` non-dyadic
+    wipe-rounding table (:func:`~apda_fft_tpu.ops.peaks_resolution.rigid_half_corrections`),
+    used by the rigid/adaptive detector only."""
+
+    def _rigid(m_b, f_b):
+        if half_corr is None:
+            return jax.vmap(lambda m, f: resolution_peaks(m, f, n_fft, k=k))(m_b, f_b)
+        return jax.vmap(
+            lambda m, f, c: resolution_peaks(m, f, n_fft, k=k, half_corr=c)
+        )(m_b, f_b, half_corr)
+
     if mode == "flexible":
         det = jax.vmap(
             lambda m, f: prominence_peaks(
@@ -243,7 +299,7 @@ def _detect_from_mags(
         prom, damp, qf = det.prominence, det.damping, det.q_factor
         n_cand = det.n_candidates
     elif mode == "rigid":
-        det = jax.vmap(lambda m, f: resolution_peaks(m, f, n_fft, k=k))(mags, fs_flat)
+        det = _rigid(mags, fs_flat)
         zeros = jnp.zeros_like(det.freq)
         prom, damp, qf = zeros, zeros, zeros
         n_cand = det.n_candidates
@@ -257,7 +313,7 @@ def _detect_from_mags(
                 m, f, n_fft, k=k, max_candidates=max_candidates, selection=selection
             )
         )(mags, fs_flat)
-        rig = jax.vmap(lambda m, f: resolution_peaks(m, f, n_fft, k=k))(mags, fs_flat)
+        rig = _rigid(mags, fs_flat)
         use_flex = (flex.count > 0)[:, None]
         zeros = jnp.zeros_like(flex.freq)
         det = flex._replace(
@@ -368,6 +424,7 @@ def analyze_epoch(
         n_fft = fft_ops.next_pow2(samples.shape[-1])
     if k is None:
         k = default_k(mode)
+    fs_orig = fs  # pre-cast rate: the float64 value the rigid wipe rounding needs
     fs = jnp.asarray(fs, dtype)
     has_lengths = lengths is not None
     if has_lengths:
@@ -408,6 +465,16 @@ def analyze_epoch(
     if not dynamic and not isinstance(max_candidates, int):
         max_candidates = default_max_candidates(n_fft)
 
+    # Non-dyadic sampling rates: the rigid detector's exclusion-wipe rounding
+    # at exact-half boundaries follows the float64 reference only via a
+    # host-computed side table (ops.peaks_resolution.rigid_half_corrections).
+    # None for the dyadic hardware rates (the common case - no extra operand,
+    # same compiled program as before) and unavailable under an outer trace
+    # (fs unreadable), where the banker's snap applies.
+    half_corr = None
+    if mode in ("rigid", "adaptive") and not traced and not empty:
+        half_corr = _rigid_corr_batch(fs_orig, samples.shape[:-1], n_fft)
+
     # Single-full-window epochs on a real TPU: the fused whole-pipeline
     # kernel is ~5x lower latency than the batched program at B=1
     # (docs/DESIGN.md "Single-window fused kernel").  Routed only inside the
@@ -417,6 +484,7 @@ def analyze_epoch(
         lowlat == "auto"
         and not traced
         and mode in ("flexible", "rigid")
+        and half_corr is None  # non-dyadic rigid boundaries need the table
         and backend == "matmul"
         and center == "auto"
         and selection == "auto"
@@ -492,7 +560,9 @@ def analyze_epoch(
         taper=taper,
     )
     if not dynamic:
-        return _analyze_epoch_impl(samples, fs, lengths, max_candidates=max_candidates, **kwargs)
+        return _analyze_epoch_impl(
+            samples, fs, lengths, half_corr, max_candidates=max_candidates, **kwargs
+        )
 
     # Adaptive mode outside a trace: run the prominence pass alone and only
     # pay for the resolution fallback when some window actually came back
@@ -508,7 +578,7 @@ def analyze_epoch(
         if int(jax.device_get(jnp.min(flex.count))) > 0:
             return flex
         rig = _analyze_epoch_impl(
-            samples, fs, lengths, max_candidates=_DYNAMIC_FLOOR,
+            samples, fs, lengths, half_corr, max_candidates=_DYNAMIC_FLOOR,
             **{**kwargs, "mode": "rigid"},
         )
         use = flex.count > 0
@@ -531,7 +601,9 @@ def analyze_epoch(
     passes = 0
     while True:
         passes += 1
-        res = _analyze_epoch_impl(samples, fs, lengths, max_candidates=budget, **kwargs)
+        res = _analyze_epoch_impl(
+            samples, fs, lengths, half_corr, max_candidates=budget, **kwargs
+        )
         n_max = int(jax.device_get(jnp.max(res.n_candidates)))
         if n_max <= budget or budget >= h:
             break
@@ -601,6 +673,39 @@ class SpectralPipeline:
             # dynamic-budget observability (empty on static-budget runs)
             **last_dynamic_stats(),
         }
+        return result
+
+    def welch(
+        self, samples, fs, *, window: int, hop: int | None = None,
+        taper: str = "hann",
+    ) -> EpochResult:
+        """Welch-averaged analysis under this pipeline's config + metrics.
+
+        The Welch companion of ``__call__`` (signature matches what
+        :func:`~apda_fft_tpu.models.batching.analyze_records_welch` expects
+        from its ``analyze`` hook): mode/k/refine/backend/dtype come from
+        ``self.config``, and ``last_metrics`` is populated exactly like an
+        epoch call so gateway history reporting is uniform.
+        """
+        from apda_fft_tpu.models.streaming import analyze_welch
+
+        cfg = self.config
+        last_dynamic_stats().clear()
+        with self._metrics.measure():
+            result = jax.block_until_ready(
+                analyze_welch(
+                    samples, fs, window=window, hop=hop, taper=taper,
+                    mode=cfg.mode, k=cfg.k, backend=cfg.backend,
+                    refine=cfg.refine, dtype=cfg.dtype,
+                    selection=cfg.selection or "auto",
+                    # averaged spectra are smooth; only an explicit int budget
+                    # carries over (the epoch path's dynamic budget protocol
+                    # needs the overflow readback analyze_welch doesn't do)
+                    max_candidates=cfg.max_candidates
+                    if isinstance(cfg.max_candidates, int) else None,
+                )
+            )
+        self.last_metrics = {**self._metrics.last, **last_dynamic_stats()}
         return result
 
     def _run(self, samples, fs, n_fft, lengths) -> EpochResult:

@@ -247,8 +247,8 @@ def welch_psd(
     ),
 )
 def _welch_impl(
-    records, fs, *, window, hop, n_fft, mode, k, backend, max_candidates,
-    refine, taper, selection, detrend,
+    records, fs, half_corr, *, window, hop, n_fft, mode, k, backend,
+    max_candidates, refine, taper, selection, detrend,
 ):
     mags = _segment_mags(
         records, window=window, hop=hop, taper=taper, backend=backend,
@@ -260,9 +260,13 @@ def _welch_impl(
     avg = jnp.sqrt(jnp.mean(mags * mags, axis=-2))       # [..., H]
     avg_flat = avg.reshape((-1, avg.shape[-1]))
     fs_flat = jnp.broadcast_to(jnp.asarray(fs, avg.dtype), lead).reshape((-1,))
+    corr_flat = (
+        half_corr.reshape((-1, half_corr.shape[-1])) if half_corr is not None else None
+    )
     res = _pipeline._detect_from_mags(
         avg_flat, fs_flat, n_fft=n_fft, mode=mode, k=k,
         max_candidates=max_candidates, refine=refine, selection=selection,
+        half_corr=corr_flat,
     )
     return type(res)(*(x.reshape(lead + x.shape[1:]) for x in res))
 
@@ -300,6 +304,7 @@ def analyze_welch(
     ``default_max_candidates(n_fft)`` (averaged spectra are smooth; pass a
     larger int if ``result.n_candidates`` reports overflow).
     """
+    fs_orig = fs  # pre-cast float64 rate (rigid non-dyadic wipe rounding)
     records = jnp.asarray(records, dtype)
     hop = max(window // 2, 1) if hop is None else hop
     n_fft = fft_ops.next_pow2(window)
@@ -313,9 +318,14 @@ def analyze_welch(
         k = _pipeline.default_k(mode)
     if max_candidates is None:
         max_candidates = _pipeline.default_max_candidates(n_fft)
+    half_corr = None
+    if mode in ("rigid", "adaptive") and not any(
+        isinstance(x, jax.core.Tracer) for x in (records, fs)
+    ):
+        half_corr = _pipeline._rigid_corr_batch(fs_orig, records.shape[:-1], n_fft)
     return _welch_impl(
-        records, fs, window=window, hop=hop, n_fft=n_fft, mode=mode, k=k,
-        backend=backend, max_candidates=max_candidates, refine=refine,
+        records, fs, half_corr, window=window, hop=hop, n_fft=n_fft, mode=mode,
+        k=k, backend=backend, max_candidates=max_candidates, refine=refine,
         taper=taper, selection=selection, detrend=detrend,
     )
 

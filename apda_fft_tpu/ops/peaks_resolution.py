@@ -31,7 +31,13 @@ banker's rounding.  For the dyadic sampling rates the hardware uses
 half-integers whenever ``idx % 25 == 0``; float32 would land an ulp away and
 round differently.  We therefore snap near-half values to the exact half
 before rounding (see ``_discard_count``), restoring bit-identical behavior for
-dyadic rates.
+dyadic rates.  For NON-dyadic rates the float64 expression itself sits an
+ulp off the exact half (three inexact roundings), and the reference rounds
+by that perturbation's direction - information float32 cannot recover.
+:func:`rigid_half_corrections` computes those boundary cases on the host in
+true float64 (only ``idx % 50 == 25`` can be affected) and the detector
+applies them as a tiny per-window side table, restoring exactness for any
+``fs``.
 """
 
 from __future__ import annotations
@@ -40,6 +46,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from apda_fft_tpu.ops.stats import noise_threshold
 
@@ -73,7 +80,12 @@ def _width_half_magnitude(m: jnp.ndarray, iota: jnp.ndarray, j: jnp.ndarray) -> 
 
 
 def _discard_count(freq: jnp.ndarray, ds: jnp.ndarray) -> jnp.ndarray:
-    """``round(freq * 0.02 / df)`` with float64-faithful rounding at halves."""
+    """``round(freq * 0.02 / df)`` with float64-faithful rounding at halves.
+
+    Exact for dyadic sampling rates (where the float64 expression lands
+    exactly on half-integers); for non-dyadic rates the exact-half cases
+    (``idx % 50 == 25``) additionally need :func:`rigid_half_corrections`.
+    """
     x = freq * jnp.asarray(EXCLUSION_FRACTION, freq.dtype) / ds
     doubled = x + x
     nearest = jnp.round(doubled)
@@ -82,16 +94,49 @@ def _discard_count(freq: jnp.ndarray, ds: jnp.ndarray) -> jnp.ndarray:
     return jnp.round(snapped).astype(jnp.int32)
 
 
+def rigid_half_corrections(fs: float, n_fft: int) -> np.ndarray | None:
+    """Host float64 wipe-width corrections for ``idx % 50 == 25`` boundaries.
+
+    The reference wipe width is ``round((idx*df)*0.02/df)`` in float64
+    (``get_peak_resolution.py:105,116-117``).  In exact arithmetic that is
+    ``idx/50``: a half-integer iff ``idx % 50 == 25`` (integer iff
+    ``idx % 50 == 0``), and otherwise >= 0.02 from any half - so only the
+    half cases are rounding-sensitive.  For non-dyadic ``fs`` the float64
+    roundings perturb the half by an ulp in a data-dependent direction that
+    float32 on-device arithmetic cannot reproduce; this computes, per such
+    boundary index, the difference between the true float64 rounding and
+    the device's exact-half banker's rounding.
+
+    Returns an int8 array indexed by ``idx // 50`` (i.e. entry ``q`` covers
+    ``idx = 50*q + 25``), or None when every entry is zero - the dyadic
+    case, where the device path is already exact and no table is shipped.
+    ``fs`` must be the ORIGINAL float64 rate (pre any float32 cast).
+    """
+    h = n_fft // 2
+    if h <= 25:
+        return None
+    ds = np.float64(fs) / np.float64(n_fft)
+    j = np.arange(25, h, 50, dtype=np.float64)
+    nd64 = np.round(((j * ds) * np.float64(EXCLUSION_FRACTION)) / ds)
+    q = np.round((j - 25.0) / 50.0)
+    base = q + (q % 2)  # banker's rounding of the exact half q + 0.5
+    corr = (nd64 - base).astype(np.int8)
+    return corr if corr.any() else None
+
+
 def resolution_peaks(
     mags: jnp.ndarray,
     fs: jnp.ndarray,
     n_fft: int,
     k: int = 5,
+    half_corr: jnp.ndarray | None = None,
 ) -> ResolutionPeaks:
     """Detect top-k resolution-separated peaks in one half-spectrum ``mags`` [H].
 
     Equivalent of ``get_top_peaks_resolution`` (``utils/get_peak_resolution.py:80-128``).
-    vmap over leading axes for batches.
+    vmap over leading axes for batches.  ``half_corr`` is the optional
+    :func:`rigid_half_corrections` table for non-dyadic sampling rates
+    (int8, indexed by ``idx // 50``).
     """
     h = mags.shape[-1]
     dtype = mags.dtype
@@ -141,6 +186,11 @@ def resolution_peaks(
 
         freq = j.astype(dtype) * ds
         nd = _discard_count(freq, ds)
+        if half_corr is not None:
+            # Non-dyadic fs: the float64 reference's rounding at the exact-half
+            # boundaries (j % 50 == 25) is supplied by the host-side table.
+            corr = jnp.take(half_corr, j // 50, mode="clip").astype(jnp.int32)
+            nd = jnp.where(j % 50 == 25, nd + corr, nd)
         start = jnp.maximum(0, j - nd)
         end = jnp.minimum(h, j + nd + 1)
         wipe = found & (iota >= start) & (iota < end)

