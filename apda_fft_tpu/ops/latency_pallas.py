@@ -44,8 +44,6 @@ from apda_fft_tpu.models.results import EpochResult
 from apda_fft_tpu.ops.fft import _dft_tables, _twiddle_tables, is_pow2, next_pow2, split_pow2
 from apda_fft_tpu.ops.peaks_prominence import (
     EXCLUSION_RATIO,
-    MAX_DAMPING,
-    MIN_DAMPING,
     MIN_PROM_RATIO,
 )
 from apda_fft_tpu.ops.peaks_resolution import (
@@ -301,12 +299,16 @@ def _flex_kernel(x_ref, cs1_ref, twc_ref, tws_ref, c2h_ref, s2h_ref, fs_ref,
         fn = j.astype(f32) * ds
         q = fn / width
         damping = 1.0 / (2.0 * q)
+        # Exact integer damping band (see prominence_finalize): d = bins/(2*j)
+        # so d >= 1/1000 <=> 500*bins >= j, d <= 7/100 <=> 50*bins <= 7*j -
+        # bit-faithful to the reference's float64 chain for dyadic rates,
+        # removing the f32 boundary flip the round-2 fuzz carried.
         valid = (
             is_cand
             & (prom > f32(0.5) * std)
             & (width > 0)
-            & (damping >= f32(MIN_DAMPING))
-            & (damping <= f32(MAX_DAMPING))
+            & (500 * bins.astype(i32) >= j.astype(i32))
+            & (50 * bins.astype(i32) <= 7 * j.astype(i32))
         )
         freq_r = round_dec(fn, 4)
         mag_r = round_dec(cmag, 4)

@@ -305,12 +305,24 @@ def prominence_finalize(cid, is_cand, cmag, proms, bins, fs, n_fft: int, k: int,
     q = fn / width
     damping = 1.0 / (2.0 * q)
 
+    # Damping band [MIN_DAMPING, MAX_DAMPING] as EXACT integer comparisons:
+    # damping = bins/(2*idx) exactly (the ds factors cancel), so
+    # d >= 1/1000 <=> 500*bins >= idx and d <= 7/100 <=> 50*bins <= 7*idx.
+    # Swept against the reference's float64 chain over every (idx, bins)
+    # pair (bins 1..129, idx 1..32768, N up to 65536): identical for every
+    # dyadic rate incl. all exact-boundary cases - this removes the f32
+    # ulp flip at damping == MIN_DAMPING the round-2 fuzz carried
+    # (tests/test_precision_boundary.py).  Non-dyadic rates agree except
+    # when idx == 500*bins exactly AND the f64 chain's own ulp perturbation
+    # crosses the constant (measure-zero^2; documented, not corrected).
+    bins_i = bins.astype(jnp.int32)
+    cid_i = cid.astype(jnp.int32)
     valid = (
         is_cand
         & (proms > jnp.asarray(0.5, dtype) * std)
         & (width > 0)
-        & (damping >= MIN_DAMPING)
-        & (damping <= MAX_DAMPING)
+        & (500 * bins_i >= cid_i)
+        & (50 * bins_i <= 7 * cid_i)
     )
 
     freq_r = _round_decimals(fn, 4)
