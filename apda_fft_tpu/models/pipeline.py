@@ -122,6 +122,7 @@ def refine_subbin(mags: jnp.ndarray, idx: jnp.ndarray, ds: jnp.ndarray) -> jnp.n
         "selection",
         "batch_chunk",
         "taper",
+        "precision",
     ),
 )
 def _analyze_epoch_impl(
@@ -141,6 +142,7 @@ def _analyze_epoch_impl(
     selection: str = "auto",
     batch_chunk: int = 2048,
     taper: str = "none",
+    precision: str = "highest",
 ) -> EpochResult:
     lead = samples.shape[:-1]
     flat = samples.reshape((-1, samples.shape[-1]))
@@ -173,7 +175,7 @@ def _analyze_epoch_impl(
                 cs, cf, cl, cc, n_fft=n_fft, mode=mode, k=k, backend=backend,
                 max_candidates=max_candidates, refine=refine,
                 has_lengths=has_lengths, center=center, selection=selection,
-                batch_chunk=0, taper=taper,
+                batch_chunk=0, taper=taper, precision=precision,
             )
 
         chunked = (
@@ -218,7 +220,7 @@ def _analyze_epoch_impl(
         windows = windows * fft_ops.taper_window(
             taper, windows.shape[-1], windows.dtype, tlen
         )
-    mags = fft_ops.halfspec_magnitudes(windows, backend=backend)
+    mags = fft_ops.halfspec_magnitudes(windows, backend=backend, precision=precision)
 
     return EpochResult(
         *(x.reshape(lead + x.shape[1:]) for x in _detect_from_mags(
@@ -365,6 +367,7 @@ def analyze_epoch(
     batch_chunk: int = 2048,
     lowlat: str = "auto",
     taper: str = "none",
+    precision: str = "highest",
 ) -> EpochResult:
     """Analyze one epoch of sensor windows in a single XLA program.
 
@@ -462,6 +465,15 @@ def analyze_epoch(
         raise ValueError(f"unknown lowlat {lowlat!r}; expected 'auto' or 'never'")
     if taper not in fft_ops.TAPERS:
         raise ValueError(f"unknown taper {taper!r}; expected one of {fft_ops.TAPERS}")
+    if precision not in fft_ops.PRECISIONS:
+        raise ValueError(
+            f"unknown precision {precision!r}; expected one of {fft_ops.PRECISIONS}"
+        )
+    if precision == "fast" and backend != "matmul":
+        raise ValueError(
+            'precision="fast" applies to the matmul backend only '
+            f"(got backend={backend!r})"
+        )
     if not dynamic and not isinstance(max_candidates, int):
         max_candidates = default_max_candidates(n_fft)
 
@@ -485,6 +497,7 @@ def analyze_epoch(
         and not traced
         and mode in ("flexible", "rigid")
         and half_corr is None  # non-dyadic rigid boundaries need the table
+        and precision == "highest"  # the fused kernel has no bf16 mode
         and backend == "matmul"
         and center == "auto"
         and selection == "auto"
@@ -558,6 +571,7 @@ def analyze_epoch(
         selection=selection,
         batch_chunk=batch_chunk,
         taper=taper,
+        precision=precision,
     )
     if not dynamic:
         return _analyze_epoch_impl(
@@ -574,6 +588,7 @@ def analyze_epoch(
             max_candidates=max_candidates, refine=refine, lengths=lengths,
             dtype=dtype, center=center, selection=selection,
             batch_chunk=batch_chunk, lowlat=lowlat, taper=taper,
+            precision=precision,
         )
         if int(jax.device_get(jnp.min(flex.count))) > 0:
             return flex
@@ -640,6 +655,9 @@ class PipelineConfig:
     lowlat: str = "auto"
     #: Spectral-leakage window ("none" = reference-parity rectangular).
     taper: str = "none"
+    #: Spectrum precision: "highest" (1e-6 contract) | "fast" (opt-in bf16,
+    #: 1.8e-5 error bound - see analyze_epoch docstring).
+    precision: str = "highest"
 
     @classmethod
     def from_gateway_flag(cls, is_flexibile_structure: bool, **kw) -> "PipelineConfig":
@@ -745,5 +763,6 @@ class SpectralPipeline:
                 selection=cfg.selection or "auto",
                 lowlat=cfg.lowlat,
                 taper=cfg.taper,
+                precision=cfg.precision,
             )
         return result

@@ -342,3 +342,32 @@ def test_zero_rounded_magnitude_shoulder_rejected_not_inf():
     res = prominence_peaks(jnp.asarray(m, jnp.float32), 500.0, 2 * h)
     got_idx = [int(i) for i in np.asarray(res.idx)[: int(res.count)]]
     assert 100 in got_idx and 103 not in got_idx
+
+
+def test_fast_precision_knob():
+    """Opt-in bf16 spectrum mode (VERDICT r2 item 8): plumbing + validation."""
+    import numpy as np
+    import pytest
+
+    from apda_fft_tpu.models.pipeline import analyze_epoch
+    from tests.signals import two_mode_signal
+
+    x = two_mode_signal(1024, 500.0)[None, :]
+    base = analyze_epoch(x, 500.0, mode="flexible")
+    fast = analyze_epoch(x, 500.0, mode="flexible", precision="fast")
+    # On CPU HIGH == HIGHEST (no bf16 pass), so decisions match exactly; on
+    # TPU "fast" carries a documented 1.8e-5 spectrum error bound and strong
+    # peaks still match (hardware-measured, docs/DESIGN.md round 3).
+    assert int(fast.count[0]) == int(base.count[0])
+    assert int(fast.idx[0, 0]) == int(base.idx[0, 0])
+
+    with pytest.raises(ValueError, match="precision"):
+        analyze_epoch(x, 500.0, precision="turbo")
+    with pytest.raises(ValueError, match="matmul backend only"):
+        analyze_epoch(x, 500.0, backend="xla", precision="fast")
+
+    from apda_fft_tpu.ops.fft import halfspec_magnitudes
+
+    with pytest.raises(ValueError, match="matmul backend only"):
+        halfspec_magnitudes(np.zeros((1, 64), np.float32), backend="xla",
+                            precision="fast")
