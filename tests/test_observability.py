@@ -176,3 +176,35 @@ def test_connect_watchdog_stall_reexecs(monkeypatch):
     assert len(calls) == 1
     assert os.environ[watchdog._RESTART_ENV] == "1"
     monkeypatch.delenv(watchdog._RESTART_ENV, raising=False)
+
+
+def test_bench_headline_schema_smoke(monkeypatch, capsys):
+    """bench.py's one JSON line (the driver's contract) incl. the noisy leg."""
+    import json
+    import sys
+
+    sys.modules.pop("bench", None)
+    import bench
+
+    def _quick_seconds(fn, *args, **kw):
+        import jax
+
+        jax.block_until_ready(fn(*args))
+        return 1e-3
+
+    monkeypatch.setattr(
+        "apda_fft_tpu.utils.benchtime.per_iteration_seconds", _quick_seconds
+    )
+    monkeypatch.setattr(
+        "apda_fft_tpu.utils.watchdog.connect_with_watchdog", lambda *a, **k: None
+    )
+    monkeypatch.setenv("APDA_BENCH_BATCH", "64")
+    monkeypatch.setenv("APDA_BENCH_SAMPLES", "1")
+    bench.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["unit"] == "windows/s" and out["value"] > 0
+    assert out["vs_baseline"] > 0 and out["candidate_budget"] >= 2
+    assert out["metric"].startswith("fft_peak_windows_per_sec_n4096_flexible")
+    # The noisy leg rides the same line with its own budget attribution.
+    assert out["noisy"]["value"] > 0 and out["noisy"]["candidate_budget"] >= 2
