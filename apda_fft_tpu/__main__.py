@@ -37,6 +37,38 @@ def _load(paths):
     return loaded
 
 
+def _format_peaks(rp, mode: str, refine: bool) -> list[dict]:
+    """Per-record peak dicts with the host-float64 exact frequency finisher.
+
+    ``exact_freq`` recovers the per-window detector in adaptive mode
+    (rigid-fallback windows are unrounded, prominence-served ones 4-dp
+    rounded); rigid mode drops the fields its detector never computes.
+    """
+    peaks = []
+    for slot in range(rp.count):
+        p = rp.peak(slot)
+        p["freq"] = rp.exact_freq(slot, mode)
+        if mode == "rigid":
+            for drop in ("damping", "q_factor", "prominence"):
+                p.pop(drop)
+        if not refine:
+            p.pop("refined_freq")
+        peaks.append(p)
+    return peaks
+
+
+def _print_peaks_text(peaks: list[dict]) -> None:
+    if not peaks:
+        print("  no peaks above threshold")
+    for p in peaks:
+        line = f"  f={p['freq']:.4f} Hz  mag={p['mag']:.4f}"
+        if "damping" in p:
+            line += f"  damping={p['damping']:.2f}%  q={p['q_factor']:.2f}"
+        if "refined_freq" in p:
+            line += f"  refined={p['refined_freq']:.4f} Hz"
+        print(line)
+
+
 def cmd_analyze(args) -> int:
     from apda_fft_tpu.models.batching import analyze_records
 
@@ -51,33 +83,13 @@ def cmd_analyze(args) -> int:
         taper=args.taper,
     )
     for (path, rec), rp in zip(loaded, per_record):
-        peaks = []
-        for slot in range(rp.count):
-            p = rp.peak(slot)
-            # Host-float64 exact finisher; exact_freq recovers the per-window
-            # detector in adaptive mode (rigid-fallback windows are
-            # unrounded, prominence-served ones 4-dp rounded).
-            p["freq"] = rp.exact_freq(slot, args.mode)
-            if args.mode == "rigid":
-                for drop in ("damping", "q_factor", "prominence"):
-                    p.pop(drop)
-            if not args.refine:
-                p.pop("refined_freq")
-            peaks.append(p)
+        peaks = _format_peaks(rp, args.mode, args.refine)
         if args.json:
             print(json.dumps({"file": path, "fs": rec.fs, "axis": rec.axis,
                               "n_fft": rp.n_fft, "peaks": peaks}))
         else:
             print(f"{path} (fs={rec.fs} Hz, axis={rec.axis}, N={rp.n_fft}):")
-            if not peaks:
-                print("  no peaks above threshold")
-            for p in peaks:
-                line = f"  f={p['freq']:.4f} Hz  mag={p['mag']:.4f}"
-                if "damping" in p:
-                    line += f"  damping={p['damping']:.2f}%  q={p['q_factor']:.2f}"
-                if "refined_freq" in p:
-                    line += f"  refined={p['refined_freq']:.4f} Hz"
-                print(line)
+            _print_peaks_text(peaks)
     return 0
 
 
@@ -102,13 +114,7 @@ def cmd_welch(args) -> int:
         mode=args.mode, refine=args.refine,
     )
     for (path, rec), rp in zip(loaded, per_record):
-        peaks = []
-        for slot in range(rp.count):
-            p = rp.peak(slot)
-            p["freq"] = rp.exact_freq(slot, args.mode)
-            if not args.refine:
-                p.pop("refined_freq")
-            peaks.append(p)
+        peaks = _format_peaks(rp, args.mode, args.refine)
         if args.json:
             print(json.dumps({"file": path, "fs": rec.fs, "axis": rec.axis,
                               "n_fft": rp.n_fft, "window": args.window,
@@ -116,15 +122,7 @@ def cmd_welch(args) -> int:
         else:
             print(f"{path} (fs={rec.fs} Hz, axis={rec.axis}, "
                   f"welch window={args.window}, N={rp.n_fft}):")
-            if not peaks:
-                print("  no peaks above threshold")
-            for p in peaks:
-                line = f"  f={p['freq']:.4f} Hz  mag={p['mag']:.4f}"
-                if args.mode != "rigid":
-                    line += f"  damping={p['damping']:.2f}%  q={p['q_factor']:.2f}"
-                if "refined_freq" in p:
-                    line += f"  refined={p['refined_freq']:.4f} Hz"
-                print(line)
+            _print_peaks_text(peaks)
     return 0
 
 
@@ -165,8 +163,15 @@ def cmd_spectrogram(args) -> int:
                       f"mag={mags[w, i]:.4f}")
     if args.out and out:
         arrays = {}
+        used: dict[str, int] = {}
         for path, d in out.items():
             stem = _os_basename_noext(path)
+            # Same basename from different directories must not silently
+            # clobber each other's arrays: disambiguate with a counter.
+            n = used.get(stem, 0)
+            used[stem] = n + 1
+            if n:
+                stem = f"{stem}.{n}"
             arrays[f"{stem}__freqs"] = d["freqs"]
             arrays[f"{stem}__mags"] = d["mags"]
         np.savez(args.out, **arrays)
@@ -188,7 +193,9 @@ def cmd_coherence(args) -> int:
     seen by both sensors); independent noise sits near 0.  Also reports the
     cross-spectral phase at each coherent peak (mode-shape sign/lag).
     """
-    from apda_fft_tpu.models.streaming import coherence, cross_psd
+    import jax.numpy as jnp
+
+    from apda_fft_tpu.models.streaming import _bin_freqs, _cross_moments
 
     loaded = _load([args.file_x, args.file_y])
     if len(loaded) != 2:
@@ -206,10 +213,19 @@ def cmd_coherence(args) -> int:
               f"2*window={2 * args.window})", file=sys.stderr)
         return 1
     x, y = x[:t], y[:t]
-    freqs, cxy = coherence(x, y, rec_x.fs, args.window, args.hop)
-    _, pxy = cross_psd(x, y, rec_x.fs, args.window, args.hop)
-    freqs, cxy = np.asarray(freqs), np.asarray(cxy)
-    phase = np.degrees(np.angle(pxy))
+    # One segment-FFT pass for both outputs: coherence() and cross_psd()
+    # each run _cross_moments, so calling both would double the work; the
+    # cross-spectral phase is scale-invariant, so the unscaled (pr, pi)
+    # moments carry it directly.
+    pxx, pyy, pr, pi, n_fft = _cross_moments(
+        x, y, rec_x.fs, args.window, args.hop, "hann", "mean", jnp.float32
+    )
+    denom = np.asarray(pxx) * np.asarray(pyy)
+    pr, pi = np.asarray(pr), np.asarray(pi)
+    cxy = np.where(denom > 0, (pr * pr + pi * pi) / denom, 0.0)
+    cxy[0] = 0.0
+    freqs = np.asarray(_bin_freqs(rec_x.fs, n_fft, jnp.float32))
+    phase = np.degrees(np.arctan2(pi, pr))
 
     # Coherent peaks: local maxima of coherence above the threshold.
     above = cxy >= args.threshold

@@ -504,8 +504,11 @@ class GatewayService:
             except Exception as exc:  # noqa: BLE001 - malformed header fields
                 self.history(f"\t[WARN] file {path} unparseable ({exc}), skipping FFT\n")
                 continue
-            if rec is None or not rec.samples:
-                self.history(f"\t[WARN] file {path} corrupt or empty, skipping FFT\n")
+            if rec is None or len(rec.samples) < 2:
+                # < 2 samples: no spectrum exists (next_pow2(1) = 1 -> zero
+                # half-spectrum bins); a truncated file that parsed to a
+                # single sample must not crash the batch on either path.
+                self.history(f"\t[WARN] file {path} corrupt or too short, skipping FFT\n")
                 continue
             loaded.append((addr, path, rec))
         if not loaded:
@@ -526,7 +529,8 @@ class GatewayService:
             # Welch-averaged analysis for long noisy acquisitions; shock
             # transients stay on the epoch path (averaging segments of a
             # decaying transient smears the ring-down), analyzed in a
-            # second pass below.
+            # second pass below.  (Records here always have >= 2 samples:
+            # shorter ones were skipped with a [WARN] above.)
             shock = [i for i, (_, p, _) in enumerate(loaded)
                      if p.endswith("_shock.log")]
             regular = [i for i in range(len(loaded)) if i not in set(shock)]

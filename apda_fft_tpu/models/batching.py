@@ -171,12 +171,22 @@ def analyze_records_welch(
             raise ValueError(f"record {i} has fewer than 2 samples")
         buckets.setdefault(len(samples), []).append(i)
 
+    # Same host-dtype contract as analyze_records: a float64 request must
+    # not be truncated to float32 before the high-precision path sees it.
+    req = kwargs.get("dtype")
+    if req is None:
+        req = getattr(getattr(analyze, "__self__", None), "config", None)
+        req = getattr(req, "dtype", None)
+    host_dtype = (
+        np.float64 if req is not None and np.dtype(req) == np.float64 else np.float32
+    )
+
     out: list[RecordPeaks | None] = [None] * len(records)
     for t, idxs in sorted(buckets.items()):
         eff_window = min(window, t)
         eff_hop = min(hop, eff_window) if hop is not None else max(eff_window // 2, 1)
         n_fft = next_pow2(eff_window)
-        batch = np.stack([np.asarray(records[i][0], np.float32) for i in idxs])
+        batch = np.stack([np.asarray(records[i][0], host_dtype) for i in idxs])
         fs = np.asarray([records[i][1] for i in idxs], np.float64)
         result = analyze(
             batch, fs, window=eff_window, hop=eff_hop, taper=taper, **kwargs

@@ -716,6 +716,7 @@ class SpectralPipeline:
                     mode=cfg.mode, k=cfg.k, backend=cfg.backend,
                     refine=cfg.refine, dtype=cfg.dtype,
                     selection=cfg.selection or "auto",
+                    precision=cfg.precision,
                     # averaged spectra are smooth; only an explicit int budget
                     # carries over (the epoch path's dynamic budget protocol
                     # needs the overflow readback analyze_welch doesn't do)
@@ -745,6 +746,7 @@ class SpectralPipeline:
                 dtype=cfg.dtype,
                 center=cfg.center,
                 taper=cfg.taper,
+                precision=cfg.precision,
                 **({"selection": cfg.selection} if cfg.selection else {}),
             )
         else:

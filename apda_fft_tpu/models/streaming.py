@@ -141,9 +141,11 @@ def _segment_front_end(records, *, window, hop, taper, detrend):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window", "hop", "taper", "backend", "detrend")
+    jax.jit,
+    static_argnames=("window", "hop", "taper", "backend", "detrend", "precision"),
 )
-def _segment_mags(records, *, window, hop, taper, backend, detrend="median"):
+def _segment_mags(records, *, window, hop, taper, backend, detrend="median",
+                  precision="highest"):
     """Frame -> detrend -> taper -> half-spectrum magnitudes.
 
     The shared segment front end of :func:`spectrogram`,
@@ -158,7 +160,7 @@ def _segment_mags(records, *, window, hop, taper, backend, detrend="median"):
     segs, lead = _segment_front_end(
         records, window=window, hop=hop, taper=taper, detrend=detrend
     )
-    mags = fft_ops.halfspec_magnitudes(segs, backend=backend)
+    mags = fft_ops.halfspec_magnitudes(segs, backend=backend, precision=precision)
     return mags.reshape(lead + (mags.shape[-1],))
 
 
@@ -243,16 +245,16 @@ def welch_psd(
     jax.jit,
     static_argnames=(
         "window", "hop", "n_fft", "mode", "k", "backend", "max_candidates",
-        "refine", "taper", "selection", "detrend",
+        "refine", "taper", "selection", "detrend", "precision",
     ),
 )
 def _welch_impl(
     records, fs, half_corr, *, window, hop, n_fft, mode, k, backend,
-    max_candidates, refine, taper, selection, detrend,
+    max_candidates, refine, taper, selection, detrend, precision="highest",
 ):
     mags = _segment_mags(
         records, window=window, hop=hop, taper=taper, backend=backend,
-        detrend=detrend,
+        detrend=detrend, precision=precision,
     )                                                    # [..., W, H]
     lead = mags.shape[:-2]
     # Welch: average segment POWER, report RMS magnitude (same scale as a
@@ -286,6 +288,7 @@ def analyze_welch(
     dtype=jnp.float32,
     selection: str = "auto",
     detrend: str = "mean",
+    precision: str = "highest",
 ) -> EpochResult:
     """Welch-averaged spectral peak detection over long records.
 
@@ -314,6 +317,15 @@ def analyze_welch(
         raise ValueError(f"unknown taper {taper!r}; expected one of {fft_ops.TAPERS}")
     if detrend not in DETRENDS:
         raise ValueError(f"unknown detrend {detrend!r}; expected one of {DETRENDS}")
+    if precision not in fft_ops.PRECISIONS:
+        raise ValueError(
+            f"unknown precision {precision!r}; expected one of {fft_ops.PRECISIONS}"
+        )
+    if precision == "fast" and backend != "matmul":
+        raise ValueError(
+            'precision="fast" applies to the matmul backend only '
+            f"(got backend={backend!r})"
+        )
     if k is None:
         k = _pipeline.default_k(mode)
     if max_candidates is None:
@@ -326,7 +338,7 @@ def analyze_welch(
     return _welch_impl(
         records, fs, half_corr, window=window, hop=hop, n_fft=n_fft, mode=mode,
         k=k, backend=backend, max_candidates=max_candidates, refine=refine,
-        taper=taper, selection=selection, detrend=detrend,
+        taper=taper, selection=selection, detrend=detrend, precision=precision,
     )
 
 

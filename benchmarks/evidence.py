@@ -74,19 +74,26 @@ def collect(fuzz_cases: int = 150, configs=(1, 2, 3, 4, 5), backend: str = "matm
 
     # 4) Noisy-spectrum throughput leg (broadband noise + 4 damped modes,
     #    steady-state dynamic budget >= 32) - the realistic-data headline.
+    #    Guarded like the configs: a failure is recorded, never discards the
+    #    20+ minutes of parity/fuzz/config evidence already collected.
     import bench
 
-    tp, budget = bench._throughput(backend, int(os.environ.get("APDA_BENCH_BATCH", "2048")),
-                                   10, noisy=True)
-    noisy = {
-        "metric": f"noisy_windows_per_sec_n{bench.N_FFT}_flexible[{backend}]",
-        "value": round(tp, 1),
-        "unit": "windows/s",
-        "vs_baseline": round(tp / bench.BASELINE_WINDOWS_PER_SEC, 2),
-        "candidate_budget": budget,
-    }
+    try:
+        tp, budget = bench._throughput(
+            backend, int(os.environ.get("APDA_BENCH_BATCH", "2048")), 10, noisy=True
+        )
+        noisy = {
+            "metric": f"noisy_windows_per_sec_n{bench.N_FFT}_flexible[{backend}]",
+            "value": round(tp, 1),
+            "unit": "windows/s",
+            "vs_baseline": round(tp / bench.BASELINE_WINDOWS_PER_SEC, 2),
+            "candidate_budget": budget,
+        }
+        ok &= budget >= 32 and noisy["vs_baseline"] >= 1000.0
+    except Exception as exc:  # noqa: BLE001
+        noisy = {"metric": "noisy_windows_per_sec", "error": str(exc)}
+        ok = False
     evidence["noisy"] = noisy
-    ok &= budget >= 32 and noisy["vs_baseline"] >= 1000.0
     print(f"# noisy: {json.dumps(noisy)}", file=sys.stderr, flush=True)
 
     evidence["ok"] = bool(ok)

@@ -277,3 +277,48 @@ def test_cli_coherence_rejects_single_segment(tmp_path, capsys):
     py = write_log(tmp_path / "0013a20041e7f6b8_Xaxis_16_08_2026_10_20_31.log", x)
     assert main(["coherence", px, py, "--window", "1024"]) == 1
     assert "2 overlapping segments" in capsys.readouterr().err
+
+
+def test_welch_records_respect_float64_dtype():
+    """A float64 request must not be truncated to f32 on the host (review fix)."""
+    from apda_fft_tpu.models.batching import analyze_records_welch
+
+    seen = {}
+
+    def probe(batch, fs, **kwargs):
+        seen["dtype"] = batch.dtype
+        from apda_fft_tpu.models.streaming import analyze_welch
+
+        return analyze_welch(batch, fs, **kwargs)
+
+    x = noisy_tone_signal(2048, 500.0, [(61.0352, 1.0)])
+    analyze_records_welch([(x, 500.0)], window=1024, analyze=probe,
+                          dtype=np.float64)
+    assert seen["dtype"] == np.float64
+    analyze_records_welch([(x, 500.0)], window=1024, analyze=probe)
+    assert seen["dtype"] == np.float32
+
+
+@pytest.mark.parametrize("analysis", ["welch", "epoch"])
+def test_gateway_survives_one_sample_record(tmp_path, analysis):
+    """A truncated 1-sample file must not abort the analysis batch (review fix).
+
+    A single sample has NO spectrum (next_pow2(1) = 1 -> zero half-spectrum
+    bins), so such records are skipped with a [WARN] like corrupt files -
+    on BOTH analysis paths (the epoch path crashed on them too, latently).
+    """
+    svc, transport, _, _ = make_service(
+        tmp_path, gateway_extra={"analysis": analysis, "welch_window": 1024},
+    )
+    tiny = os.path.join(svc.config.data_dir, f"{MAC}_Xaxis_16_08_2026_10_20_30.log")
+    write_log(tiny, np.asarray([0.5]), fs=500.0, axis="X")
+    good = os.path.join(svc.config.data_dir, f"{MAC}_Yaxis_16_08_2026_10_20_31.log")
+    write_log(good, noisy_tone_signal(4096, 500.0, [(61.0352, 0.8)]), fs=500.0, axis="Y")
+
+    svc._analyze_files([(MAC, tiny), (MAC, good)])
+    # The healthy record's analysis completed despite the 1-sample neighbor.
+    assert "Y" in svc.fft_results[MAC]
+    if analysis == "welch":
+        assert svc.fft_results[MAC]["Y"]["peak_freq"] == pytest.approx(61.0352, abs=0.3)
+    assert "X" not in svc.fft_results.get(MAC, {})
+    assert "too short" in open(svc.config.logger_file).read()
