@@ -185,6 +185,57 @@ def _os_basename_noext(path: str) -> str:
     return _os.path.splitext(_os.path.basename(path))[0]
 
 
+def cmd_psd(args) -> int:
+    """Welch power spectral density in engineering units (units^2/Hz)."""
+    from apda_fft_tpu.models.streaming import welch_psd
+
+    loaded = _load(args.files)
+    if not loaded:
+        print("no analyzable files", file=sys.stderr)
+        return 1
+
+    out = {}
+    for path, rec in loaded:
+        samples = np.asarray(rec.samples, np.float32)
+        if len(samples) < args.window:
+            print(f"# skipping {path}: {len(samples)} samples < window "
+                  f"{args.window}", file=sys.stderr)
+            continue
+        freqs, psd = welch_psd(
+            samples, rec.fs, args.window, args.hop, taper=args.taper,
+        )
+        freqs, psd = np.asarray(freqs), np.asarray(psd)
+        out[path] = {"freqs": freqs, "psd": psd}
+        top = np.argsort(-psd)[: args.top]
+        top.sort()
+        if args.json:
+            print(json.dumps({
+                "file": path, "fs": rec.fs, "axis": rec.axis,
+                "window": args.window, "bins": int(len(psd)),
+                "top_bins": [{"freq": float(freqs[i]), "psd": float(psd[i])}
+                             for i in top],
+            }))
+        else:
+            print(f"{path} (fs={rec.fs} Hz, axis={rec.axis}, "
+                  f"window={args.window}): {len(psd)} bins")
+            for i in top:
+                print(f"  f={freqs[i]:9.4f} Hz  psd={psd[i]:.6e}")
+    if args.out and out:
+        arrays = {}
+        used: dict[str, int] = {}
+        for path, d in out.items():
+            stem = _os_basename_noext(path)
+            n = used.get(stem, 0)
+            used[stem] = n + 1
+            if n:
+                stem = f"{stem}.{n}"
+            arrays[f"{stem}__freqs"] = d["freqs"]
+            arrays[f"{stem}__psd"] = d["psd"]
+        np.savez(args.out, **arrays)
+        print(f"# wrote {args.out}", file=sys.stderr)
+    return 0 if out else 1
+
+
 def cmd_coherence(args) -> int:
     """Two-sensor magnitude-squared coherence report.
 
@@ -307,7 +358,14 @@ def cmd_track(args) -> int:
 
     loaded.sort(key=_when)
     records = [(np.asarray(rec.samples, np.float32), rec.fs) for _, rec in loaded]
-    per_record = analyze_records(records, mode=args.mode, refine=True)
+    if args.welch:
+        from apda_fft_tpu.models.batching import analyze_records_welch
+
+        per_record = analyze_records_welch(
+            records, window=args.window, mode=args.mode, refine=True,
+        )
+    else:
+        per_record = analyze_records(records, mode=args.mode, refine=True)
 
     trackers: dict[str, PeakTracker] = {}
     for (path, rec), rp in zip(loaded, per_record):
@@ -398,7 +456,26 @@ def main(argv=None) -> int:
     tr.add_argument("--rel-drift", type=float, default=0.02,
                     help="alert threshold (relative sustained drift)")
     tr.add_argument("--min-epochs", type=int, default=5)
+    tr.add_argument("--welch", action="store_true",
+                    help="Welch-average each acquisition before peak pick "
+                         "(noise-robust tracking)")
+    tr.add_argument("--window", type=int, default=1024,
+                    help="Welch segment length (with --welch)")
     tr.set_defaults(fn=cmd_track)
+
+    ps = sub.add_parser("psd", help="Welch power spectral density (units^2/Hz)")
+    ps.add_argument("files", nargs="+")
+    ps.add_argument("--window", type=int, default=1024)
+    ps.add_argument("--hop", type=int, default=None,
+                    help="segment hop (default: 50%% overlap)")
+    ps.add_argument("--taper", default="hann",
+                    choices=["none", "hann", "hamming", "blackman"])
+    ps.add_argument("--top", type=int, default=8,
+                    help="strongest bins printed")
+    ps.add_argument("--out", default="",
+                    help="also save freqs/psd arrays to this .npz file")
+    ps.add_argument("--json", action="store_true")
+    ps.set_defaults(fn=cmd_psd)
 
     args = ap.parse_args(argv)
     return args.fn(args)

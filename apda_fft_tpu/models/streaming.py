@@ -174,6 +174,7 @@ def spectrogram(
     backend: str = "matmul",
     dtype=jnp.float32,
     detrend: str = "median",
+    precision: str = "highest",
 ):
     """Magnitude spectrogram of ``[..., T]`` records: ``(freqs, mags)``.
 
@@ -194,7 +195,7 @@ def spectrogram(
     n_fft = fft_ops.next_pow2(window)
     return _bin_freqs(fs, n_fft, dtype), _segment_mags(
         records, window=window, hop=hop, taper=taper, backend=backend,
-        detrend=detrend,
+        detrend=detrend, precision=precision,
     )
 
 
@@ -208,6 +209,7 @@ def welch_psd(
     backend: str = "matmul",
     dtype=jnp.float32,
     detrend: str = "mean",
+    precision: str = "highest",
 ):
     """One-sided Welch power spectral density: ``(freqs, psd)``.
 
@@ -228,7 +230,7 @@ def welch_psd(
     n_fft = fft_ops.next_pow2(window)
     mags = _segment_mags(
         records, window=window, hop=hop, taper=taper, backend=backend,
-        detrend=detrend,
+        detrend=detrend, precision=precision,
     )
     mean_power = jnp.mean(mags * mags, axis=-2)  # [..., H]
     # _segment_mags tapers with w/mean(w); undo that normalization and apply

@@ -322,3 +322,52 @@ def test_gateway_survives_one_sample_record(tmp_path, analysis):
         assert svc.fft_results[MAC]["Y"]["peak_freq"] == pytest.approx(61.0352, abs=0.3)
     assert "X" not in svc.fft_results.get(MAC, {})
     assert "too short" in open(svc.config.logger_file).read()
+
+
+def test_cli_psd(tmp_path, capsys):
+    from apda_fft_tpu.__main__ import main
+
+    fs = 500.0
+    x = noisy_tone_signal(8192, fs, [(61.0352, 1.5)], noise=0.3, seed=9)
+    path = write_log(tmp_path / f"{MAC}_Xaxis_16_08_2026_10_20_30.log", x)
+    npz = str(tmp_path / "psd.npz")
+
+    rc = main(["psd", path, "--window", "1024", "--json", "--out", npz])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["bins"] == 512
+    top = {round(b["freq"], 4): b["psd"] for b in out["top_bins"]}
+    assert any(abs(f - 61.0352) < 0.5 for f in top)
+    saved = np.load(npz)
+    key = [k for k in saved.files if k.endswith("__psd")][0]
+    psd = saved[key]
+    assert psd.shape == (512,)
+    # Engineering-units sanity: integrating the PSD recovers ~ the signal
+    # variance (tone a^2/2 + noise sigma^2), within taper/leakage tolerance.
+    var = np.sum(psd) * (fs / 1024)
+    expect = 1.5**2 / 2 + 0.3**2
+    assert var == pytest.approx(expect, rel=0.2)
+
+    # Text mode.
+    assert main(["psd", path, "--window", "1024"]) == 0
+    assert "psd=" in capsys.readouterr().out
+
+
+def test_cli_track_welch_mode(tmp_path, capsys):
+    """Drift tracking over Welch-averaged noisy acquisitions."""
+    from apda_fft_tpu.__main__ import main
+
+    fs, n = 500.0, 8192
+    t = np.arange(n) / fs
+    rng = np.random.default_rng(13)
+    paths = []
+    for e in range(6):
+        f1 = 61.0352 * (1 - 0.012 * e)  # 1.2%/acquisition drift
+        x = 0.5 * np.sin(2 * np.pi * f1 * t) + 1.0 * rng.standard_normal(n)
+        p = tmp_path / f"{MAC}_Xaxis_1{e}_08_2026_10_20_30.log"
+        write_log(p, x)
+        paths.append(str(p))
+    rc = main(["track", *paths, "--welch", "--window", "1024",
+               "--rel-drift", "0.02"])
+    out = capsys.readouterr().out
+    assert rc == 2 and "ALERT" in out
