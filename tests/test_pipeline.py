@@ -371,3 +371,36 @@ def test_fast_precision_knob():
     with pytest.raises(ValueError, match="matmul backend only"):
         halfspec_magnitudes(np.zeros((1, 64), np.float32), backend="xla",
                             precision="fast")
+
+
+def test_pipeline_config_precision_reaches_both_branches(monkeypatch):
+    """cfg.precision must reach the plain AND mesh branches (review fix)."""
+    import numpy as np
+
+    from apda_fft_tpu.models import pipeline as P
+    from tests.signals import two_mode_signal
+
+    seen = {}
+    _real = P.analyze_epoch
+
+    def grab_plain(samples, fs, **kw):
+        seen["plain"] = kw.get("precision")
+        return _real(samples, fs, **kw)
+
+    monkeypatch.setattr(P, "analyze_epoch", grab_plain)
+    x = two_mode_signal(256, 500.0)[None, :]
+    pipe = P.SpectralPipeline(P.PipelineConfig(precision="fast"))
+    pipe(x, np.asarray([500.0], np.float32), n_fft=256)
+    assert seen["plain"] == "fast"
+
+    def grab_mesh(samples, fs, **kw):
+        seen["mesh"] = kw.get("precision")
+        return _real(samples, fs, **{k: v for k, v in kw.items()
+                                     if k not in ("mesh",)})
+
+    import apda_fft_tpu.parallel.mesh as M
+
+    monkeypatch.setattr(M, "analyze_epoch_sharded", grab_mesh)
+    pipe2 = P.SpectralPipeline(P.PipelineConfig(precision="fast"), mesh=object())
+    pipe2(x, np.asarray([500.0], np.float32), n_fft=256)
+    assert seen["mesh"] == "fast"
