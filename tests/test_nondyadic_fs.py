@@ -13,6 +13,8 @@ a >= 500-case decision fuzz with exclusion-boundary-dense spectra, and a
 pinned regression case where the correction provably changes the decision.
 """
 
+import functools
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -91,6 +93,18 @@ def _boundary_dense_mags(rng, h):
     return m.astype(np.float32).astype(np.float64)
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_resolution(n_fft: int, has_corr: bool):
+    """One compiled detector per (n_fft, corr-presence): an eagerly-called
+    resolution_peaks re-traces its while_loop every call (~0.4 s warm on
+    CPU), which made the 500-case fuzz minutes-long for no coverage gain."""
+    import jax
+
+    if has_corr:
+        return jax.jit(lambda m, f, c: resolution_peaks(m, f, n_fft, half_corr=c))
+    return jax.jit(lambda m, f: resolution_peaks(m, f, n_fft))
+
+
 @pytest.mark.parametrize("seed", range(25))
 def test_fuzz_nondyadic_decisions(seed):
     """>= 500 decision cases (25 seeds x 20 draws) exact vs the f64 oracle."""
@@ -101,10 +115,12 @@ def test_fuzz_nondyadic_decisions(seed):
         mags = _boundary_dense_mags(rng, h)
         ref = oracle_resolution_peaks(_spec_from_mags(mags), fs)
         corr = rigid_half_corrections(fs, 2 * h)
-        got = resolution_peaks(
-            jnp.asarray(mags, jnp.float32), fs, 2 * h,
-            half_corr=jnp.asarray(corr) if corr is not None else None,
-        )
+        m32 = jnp.asarray(mags, jnp.float32)
+        fs32 = jnp.float32(fs)
+        if corr is not None:
+            got = _jitted_resolution(2 * h, True)(m32, fs32, jnp.asarray(corr))
+        else:
+            got = _jitted_resolution(2 * h, False)(m32, fs32)
         got_idx = [int(i) for i in np.asarray(got.idx)[: int(got.count)]]
         assert got_idx == [p["idx"] for p in ref], (seed, h, fs)
 
