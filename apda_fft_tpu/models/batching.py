@@ -73,6 +73,7 @@ def analyze_records(
     records: Sequence[tuple[np.ndarray, float]],
     analyze=analyze_epoch,
     on_bucket=None,
+    batch_pad: str | None = "pow2",
     **kwargs,
 ) -> list[RecordPeaks]:
     """Analyze ragged ``(samples, fs)`` records, one XLA program per bucket.
@@ -84,6 +85,14 @@ def analyze_records(
     ``on_bucket(n_fft, record_indices)`` is invoked after each bucket's
     analyze call, so callers can attribute per-run state (e.g. a metric
     snapshot) to exactly the records that run produced.
+
+    ``batch_pad="pow2"`` (default) rounds each bucket's batch up to the next
+    power of two with replicate-last pad rows (never referenced by the
+    returned views): a long-running gateway sees a different record count
+    every epoch, and an exact-B program would recompile (10-40 s) per novel
+    (n_fft, B) pair - pow2 bucketing bounds that to log2(B) programs per
+    n_fft at <= 2x device work on sub-ms programs.  Pass ``None`` to compile
+    exact batch sizes.
     """
     buckets: dict[int, list[int]] = {}
     for i, (samples, _) in enumerate(records):
@@ -105,17 +114,26 @@ def analyze_records(
     out: list[RecordPeaks | None] = [None] * len(records)
     for n_fft, idxs in sorted(buckets.items()):
         b = len(idxs)
-        batch = np.zeros((b, n_fft), host_dtype)
-        lengths = np.zeros((b,), np.int32)
+        bp = next_pow2(b) if batch_pad == "pow2" else b
+        batch = np.zeros((bp, n_fft), host_dtype)
+        lengths = np.full((bp,), n_fft, np.int32)
         # fs stays float64 on the host: the device casts it to the compute
         # dtype anyway, and the rigid detector's non-dyadic wipe-rounding
         # table needs the original float64 rate (pipeline._rigid_corr_batch).
-        fs = np.zeros((b,), np.float64)
+        fs = np.ones((bp,), np.float64)
         for row, i in enumerate(idxs):
             samples, rec_fs = records[i]
             batch[row, : len(samples)] = samples
             lengths[row] = len(samples)
             fs[row] = rec_fs
+        # Pad rows REPLICATE the last real record (mesh-path convention):
+        # zero rows have count == 0, which would force the adaptive mode's
+        # whole-epoch rigid fallback on every padded call; replicated rows
+        # behave exactly like their source through every detector.
+        for row in range(b, bp):
+            batch[row] = batch[b - 1]
+            lengths[row] = lengths[b - 1]
+            fs[row] = fs[b - 1]
         result = analyze(batch, fs, n_fft=n_fft, lengths=lengths, **kwargs)
         # ONE device->host transfer per bucket: RecordPeaks readers index
         # scalars (count, per-slot idx/freq/mag, drift refined_freq, ...),
@@ -138,6 +156,7 @@ def analyze_records_welch(
     taper: str = "hann",
     analyze=None,
     on_bucket=None,
+    batch_pad: str | None = "pow2",
     **kwargs,
 ) -> list[RecordPeaks]:
     """Welch-analyze ragged records, one XLA program per record-length bucket.
@@ -155,6 +174,9 @@ def analyze_records_welch(
     Records shorter than ``window`` are analyzed as a single clamped segment
     (effective window = record length); ``on_bucket(n_fft, record_indices)``
     reports the effective padded segment length per bucket.
+    ``batch_pad="pow2"`` bounds the compiled-program count exactly like
+    :func:`analyze_records` (replicate-last pad rows, never referenced by
+    the returned views).
     """
     if analyze is None:
         from apda_fft_tpu.models.streaming import analyze_welch
@@ -186,8 +208,16 @@ def analyze_records_welch(
         eff_window = min(window, t)
         eff_hop = min(hop, eff_window) if hop is not None else max(eff_window // 2, 1)
         n_fft = next_pow2(eff_window)
-        batch = np.stack([np.asarray(records[i][0], host_dtype) for i in idxs])
-        fs = np.asarray([records[i][1] for i in idxs], np.float64)
+        b = len(idxs)
+        bp = next_pow2(b) if batch_pad == "pow2" else b
+        batch = np.zeros((bp, t), host_dtype)
+        fs = np.ones((bp,), np.float64)
+        for row, i in enumerate(idxs):
+            batch[row] = np.asarray(records[i][0], host_dtype)
+            fs[row] = records[i][1]
+        for row in range(b, bp):  # replicate-last pad (see analyze_records)
+            batch[row] = batch[b - 1]
+            fs[row] = fs[b - 1]
         result = analyze(
             batch, fs, window=eff_window, hop=eff_hop, taper=taper, **kwargs
         )

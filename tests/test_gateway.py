@@ -1001,3 +1001,14 @@ def test_epoch_batch_scale_32_sensors_mixed_buckets(tmp_path):
             assert keys == {k for k in i if k.startswith(("peak_freq", "max_mag"))}
             for k in keys:
                 assert b[k] == i[k], (mac, axis, k)
+
+
+def test_fault_soak_smoke():
+    """The committed soak harness (benchmarks/soak.py) holds its invariants
+    on a small CPU run; the full-size run is exercised on hardware per round
+    (docs/ROUND3.md)."""
+    from benchmarks.soak import run_soak
+
+    result = run_soak(n_sensors=4, epochs=2, seed=1)
+    assert result["ok"], result
+    assert result["critical_lines"] == 0

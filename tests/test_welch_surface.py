@@ -371,3 +371,28 @@ def test_cli_track_welch_mode(tmp_path, capsys):
                "--rel-drift", "0.02"])
     out = capsys.readouterr().out
     assert rc == 2 and "ALERT" in out
+
+
+def test_batch_pad_pow2_bounds_programs_and_is_invisible():
+    """Bucket batches pad to pow2 (bounded compile count) without changing
+    any returned decision (review of the soak's per-epoch compile storms)."""
+    from apda_fft_tpu.models.batching import analyze_records
+
+    fs = 500.0
+    recs = [(noisy_tone_signal(1024, fs, [(61.0352, 2.0)], noise=0.2, seed=s), fs)
+            for s in range(5)]  # B=5 -> padded to 8
+    shapes = []
+
+    def probe(batch, f, **kw):
+        shapes.append(batch.shape)
+        from apda_fft_tpu.models.pipeline import analyze_epoch
+
+        return analyze_epoch(batch, f, **kw)
+
+    padded = analyze_records(recs, analyze=probe)
+    exact = analyze_records(recs, batch_pad=None)
+    assert shapes == [(8, 1024)]
+    for rp_p, rp_e in zip(padded, exact):
+        assert rp_p.count == rp_e.count
+        for slot in range(rp_p.count):
+            assert rp_p.peak(slot) == rp_e.peak(slot)
