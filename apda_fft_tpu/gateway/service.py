@@ -160,6 +160,13 @@ class GatewayService:
         if self.uploader is not None:
             self.uploader.drain(log=self.history)
             self.uploader.shutdown()
+            # Final cleanup sweep: async completions that landed after a
+            # sensor's last sync left uploaded files on disk - a restart
+            # would requeue them as orphans and upload DUPLICATES.  With the
+            # uploader drained (nothing reads files anymore), the sync-time
+            # cleanup rule applies to every known sensor.
+            for addr in set(self.ftp_queue) | set(self.api_queue) | set(self.influx_queue):
+                self._cleanup_files(addr)
         self.transport.stop(self.history)
 
     def run_forever(self) -> None:
@@ -469,24 +476,32 @@ class GatewayService:
         # uploads in flight the cleanup is deferred entirely: an in-flight
         # job may still be reading a file no queue mentions.
         if self._uploads_inflight.get(addr, 0) == 0:
-            still_pending = (
-                set(self.ftp_queue.get(addr, []))
-                | set(self.api_queue.get(addr, []))
-                | set(self.influx_queue.get(addr, []))
-                | {os.path.basename(p) for p in self.open_file.values()}
-            )
-            for filename in os.listdir(self.config.data_dir):
-                if filename.startswith(addr) and filename.endswith(".log"):
-                    if filename not in still_pending:
-                        try:
-                            os.remove(os.path.join(self.config.data_dir, filename))
-                        except OSError as exc:
-                            self.history(f"\t[ERROR] cleanup failed for {filename}: {exc}")
+            self._cleanup_files(addr)
 
         self.history(
             f"\t{device_status.strip()}\n\t{peaks_text}\t{metrics}\t{config_status.strip()}\n"
         )
         self.fft_results.pop(addr, None)
+
+    def _cleanup_files(self, addr: str) -> None:
+        """Delete this sensor's files no longer pending anywhere (:346-355)."""
+        still_pending = (
+            set(self.ftp_queue.get(addr, []))
+            | set(self.api_queue.get(addr, []))
+            | set(self.influx_queue.get(addr, []))
+            | {os.path.basename(p) for p in self.open_file.values()}
+        )
+        try:
+            names = os.listdir(self.config.data_dir)
+        except OSError:
+            return
+        for filename in names:
+            if filename.startswith(addr) and filename.endswith(".log"):
+                if filename not in still_pending:
+                    try:
+                        os.remove(os.path.join(self.config.data_dir, filename))
+                    except OSError as exc:
+                        self.history(f"\t[ERROR] cleanup failed for {filename}: {exc}")
 
     # -- analysis ------------------------------------------------------------
 

@@ -47,6 +47,7 @@ def run_soak(
     seed: int = 0,
     sink_fail_rate: float = 0.25,
     workdir: str | None = None,
+    async_uploads: bool = False,
 ) -> dict:
     from apda_fft_tpu.gateway.config import GatewayConfig
     from apda_fft_tpu.gateway.egress import FtpSink, HttpSink
@@ -90,6 +91,7 @@ def run_soak(
     svc = GatewayService(
         config, transport, flush_mode="on_sync",
         ftp_sink=FlakyFtp(config.ftp, data_dir), http_sink=FlakyHttp(""),
+        async_uploads=async_uploads, upload_timeout=10.0,
     )
     svc.start()
 
@@ -139,11 +141,16 @@ def run_soak(
         svc.drain()
 
     # Heal the sinks; every sensor syncs until queues drain (bounded).
+    # Async mode needs extra rounds: a sync only SUBMITS this sensor's batch
+    # (at most one in flight each), and results land on later polls.
     healthy["on"] = True
-    for _ in range(4):
+    for _ in range(8 if async_uploads else 4):
         for mac in macs:
             SensorSimulator(mac).heartbeat(transport)
         svc.drain()
+        if async_uploads and svc.uploader is not None:
+            svc.uploader.drain(log=svc.history)
+            svc.poll_uploads() if hasattr(svc, "poll_uploads") else svc.uploader.poll(svc.history)
         if not any(svc.ftp_queue.get(m) or svc.api_queue.get(m) for m in macs):
             break
     svc.stop()
@@ -169,6 +176,7 @@ def run_soak(
     result = {
         "metric": "gateway_fault_soak",
         "analysis": analysis,
+        "async_uploads": async_uploads,
         "sensors": n_sensors,
         "epochs": epochs,
         "traffic": counts,
@@ -197,8 +205,10 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=12)
     ap.add_argument("--analysis", default="epoch", choices=["epoch", "welch"])
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--async-uploads", action="store_true")
     args = ap.parse_args()
-    result = run_soak(args.sensors, args.epochs, args.analysis, args.seed)
+    result = run_soak(args.sensors, args.epochs, args.analysis, args.seed,
+                      async_uploads=args.async_uploads)
     print(json.dumps(result))
     raise SystemExit(0 if result["ok"] else 1)
 

@@ -1012,3 +1012,28 @@ def test_fault_soak_smoke():
     result = run_soak(n_sensors=4, epochs=2, seed=1)
     assert result["ok"], result
     assert result["critical_lines"] == 0
+
+
+def test_async_stop_cleans_uploaded_files(tmp_path):
+    """Async completions after a sensor's last sync must not strand files:
+    a restart would requeue them as orphans and upload DUPLICATES (review
+    of the async fault-soak leg)."""
+    svc, transport, ftp_uploads, _ = make_service(tmp_path)
+    # Rebuild the service with async uploads against the same sinks.
+    from apda_fft_tpu.gateway.service import GatewayService
+
+    svc2 = GatewayService(
+        svc.config, transport, flush_mode="immediate", clock=TickingClock(),
+        ftp_sink=svc.ftp_sink, http_sink=svc.http_sink, async_uploads=True,
+    )
+    svc2.start()
+    sim = SensorSimulator(MAC, fs=500.0, axis="X", chunk=100)
+    sim.stream_acquisition(transport, two_mode_signal(1024, 500.0))
+    svc2.drain()
+    sim.heartbeat(transport)  # submits the async batch
+    svc2.drain()
+    svc2.stop()  # drains worker + final cleanup sweep
+    assert svc2.ftp_queue[MAC] == []
+    left = [f for f in os.listdir(svc2.config.data_dir)
+            if f.startswith(MAC) and f.endswith(".log")]
+    assert left == []
