@@ -26,6 +26,7 @@ from apda_fft_tpu.models.streaming import (
     analyze_stream,
     analyze_welch,
     coherence,
+    coherence_with_phase,
     cross_psd,
     frame_records,
     spectrogram,
@@ -73,6 +74,7 @@ __all__ = [
     "analyze_window_lowlat",
     "center_and_pad",
     "coherence",
+    "coherence_with_phase",
     "cross_psd",
     "frame_records",
     "default_k",

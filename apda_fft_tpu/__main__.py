@@ -30,8 +30,10 @@ def _load(paths):
     loaded = []
     for path in paths:
         rec = load_sensor_log(path)
-        if rec is None or not rec.samples:
-            print(f"# skipping {path}: corrupt or empty", file=sys.stderr)
+        # < 2 samples has no spectrum (next_pow2(1) = 1 -> zero bins) and
+        # cannot be Welch-segmented; skip like the gateway does.
+        if rec is None or len(rec.samples) < 2:
+            print(f"# skipping {path}: corrupt or too short", file=sys.stderr)
             continue
         loaded.append((path, rec))
     return loaded
@@ -162,20 +164,7 @@ def cmd_spectrogram(args) -> int:
                 print(f"  frame {w:3d}: dominant {freqs[i]:9.4f} Hz  "
                       f"mag={mags[w, i]:.4f}")
     if args.out and out:
-        arrays = {}
-        used: dict[str, int] = {}
-        for path, d in out.items():
-            stem = _os_basename_noext(path)
-            # Same basename from different directories must not silently
-            # clobber each other's arrays: disambiguate with a counter.
-            n = used.get(stem, 0)
-            used[stem] = n + 1
-            if n:
-                stem = f"{stem}.{n}"
-            arrays[f"{stem}__freqs"] = d["freqs"]
-            arrays[f"{stem}__mags"] = d["mags"]
-        np.savez(args.out, **arrays)
-        print(f"# wrote {args.out}", file=sys.stderr)
+        _save_npz(args.out, out)
     return 0 if out else 1
 
 
@@ -183,6 +172,28 @@ def _os_basename_noext(path: str) -> str:
     import os as _os
 
     return _os.path.splitext(_os.path.basename(path))[0]
+
+
+def _save_npz(out_path: str, per_file: dict) -> None:
+    """Save ``{path: {suffix: array}}`` keyed by de-duplicated basename stems.
+
+    Final names are checked against every name already taken (not just the
+    original stem), so a generated ``stem.N`` can never clobber a real file
+    literally named ``stem.N``.
+    """
+    arrays = {}
+    taken: set[str] = set()
+    for path, d in per_file.items():
+        stem = base = _os_basename_noext(path)
+        n = 1
+        while stem in taken:
+            stem = f"{base}.{n}"
+            n += 1
+        taken.add(stem)
+        for suffix, arr in d.items():
+            arrays[f"{stem}__{suffix}"] = arr
+    np.savez(out_path, **arrays)
+    print(f"# wrote {out_path}", file=sys.stderr)
 
 
 def cmd_psd(args) -> int:
@@ -221,18 +232,7 @@ def cmd_psd(args) -> int:
             for i in top:
                 print(f"  f={freqs[i]:9.4f} Hz  psd={psd[i]:.6e}")
     if args.out and out:
-        arrays = {}
-        used: dict[str, int] = {}
-        for path, d in out.items():
-            stem = _os_basename_noext(path)
-            n = used.get(stem, 0)
-            used[stem] = n + 1
-            if n:
-                stem = f"{stem}.{n}"
-            arrays[f"{stem}__freqs"] = d["freqs"]
-            arrays[f"{stem}__psd"] = d["psd"]
-        np.savez(args.out, **arrays)
-        print(f"# wrote {args.out}", file=sys.stderr)
+        _save_npz(args.out, out)
     return 0 if out else 1
 
 
@@ -244,9 +244,7 @@ def cmd_coherence(args) -> int:
     seen by both sensors); independent noise sits near 0.  Also reports the
     cross-spectral phase at each coherent peak (mode-shape sign/lag).
     """
-    import jax.numpy as jnp
-
-    from apda_fft_tpu.models.streaming import _bin_freqs, _cross_moments
+    from apda_fft_tpu.models.streaming import coherence_with_phase
 
     loaded = _load([args.file_x, args.file_y])
     if len(loaded) != 2:
@@ -264,19 +262,8 @@ def cmd_coherence(args) -> int:
               f"2*window={2 * args.window})", file=sys.stderr)
         return 1
     x, y = x[:t], y[:t]
-    # One segment-FFT pass for both outputs: coherence() and cross_psd()
-    # each run _cross_moments, so calling both would double the work; the
-    # cross-spectral phase is scale-invariant, so the unscaled (pr, pi)
-    # moments carry it directly.
-    pxx, pyy, pr, pi, n_fft = _cross_moments(
-        x, y, rec_x.fs, args.window, args.hop, "hann", "mean", jnp.float32
-    )
-    denom = np.asarray(pxx) * np.asarray(pyy)
-    pr, pi = np.asarray(pr), np.asarray(pi)
-    cxy = np.where(denom > 0, (pr * pr + pi * pi) / denom, 0.0)
-    cxy[0] = 0.0
-    freqs = np.asarray(_bin_freqs(rec_x.fs, n_fft, jnp.float32))
-    phase = np.degrees(np.arctan2(pi, pr))
+    freqs, cxy, phase = coherence_with_phase(x, y, rec_x.fs, args.window, args.hop)
+    freqs, cxy, phase = np.asarray(freqs), np.asarray(cxy), np.asarray(phase)
 
     # Coherent peaks: local maxima of coherence above the threshold.
     above = cxy >= args.threshold

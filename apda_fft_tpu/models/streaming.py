@@ -450,13 +450,40 @@ def coherence(
     overlap-averaging over several segments (single-segment coherence is
     identically 1).
     """
+    freqs, cxy, _ = coherence_with_phase(
+        x, y, fs, window, hop, taper=taper, detrend=detrend, dtype=dtype
+    )
+    return freqs, cxy
+
+
+def coherence_with_phase(
+    x,
+    y,
+    fs,
+    window: int,
+    hop: int | None = None,
+    *,
+    taper: str = "hann",
+    detrend: str = "mean",
+    dtype=jnp.float32,
+):
+    """Coherence plus cross-spectral phase from ONE segment-FFT pass.
+
+    ``(freqs, cxy, phase_deg)``: the coherent-band question ("same mode?")
+    and the mode-shape sign/lag question ("at what phase?") usually come
+    together, and answering them via separate :func:`coherence` +
+    :func:`cross_psd` calls segments and FFTs both channels twice.  Phase
+    is scale-invariant, so the unscaled cross moments carry it directly
+    (scipy's ``conj(X)*Y`` sign convention: positive = ``y`` leads ``x``).
+    """
     pxx, pyy, pr, pi, n_fft = _cross_moments(
         x, y, fs, window, hop, taper, detrend, dtype
     )
     denom = pxx * pyy
-    cxy = jnp.where(denom > 0, (pr * pr + pi * pi) / denom, 0.0)
+    cxy = jnp.where(denom > 0, (pr * pr + pi * pi) / jnp.where(denom > 0, denom, 1.0), 0.0)
     cxy = cxy.at[..., 0].set(0.0)
-    return _bin_freqs(fs, n_fft, dtype), cxy
+    phase_deg = jnp.degrees(jnp.arctan2(pi, pr))
+    return _bin_freqs(fs, n_fft, dtype), cxy, phase_deg
 
 
 def analyze_epochs_pipelined(

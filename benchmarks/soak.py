@@ -150,7 +150,6 @@ def run_soak(
         svc.drain()
         if async_uploads and svc.uploader is not None:
             svc.uploader.drain(log=svc.history)
-            svc.poll_uploads() if hasattr(svc, "poll_uploads") else svc.uploader.poll(svc.history)
         if not any(svc.ftp_queue.get(m) or svc.api_queue.get(m) for m in macs):
             break
     svc.stop()

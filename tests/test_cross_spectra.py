@@ -99,3 +99,48 @@ def test_validation():
         coherence(x, y, fs, window=512, taper="tukey")
     with pytest.raises(ValueError, match="unknown detrend"):
         cross_psd(x, y, fs, window=512, detrend="linear")
+
+
+def test_coherence_with_phase_single_pass_consistency():
+    """(freqs, cxy, phase) match separate coherence() + cross_psd() calls."""
+    import numpy as np
+
+    from apda_fft_tpu.models.streaming import (
+        coherence, coherence_with_phase, cross_psd,
+    )
+
+    rng = np.random.default_rng(21)
+    fs, n = 500.0, 8192
+    t = np.arange(n) / fs
+    shared = np.sin(2 * np.pi * 40.0 * t)
+    x = shared + 0.5 * rng.standard_normal(n)
+    y = 0.8 * np.sin(2 * np.pi * 40.0 * t - np.pi / 4) + 0.5 * rng.standard_normal(n)
+
+    f1, cxy1, phase = coherence_with_phase(x, y, fs, 1024)
+    f2, cxy2 = coherence(x, y, fs, 1024)
+    _, pxy = cross_psd(x, y, fs, 1024)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    np.testing.assert_allclose(np.asarray(cxy1), np.asarray(cxy2), atol=1e-6)
+    b = int(round(40.0 * 1024 / fs))  # window 1024 -> n_fft 1024, H=512
+    assert float(cxy1[b]) > 0.9
+    # Phase agrees with the complex cross-PSD's angle (scale-invariant).
+    np.testing.assert_allclose(
+        float(np.asarray(phase)[b]), np.degrees(np.angle(pxy[b])), atol=0.1
+    )
+    assert float(np.asarray(phase)[b]) == pytest.approx(-45.0, abs=5.0)
+
+
+def test_coherence_zero_channel_is_clean():
+    """An identically-zero channel yields cxy 0 everywhere, no warnings."""
+    import warnings
+
+    import numpy as np
+
+    from apda_fft_tpu.models.streaming import coherence_with_phase
+
+    x = np.random.default_rng(0).standard_normal(4096).astype(np.float32)
+    z = np.zeros(4096, np.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        _, cxy, _ = coherence_with_phase(x, z, 500.0, 1024)
+    assert float(np.max(np.asarray(cxy))) == 0.0
