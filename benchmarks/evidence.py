@@ -96,6 +96,18 @@ def collect(fuzz_cases: int = 150, configs=(1, 2, 3, 4, 5), backend: str = "matm
     evidence["noisy"] = noisy
     print(f"# noisy: {json.dumps(noisy)}", file=sys.stderr, flush=True)
 
+    # 5) Fault soak: the recovery-invariants story (guarded like the rest).
+    try:
+        from benchmarks.soak import run_soak
+
+        soak = run_soak(n_sensors=16, epochs=6, analysis="epoch", seed=0)
+        evidence["soak"] = soak
+        ok &= bool(soak.get("ok"))
+    except Exception as exc:  # noqa: BLE001
+        evidence["soak"] = {"metric": "gateway_fault_soak", "error": str(exc)}
+        ok = False
+    print(f"# soak: {json.dumps(evidence['soak'])}", file=sys.stderr, flush=True)
+
     evidence["ok"] = bool(ok)
     return evidence
 
