@@ -300,11 +300,13 @@ def _detect_from_mags(
         )(mags, fs_flat)
         prom, damp, qf = det.prominence, det.damping, det.q_factor
         n_cand = det.n_candidates
+        n_req = det.n_required
     elif mode == "rigid":
         det = _rigid(mags, fs_flat)
         zeros = jnp.zeros_like(det.freq)
         prom, damp, qf = zeros, zeros, zeros
         n_cand = det.n_candidates
+        n_req = jnp.zeros_like(n_cand)
     elif mode == "adaptive":
         # Adaptive prominence + resolution fallback (BASELINE config 2): the
         # prominence detector's damping band can reject everything on very
@@ -328,6 +330,7 @@ def _detect_from_mags(
         damp = jnp.where(use_flex, flex.damping, zeros)
         qf = jnp.where(use_flex, flex.q_factor, zeros)
         n_cand = flex.n_candidates
+        n_req = flex.n_required  # the rigid fallback has no budget to size
     else:
         raise ValueError(f"unknown mode {mode!r}; expected one of {MODES}")
 
@@ -347,6 +350,7 @@ def _detect_from_mags(
         q_factor=qf,
         refined_freq=refined,
         n_candidates=n_cand,
+        n_required=n_req,
     )
 
 
@@ -537,23 +541,30 @@ def analyze_epoch(
             while True:
                 passes += 1
                 res = run_lowlat(budget)
-                n_max = int(jax.device_get(jnp.max(res.n_candidates)))
-                if n_max <= budget:
+                n_req, n_max = (
+                    int(v) for v in jax.device_get(
+                        jnp.stack(
+                            [jnp.max(res.n_required), jnp.max(res.n_candidates)]
+                        )
+                    )
+                )
+                if n_req <= budget:
                     break
-                if n_max > 64:
+                if n_req > 64:
                     res = None  # batched path below handles the re-run
                     break
                 budget = min(
-                    max(_pow2_at_least(n_max), _dynamic_budget_hwm.get(key, 0), _DYNAMIC_FLOOR),
+                    max(_pow2_at_least(n_req), _dynamic_budget_hwm.get(key, 0), _DYNAMIC_FLOOR),
                     64,
                 )
             if res is not None:
-                _dynamic_budget[key] = min(max(_pow2_at_least(n_max), _DYNAMIC_FLOOR), n_fft // 2)
+                _dynamic_budget[key] = min(max(_pow2_at_least(n_req), _DYNAMIC_FLOOR), n_fft // 2)
                 _dynamic_budget_hwm[key] = max(_dynamic_budget_hwm.get(key, 0), budget)
                 stats = last_dynamic_stats()
                 stats.clear()
                 stats.update(
-                    candidate_budget=budget, n_candidates_max=n_max, budget_passes=passes
+                    candidate_budget=budget, n_candidates_max=n_max,
+                    n_required_max=n_req, budget_passes=passes,
                 )
         elif isinstance(max_candidates, int) and max_candidates <= 64:
             res = run_lowlat(max_candidates)
@@ -608,6 +619,7 @@ def analyze_epoch(
             q_factor=jnp.where(usek, flex.q_factor, 0.0),
             refined_freq=jnp.where(usek, flex.refined_freq, rig.refined_freq),
             n_candidates=flex.n_candidates,
+            n_required=flex.n_required,
         )
 
     h = n_fft // 2
@@ -619,19 +631,27 @@ def analyze_epoch(
         res = _analyze_epoch_impl(
             samples, fs, lengths, half_corr, max_candidates=budget, **kwargs
         )
-        n_max = int(jax.device_get(jnp.max(res.n_candidates)))
-        if n_max <= budget or budget >= h:
+        # One fused readback: the epoch is exact iff every window's walk
+        # either completed within the budget prefix or saw all its candidates
+        # (n_required <= budget); n_candidates stays for observability only.
+        n_req, n_max = (
+            int(v) for v in jax.device_get(
+                jnp.stack([jnp.max(res.n_required), jnp.max(res.n_candidates)])
+            )
+        )
+        if n_req <= budget or budget >= h:
             break
         budget = min(
-            max(_pow2_at_least(n_max), _dynamic_budget_hwm.get(key, 0), _DYNAMIC_FLOOR),
+            max(_pow2_at_least(n_req), _dynamic_budget_hwm.get(key, 0), _DYNAMIC_FLOOR),
             h,
         )
-    _dynamic_budget[key] = min(max(_pow2_at_least(n_max), _DYNAMIC_FLOOR), h)
+    _dynamic_budget[key] = min(max(_pow2_at_least(n_req), _DYNAMIC_FLOOR), h)
     _dynamic_budget_hwm[key] = max(_dynamic_budget_hwm.get(key, 0), budget)
     stats = last_dynamic_stats()
     stats.clear()
     stats.update(
-        candidate_budget=budget, n_candidates_max=n_max, budget_passes=passes
+        candidate_budget=budget, n_candidates_max=n_max,
+        n_required_max=n_req, budget_passes=passes,
     )
     return res
 

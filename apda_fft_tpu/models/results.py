@@ -29,8 +29,13 @@ class EpochResult(NamedTuple):
     q_factor: jnp.ndarray  # [..., k] (flexible mode; zeros in rigid)
     refined_freq: jnp.ndarray  # [..., k] Hz, sub-bin interpolated (zeros if off)
     n_candidates: jnp.ndarray  # [...] int32: threshold-crossing local maxima per
-    #: window, before the flexible detector's max_candidates budget.  If this
-    #: exceeds max_candidates, raise the budget for exact reference parity.
+    #: window, before the flexible detector's max_candidates budget.
+    n_required: jnp.ndarray  # [...] int32: smallest flexible candidate budget
+    #: that reproduces this window's decisions exactly - slots consumed up to
+    #: the k-th acceptance when the greedy walk completed (the reference
+    #: breaks there), else the full pre-budget candidate count.  Decisions are
+    #: reference-exact iff n_required <= the budget used; the dynamic budget
+    #: re-runs on exactly that condition.  Zeros in rigid mode (no budget).
 
     @property
     def k(self) -> int:

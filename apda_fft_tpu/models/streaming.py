@@ -566,11 +566,14 @@ def analyze_epochs_pipelined(
         samples, nf, h, key, budget, res = item
         if mode == "rigid" or res.n_candidates.size == 0:
             return res
-        n_max = int(jax.device_get(jnp.max(res.n_candidates)))
-        while n_max > budget and budget < h:
+        # Exactness criterion: every window's greedy walk either completed
+        # within the budget prefix or saw all its candidates (n_required <=
+        # budget) - see EpochResult.n_required.
+        n_req = int(jax.device_get(jnp.max(res.n_required)))
+        while n_req > budget and budget < h:
             budget = min(
                 max(
-                    _pipeline._pow2_at_least(n_max),
+                    _pipeline._pow2_at_least(n_req),
                     _pipeline._dynamic_budget_hwm.get(key, 0),
                     _pipeline._DYNAMIC_FLOOR,
                 ),
@@ -579,9 +582,9 @@ def analyze_epochs_pipelined(
             res = analyze(
                 samples, fs, n_fft=nf, mode=mode, max_candidates=budget, **kwargs
             )
-            n_max = int(jax.device_get(jnp.max(res.n_candidates)))
+            n_req = int(jax.device_get(jnp.max(res.n_required)))
         _pipeline._dynamic_budget[key] = min(
-            max(_pipeline._pow2_at_least(n_max), _pipeline._DYNAMIC_FLOOR), h
+            max(_pipeline._pow2_at_least(n_req), _pipeline._DYNAMIC_FLOOR), h
         )
         _pipeline._dynamic_budget_hwm[key] = max(
             _pipeline._dynamic_budget_hwm.get(key, 0), budget

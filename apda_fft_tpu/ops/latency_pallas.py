@@ -231,7 +231,7 @@ def _refine_subbin(mags, kmat, idx, ds, h: int):
 
 def _flex_kernel(x_ref, cs1_ref, twc_ref, tws_ref, c2h_ref, s2h_ref, fs_ref,
                  idx_ref, freq_ref, mag_ref, prom_ref, damp_ref, q_ref, refined_ref,
-                 cnt_ref, ncand_ref,
+                 cnt_ref, ncand_ref, nreq_ref,
                  *, n1: int, n2: int, n_fft: int, k: int, m_budget: int, refine: bool):
     f32 = jnp.float32
     i32 = jnp.int32
@@ -241,23 +241,29 @@ def _flex_kernel(x_ref, cs1_ref, twc_ref, tws_ref, c2h_ref, s2h_ref, fs_ref,
     ds = fs_ref[0, 0] / f32(n_fft)
     thr, std = _threshold(mags, h)
     cand_mask = _local_max(mags, k1, kmat, h, n1) & (mags > thr)
-    ncand_ref[0, 0] = jnp.sum(cand_mask.astype(i32))
+    n_cand = jnp.sum(cand_mask.astype(i32))
+    ncand_ref[0, 0] = n_cand
 
     neg_inf = f32(-jnp.inf)
     inf = f32(jnp.inf)
     slots = jax.lax.broadcasted_iota(i32, (1, k), 1)
 
-    # Candidate selection (magnitude-descending, first-index tie-break) fused
-    # with the per-candidate prominence/width scans: the selection loop is
-    # statically unrolled, so each round's (j, peak) scalars feed the scans
-    # directly (ops/peaks_prominence.py prominence_select "argmax" +
-    # _prominence_and_width, evaluated against kmat instead of a flat iota).
-    work = jnp.where(cand_mask, mags, neg_inf)
+    # Candidate selection fused with the per-candidate prominence/width
+    # scans: the selection loop is statically unrolled, so each round's
+    # (j, peak) scalars feed the scans directly (ops/peaks_prominence.py
+    # prominence_select "argmax" + _prominence_and_width, evaluated against
+    # kmat instead of a flat iota).  The selection SCORE is the 4-dp-rounded
+    # magnitude with a first-index tie-break - the reference's stored-mag
+    # stable sort order (get_peak_prominence.py:188,197) - while the raw
+    # magnitude still drives the scans.
+    scale4 = f32(10.0**4)
+    work = jnp.where(cand_mask, _round_half_even(mags * scale4) / scale4, neg_inf)
     cands = []
     for _ in range(m_budget):
         peak, j = _first_argmax(work, kmat, h)
         is_cand = peak > neg_inf
-        cmag = jnp.where(is_cand, peak, f32(0))  # invalid slots land on bin 0 (= 0)
+        raw = jnp.max(jnp.where(kmat == j, mags, neg_inf))
+        cmag = jnp.where(is_cand, raw, f32(0))  # invalid slots land on bin 0 (= 0)
         work = jnp.where(kmat == j, neg_inf, work)
 
         left = kmat < j
@@ -288,6 +294,7 @@ def _flex_kernel(x_ref, cs1_ref, twc_ref, tws_ref, c2h_ref, s2h_ref, fs_ref,
         return _round_half_even(x * scale) / scale
 
     count = jnp.asarray(0, i32)
+    consumed = jnp.asarray(0, i32)
     acc_idx = jnp.full((1, k), -1, i32)
     acc_freq = jnp.zeros((1, k), f32)
     acc_mag = jnp.zeros((1, k), f32)
@@ -295,6 +302,7 @@ def _flex_kernel(x_ref, cs1_ref, twc_ref, tws_ref, c2h_ref, s2h_ref, fs_ref,
     acc_damp = jnp.zeros((1, k), f32)
     acc_q = jnp.zeros((1, k), f32)
     for j, is_cand, cmag, prom, bins in cands:
+        consumed = consumed + (count < k).astype(i32)
         width = bins.astype(f32) * ds
         fn = j.astype(f32) * ds
         q = fn / width
@@ -341,6 +349,10 @@ def _flex_kernel(x_ref, cs1_ref, twc_ref, tws_ref, c2h_ref, s2h_ref, fs_ref,
     q_ref[:] = acc_q
     refined_ref[:] = _refine_subbin(mags, kmat, acc_idx, ds, h) if refine else jnp.zeros((1, k), f32)
     cnt_ref[0, 0] = count
+    # Smallest budget deciding this window exactly (ops.peaks_prominence
+    # prominence_finalize's n_required): slots consumed to the k-th
+    # acceptance on a completed walk, else the full pre-budget count.
+    nreq_ref[0, 0] = jnp.where(count >= k, consumed, n_cand)
 
 
 def _latency_split(n: int) -> tuple[int, int]:
@@ -393,8 +405,9 @@ def analyze_window_lowlat(
     batched path).  Returns an :class:`EpochResult` with batch shape [1].
 
     ``max_candidates`` bounds the flexible detector exactly like the batched
-    path's static budget; check ``result.n_candidates`` against it (the
-    caller can re-run larger, mirroring the dynamic-budget contract).
+    path's static budget; decisions are exact iff ``result.n_required <=
+    max_candidates`` (the caller re-runs larger otherwise, mirroring the
+    dynamic-budget contract).
     """
     x = jnp.asarray(x, jnp.float32)
     if x.ndim == 2:
@@ -448,9 +461,10 @@ def analyze_window_lowlat(
         )(a, *tables, fs2)
         zeros = jnp.zeros((1, k), jnp.float32)
         prom, damp, qf = zeros, zeros, zeros
+        n_required = jnp.zeros_like(cnt[:, 0])  # rigid mode has no budget
     else:
         eff = min(max_candidates, n // 2)
-        idx, freq, mag, prom, damp, qf, refined, cnt, ncand = pl.pallas_call(
+        idx, freq, mag, prom, damp, qf, refined, cnt, ncand, nreq = pl.pallas_call(
             functools.partial(
                 _flex_kernel, n1=n1, n2=n2, n_fft=n_fft, k=k,
                 m_budget=eff, refine=refine,
@@ -458,14 +472,15 @@ def analyze_window_lowlat(
             in_specs=in_specs,
             out_specs=(
                 vec(), vec(), vec(), vec(), vec(), vec(), vec(),
-                smem_scalar(), smem_scalar(),
+                smem_scalar(), smem_scalar(), smem_scalar(),
             ),
             out_shape=(
                 kvec_i_shape, kvec_shape, kvec_shape, kvec_shape, kvec_shape,
-                kvec_shape, kvec_shape, scalar_shape, scalar_shape,
+                kvec_shape, kvec_shape, scalar_shape, scalar_shape, scalar_shape,
             ),
             interpret=interpret,
         )(a, *tables, fs2)
+        n_required = nreq[:, 0]
 
     return EpochResult(
         count=cnt[:, 0],
@@ -477,4 +492,5 @@ def analyze_window_lowlat(
         q_factor=qf,
         refined_freq=refined,
         n_candidates=ncand[:, 0],
+        n_required=n_required,
     )

@@ -58,6 +58,14 @@ class ProminencePeaks(NamedTuple):
     damping: jnp.ndarray  # [k] percent, rounded to 2 decimals
     q_factor: jnp.ndarray  # [k] rounded to 2 decimals
     n_candidates: jnp.ndarray  # [] int32: local maxima above threshold (pre-budget)
+    n_required: jnp.ndarray  # [] int32: smallest budget that decides this window
+    #: exactly - candidate slots consumed up to the k-th acceptance when the
+    #: greedy walk completed (the reference breaks there,
+    #: ``get_peak_prominence.py:222-223``), else the full pre-budget candidate
+    #: count (every candidate must be seen).  The dynamic budget sizes itself
+    #: on this instead of ``n_candidates``, so noisy windows whose top few
+    #: magnitude-ordered candidates already decide the top-k never force a
+    #: large-budget re-run.
 
 
 def _round_decimals(x: jnp.ndarray, decimals: int) -> jnp.ndarray:
@@ -246,11 +254,18 @@ def prominence_select(mags: jnp.ndarray, max_candidates: int, selection: str = "
     local_max = interior & (mags > jnp.roll(mags, 1)) & (mags > jnp.roll(mags, -1))
     cand_mask = local_max & (mags > thr)
 
-    # Magnitude-descending stable order == reference's ascending-j candidate
-    # build (:169-194) followed by a stable sort on magnitude (:197).
+    # The reference sorts candidates by their STORED 4-dp-rounded magnitude
+    # (``get_peak_prominence.py:188`` rounds at build, ``:197`` sorts on it),
+    # with Python's stable sort keeping ascending-j order on rounding ties -
+    # which ARE common on noisy low-amplitude spectra (many candidates per
+    # 1e-4 grid cell).  Scoring on the rounded magnitude with a first-index
+    # tie-break reproduces that order exactly, and makes the selected budget
+    # prefix exactly a prefix of the reference's walk order (the property the
+    # dynamic budget's early-complete shortcut relies on).  The raw magnitude
+    # (``cmag`` below) still feeds the prominence/width scans.
     # Very short spectra can have fewer bins than the candidate budget.
     eff = min(max_candidates, h)
-    score = jnp.where(cand_mask, mags, -jnp.inf)
+    score = jnp.where(cand_mask, _round_decimals(mags, 4), -jnp.inf)
     if selection == "auto":
         # Iterative argmax costs ~4*eff vector ops over H; top_k lowers to a
         # full bitonic sort (~log^2 H passes).  Measured on TPU v5e
@@ -265,7 +280,7 @@ def prominence_select(mags: jnp.ndarray, max_candidates: int, selection: str = "
     if selection == "argmax":
         # eff unrolled rounds of (argmax, mask-out).  argmax returns the
         # first index among equal values, so picks emerge exactly in the
-        # stable (-mag, idx) order with no re-sort; also partitions cleanly
+        # stable (-score, idx) order with no re-sort; also partitions cleanly
         # under SPMD (no sort/top_k custom call).
         iota32 = iota.astype(jnp.int32)
         work = score
@@ -276,10 +291,11 @@ def prominence_select(mags: jnp.ndarray, max_candidates: int, selection: str = "
             work = jnp.where(iota32 == j, -jnp.inf, work)
         cid = jnp.stack(ids)
     elif selection == "topk":
-        # top_k then an M-element lexicographic (-mag, idx) re-sort: identical
-        # to the stable full sort unless exactly-equal magnitudes straddle the
-        # max_candidates boundary (measure-zero for real spectra), and much
-        # cheaper than sorting all H bins.
+        # top_k then an M-element lexicographic (-score, idx) re-sort: with
+        # rounded-magnitude scores, lax.top_k's documented tie rule (equal
+        # values keep the lower index) makes this identical to the stable
+        # full sort even when ties straddle the max_candidates boundary, and
+        # much cheaper than sorting all H bins.
         vals, idx0 = jax.lax.top_k(score, eff)
         _, cid = jax.lax.sort((-vals, idx0.astype(jnp.int32)), num_keys=2)
     elif selection == "sort":
@@ -337,7 +353,11 @@ def prominence_finalize(cid, is_cand, cmag, proms, bins, fs, n_fft: int, k: int,
     slots = jnp.arange(k)
 
     def body(i, state):
-        count, acc = state
+        count, consumed, acc = state
+        # Slots examined while the walk was still incomplete: once count hits
+        # k the reference breaks (:222-223), so any later candidate is
+        # decision-irrelevant and `consumed` is the budget this window needed.
+        consumed = consumed + (count < k).astype(jnp.int32)
         # The reference divides by the stored 4-dp-rounded magnitude; when a
         # magnitude rounds to 0 it raises ZeroDivisionError and its outer
         # catch-all drops the WHOLE window.  Here a zero-rounded magnitude is
@@ -359,9 +379,10 @@ def prominence_finalize(cid, is_cand, cmag, proms, bins, fs, n_fft: int, k: int,
             "damp": jnp.where(write, damp_r[i], acc["damp"]),
             "q": jnp.where(write, q_r[i], acc["q"]),
         }
-        return count + take.astype(jnp.int32), acc
+        return count + take.astype(jnp.int32), consumed, acc
 
     init = (
+        jnp.asarray(0, jnp.int32),
         jnp.asarray(0, jnp.int32),
         {
             "idx": jnp.full((k,), -1, jnp.int32),
@@ -380,12 +401,17 @@ def prominence_finalize(cid, is_cand, cmag, proms, bins, fs, n_fft: int, k: int,
         state = init
         for i in range(m_slots):
             state = body(i, state)
-        count, acc = state
+        count, consumed, acc = state
     else:
-        count, acc = jax.lax.fori_loop(0, m_slots, body, init)
+        count, consumed, acc = jax.lax.fori_loop(0, m_slots, body, init)
 
     if n_candidates is None:
         n_candidates = jnp.asarray(0, jnp.int32)
+    # Completed walk: the budget prefix (rounded-mag order, ties by index -
+    # the reference's exact sort) already decided the top-k, so `consumed`
+    # slots suffice no matter how many candidates the budget truncated.
+    # Incomplete walk: every pre-budget candidate must be seen.
+    n_required = jnp.where(count >= k, consumed, n_candidates)
     return ProminencePeaks(
         count=count,
         idx=acc["idx"],
@@ -395,4 +421,5 @@ def prominence_finalize(cid, is_cand, cmag, proms, bins, fs, n_fft: int, k: int,
         damping=acc["damp"],
         q_factor=acc["q"],
         n_candidates=n_candidates,
+        n_required=n_required,
     )

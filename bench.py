@@ -79,13 +79,17 @@ def _throughput(backend: str, batch: int, reps: int, noisy: bool = False):
     # that budget (as a long-running gateway would), verified sufficient here.
     warm = analyze_epoch(samples, fs, n_fft=N_FFT, mode="flexible", backend=backend)
     n_cand_max = int(np.max(np.asarray(warm.n_candidates)))
+    n_req_max = int(np.max(np.asarray(warm.n_required)))
     from apda_fft_tpu.models.pipeline import _dynamic_budget
 
     budget = _dynamic_budget[(N_FFT, "flexible")]
-    assert n_cand_max <= budget, (n_cand_max, budget)
+    # Exactness invariant: the sticky budget covers n_required (the smallest
+    # exact budget), which on noise is typically far below the pre-budget
+    # candidate count - that gap is the n_required optimization's win.
+    assert n_req_max <= budget, (n_req_max, budget)
     leg = "noisy" if noisy else "clean"
-    print(f"# [{leg}] candidate budget {budget} (max observed {n_cand_max})",
-          file=sys.stderr)
+    print(f"# [{leg}] candidate budget {budget} (required {n_req_max}, "
+          f"pre-budget candidates {n_cand_max})", file=sys.stderr)
 
     pipeline = functools.partial(
         _analyze_epoch_impl,
@@ -109,7 +113,7 @@ def _throughput(backend: str, batch: int, reps: int, noisy: bool = False):
         per_iteration_seconds(lambda s, f: pipeline(s, f, None), samples, fs, reps=reps)
         for _ in range(max(n_samples, 1))
     )
-    return batch / sec, budget
+    return batch / sec, budget, n_cand_max
 
 
 def main() -> None:
@@ -126,7 +130,7 @@ def main() -> None:
     best_backend, best, best_budget = None, 0.0, 0
     for backend in backends:
         try:
-            tp, budget = _throughput(backend, batch, reps)
+            tp, budget, _ = _throughput(backend, batch, reps)
         except Exception as e:  # noqa: BLE001 - report and move on to next backend
             print(f"# backend {backend} failed: {e}", file=sys.stderr)
             continue
@@ -145,17 +149,20 @@ def main() -> None:
         "candidate_budget": best_budget,
     }
     # Noisy-spectrum leg (VERDICT r2 weak #1): same pipeline on broadband
-    # noise + 4 damped modes, where the dynamic budget lands >= 32.  Reported
-    # in the same line so the clean-signal headline can't be read as
-    # universal.  Guarded: a failure degrades to omitting the leg, never
+    # noise + 4 damped modes, with 32+ pre-budget candidates per window.
+    # Reported in the same line so the clean-signal headline can't be read
+    # as universal.  Guarded: a failure degrades to omitting the leg, never
     # losing the headline.
     if os.environ.get("APDA_BENCH_NOISY", "1") != "0":
         try:
-            tp_n, budget_n = _throughput(best_backend, batch, reps, noisy=True)
+            tp_n, budget_n, n_cand_n = _throughput(
+                best_backend, batch, reps, noisy=True
+            )
             out["noisy"] = {
                 "value": round(tp_n, 1),
                 "vs_baseline": round(tp_n / BASELINE_WINDOWS_PER_SEC, 2),
                 "candidate_budget": budget_n,
+                "n_candidates_max": n_cand_n,
             }
             print(f"# noisy leg: {tp_n:,.0f} windows/s at budget {budget_n}",
                   file=sys.stderr)

@@ -73,13 +73,16 @@ def collect(fuzz_cases: int = 150, configs=(1, 2, 3, 4, 5), backend: str = "matm
     evidence["configs"] = cfgs
 
     # 4) Noisy-spectrum throughput leg (broadband noise + 4 damped modes,
-    #    steady-state dynamic budget >= 32) - the realistic-data headline.
+    #    32+ pre-budget candidates per window) - the realistic-data
+    #    headline.  Realism is gated on the candidate COUNT, not the budget:
+    #    since the n_required optimization the steady-state budget on noise
+    #    is intentionally small (the walk completes early).
     #    Guarded like the configs: a failure is recorded, never discards the
     #    20+ minutes of parity/fuzz/config evidence already collected.
     import bench
 
     try:
-        tp, budget = bench._throughput(
+        tp, budget, n_cand = bench._throughput(
             backend, int(os.environ.get("APDA_BENCH_BATCH", "2048")), 10, noisy=True
         )
         noisy = {
@@ -88,8 +91,9 @@ def collect(fuzz_cases: int = 150, configs=(1, 2, 3, 4, 5), backend: str = "matm
             "unit": "windows/s",
             "vs_baseline": round(tp / bench.BASELINE_WINDOWS_PER_SEC, 2),
             "candidate_budget": budget,
+            "n_candidates_max": n_cand,
         }
-        ok &= budget >= 32 and noisy["vs_baseline"] >= 1000.0
+        ok &= n_cand >= 32 and noisy["vs_baseline"] >= 1000.0
     except Exception as exc:  # noqa: BLE001
         noisy = {"metric": "noisy_windows_per_sec", "error": str(exc)}
         ok = False

@@ -62,7 +62,8 @@ def run_corpus() -> dict:
     # (apda_fft_tpu.analyze_window_lowlat) over every full-pow2-window corpus
     # case (validated through N=65536 on hardware - docs/DESIGN.md).  The
     # budget mirrors the production routing contract exactly: re-run larger
-    # iff n_candidates overflowed.  Past the 64-slot cap the case is re-run
+    # iff n_required (the smallest exact budget) overflowed.  Past the
+    # 64-slot cap the case is re-run
     # through analyze_epoch's OWN lowlat="auto" routing (sticky budget
     # cleared first so the kernel attempt is not skipped), executing the
     # production discard-and-fall-back handoff on hardware - never skipping
@@ -83,13 +84,14 @@ def run_corpus() -> dict:
                     x, fs, n_fft=n, mode=mode, max_candidates=budget
                 )
                 n_cand = int(res.n_candidates[0])
+                n_req = int(res.n_required[0])
                 # The budget bounds only the flexible detector's scan slots;
                 # the rigid greedy loop is unbounded in the kernel.
-                if mode == "rigid" or n_cand <= budget or budget >= 64:
+                if mode == "rigid" or n_req <= budget or budget >= 64:
                     break
-                budget = min(64, max(2 * budget, 1 << (n_cand - 1).bit_length()))
+                budget = min(64, max(2 * budget, 1 << (n_req - 1).bit_length()))
             path = "lowlat"
-            if mode == "flexible" and n_cand > budget:
+            if mode == "flexible" and n_req > budget:
                 # >64 candidates needed: exercise the real production
                 # handoff - lowlat="auto" attempts the kernel, reads the
                 # overflow back, discards, and re-runs the batched dynamic

@@ -56,8 +56,8 @@ def _production_pipeline(mode, n_fft, backend, x, fs, refine=False):
 
     warm = analyze_epoch(x, fs, n_fft=n_fft, mode=mode, backend=backend, refine=refine)
     budget = _dynamic_budget.get((n_fft, mode), 8)
-    n_max = int(np.max(np.asarray(warm.n_candidates)))
-    assert n_max <= budget or mode == "rigid", (n_max, budget)
+    n_req = int(np.max(np.asarray(warm.n_required)))
+    assert n_req <= budget or mode == "rigid", (n_req, budget)
     return functools.partial(
         _analyze_epoch_impl,
         n_fft=n_fft,

@@ -76,7 +76,11 @@ def main() -> None:
             # tests.test_peaks_match once served an old parity corpus).
             for mod in [
                 m for m in sys.modules
-                if m.startswith(("apda_fft_tpu", "tests", "benchmarks"))
+                # "bench" covers the top-level bench.py (NOT under
+                # benchmarks/) - a stale cached copy once served a
+                # pre-edit assert to a later job.
+                if m.startswith(("apda_fft_tpu", "tests", "bench",
+                                 "__graft_entry__"))
             ]:
                 del sys.modules[mod]
             src = open(path).read()

@@ -77,14 +77,36 @@ def test_sticky_budget_past_cap_skips_kernel_attempt(fake_tpu):
 
 
 def test_overflow_past_cap_falls_back_to_batched(fake_tpu):
-    # Noise window needing >64 candidate slots (72 at this seed/size): the
-    # kernel reports the overflow, the routing discards its result, and the
-    # batched dynamic path re-runs - decisions must match lowlat="never".
+    # 71 bin-exact tones above bin 1000: every candidate fails the damping
+    # floor (damping = 100/j % < 0.1%), so the walk never completes and
+    # n_required = n_candidates = 71 > the 64-slot kernel cap.  The kernel
+    # reports that, the routing discards its result, and the batched dynamic
+    # path re-runs - decisions must match lowlat="never".
+    fs, n = 500.0, 4096
+    t = np.arange(n) / fs
+    x = sum(
+        np.sin(2 * np.pi * (b * fs / n) * t) for b in range(1100, 1313, 3)
+    ).astype(np.float32)
+    routed = analyze_epoch(x[None], fs, mode="flexible")
+    assert len(fake_tpu) >= 1
+    assert P._dynamic_budget[(4096, "flexible")] > 64
+    unrouted = analyze_epoch(x[None], fs, mode="flexible", lowlat="never")
+    assert int(routed.count[0]) == int(unrouted.count[0])
+    assert np.array_equal(np.asarray(routed.idx[0]), np.asarray(unrouted.idx[0]))
+
+
+def test_early_complete_walk_keeps_kernel_result_past_candidate_overflow(fake_tpu):
+    # Noise window with 72 pre-budget candidates whose greedy walk still
+    # completes within the first few magnitude-ordered slots: n_required is
+    # small, so the kernel result is exact and the routing keeps it instead
+    # of re-running the batched path (the n_required optimization).  The
+    # sticky budget stays at the floor - noisy windows no longer poison it.
     rng = np.random.default_rng(3)
     x = rng.standard_normal(4096).astype(np.float32)
     routed = analyze_epoch(x[None], 500.0, mode="flexible")
     assert len(fake_tpu) >= 1
-    assert P._dynamic_budget[(4096, "flexible")] > 64
+    assert int(np.max(np.asarray(routed.n_candidates))) > 64
+    assert P._dynamic_budget[(4096, "flexible")] <= 64
     unrouted = analyze_epoch(x[None], 500.0, mode="flexible", lowlat="never")
     assert int(routed.count[0]) == int(unrouted.count[0])
     assert np.array_equal(np.asarray(routed.idx[0]), np.asarray(unrouted.idx[0]))

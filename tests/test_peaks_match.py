@@ -196,3 +196,34 @@ def test_alternate_backends_decision_parity(backend):
             res = analyze_epoch(x[None, :], fs, mode=mode, backend=backend)
             got = [int(i) for i in np.asarray(res.idx[0])[: int(res.count[0])]]
             assert got == [p["idx"] for p in ref], (backend, mode, n, seed)
+
+
+def test_n_required_is_the_smallest_exact_budget():
+    """The n_required contract that the dynamic budget relies on: (a) running
+    at max_candidates == n_required reproduces the unbounded decisions
+    exactly; (b) at any smaller budget the result self-reports n_required >
+    budget (so the dynamic loop always detects the truncation and re-runs);
+    (c) n_required <= n_candidates."""
+    for seed, n, fs in [(7, 4096, 500.0), (11, 4096, 250.0), (3, 8192, 62.5)]:
+        rng = np.random.default_rng(seed)
+        x = (
+            modal_signal(n, fs, seed=seed)
+            + 0.3 * rng.standard_normal(n)
+        ).astype(np.float32)
+        full = analyze_epoch(x[None], fs, mode="flexible",
+                             max_candidates=n // 2, lowlat="never")
+        nreq = int(full.n_required[0])
+        ncand = int(full.n_candidates[0])
+        assert 1 <= nreq <= ncand
+        ref = oracle_analyze(x, fs, mode="flexible")
+        want = [p["idx"] for p in ref]
+        for budget in (nreq, nreq + 3):
+            res = analyze_epoch(x[None], fs, mode="flexible",
+                                max_candidates=budget, lowlat="never")
+            got = [int(i) for i in np.asarray(res.idx[0])[: int(res.count[0])]]
+            assert got == want, (seed, budget)
+            assert int(res.n_required[0]) == nreq
+        if nreq > 1:
+            trunc = analyze_epoch(x[None], fs, mode="flexible",
+                                  max_candidates=nreq - 1, lowlat="never")
+            assert int(trunc.n_required[0]) > nreq - 1
