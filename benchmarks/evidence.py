@@ -90,9 +90,11 @@ def collect(fuzz_cases: int = 150, configs=(1, 2, 3, 4, 5), backend: str = "matm
             "value": round(tp, 1),
             "unit": "windows/s",
             "vs_baseline": round(tp / bench.BASELINE_WINDOWS_PER_SEC, 2),
-            "candidate_budget": budget,
+            "candidate_budget": budget if isinstance(budget, int) else budget[1],
             "n_candidates_max": n_cand,
         }
+        if isinstance(budget, tuple):
+            noisy["tier"] = [budget[0], budget[2]]
         ok &= n_cand >= 32 and noisy["vs_baseline"] >= 1000.0
     except Exception as exc:  # noqa: BLE001
         noisy = {"metric": "noisy_windows_per_sec", "error": str(exc)}
