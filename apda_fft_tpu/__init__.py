@@ -32,6 +32,7 @@ from apda_fft_tpu.models.streaming import (
     spectrogram,
     welch_psd,
 )
+from apda_fft_tpu.models.modal import FDDResult, csd_matrix, fdd, modal_assurance
 from apda_fft_tpu.models.tracking import PeakTracker, Track, match_peaks
 from apda_fft_tpu.ops.ringdown import ringdown_damping
 from apda_fft_tpu.ops.fft import (
@@ -59,6 +60,7 @@ def __getattr__(name):
 
 __all__ = [
     "EpochResult",
+    "FDDResult",
     "PeakTracker",
     "PipelineConfig",
     "ProminencePeaks",
@@ -76,8 +78,11 @@ __all__ = [
     "coherence",
     "coherence_with_phase",
     "cross_psd",
+    "csd_matrix",
+    "fdd",
     "frame_records",
     "default_k",
+    "modal_assurance",
     "full_spectrum",
     "halfspec_magnitudes",
     "match_peaks",

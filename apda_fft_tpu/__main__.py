@@ -293,6 +293,67 @@ def cmd_coherence(args) -> int:
     return 0
 
 
+def cmd_fdd(args) -> int:
+    """Multi-sensor operational modal analysis (FDD).
+
+    Takes simultaneously recorded acquisition files (one per sensor),
+    builds the cross-spectral density matrix, and reports each identified
+    structural mode with its frequency, damping, mode-separation ratio
+    (s2/s1), and mode shape across the input sensors - the cross-sensor
+    picture the per-file ``analyze``/``welch`` commands cannot see.
+    """
+    from apda_fft_tpu.models.modal import fdd
+
+    loaded = _load(args.files)
+    if len(loaded) < 1:
+        print("no analyzable files", file=sys.stderr)
+        return 1
+    rates = {rec.fs for _, rec in loaded}
+    if len(rates) != 1:
+        print(f"sampling rates differ across files: {sorted(rates)}", file=sys.stderr)
+        return 1
+    fs = loaded[0][1].fs
+    t = min(len(rec.samples) for _, rec in loaded)
+    if t < 2 * args.window:
+        print(f"need >= 2 overlapping segments ({t} common samples < "
+              f"2*window={2 * args.window})", file=sys.stderr)
+        return 1
+    records = np.stack(
+        [np.asarray(rec.samples[:t], np.float32) for _, rec in loaded]
+    )
+    res = fdd(records, fs, args.window, args.hop, k=args.top)
+
+    n = int(res.count)
+    modes = []
+    for i in range(n):
+        shape = [
+            {"re": round(float(r), 4), "im": round(float(m), 4)}
+            for r, m in zip(res.shape_re[i], res.shape_im[i])
+        ]
+        modes.append({
+            "freq": float(res.freq[i]),
+            "damping_pct": float(res.damping[i]),
+            "sv_ratio": round(float(res.sv_ratio[i]), 4),
+            "shape": shape,
+        })
+    if args.json:
+        print(json.dumps({
+            "files": [p for p, _ in loaded], "fs": fs, "window": args.window,
+            "modes": modes,
+        }))
+    else:
+        print(f"FDD over {len(loaded)} sensors (fs={fs} Hz, window={args.window}):")
+        if not modes:
+            print("  no modes above threshold")
+        for m in modes:
+            comps = "  ".join(
+                f"{c['re']:+.3f}{c['im']:+.3f}j" for c in m["shape"]
+            )
+            print(f"  f={m['freq']:9.4f} Hz  damping={m['damping_pct']:.2f}%  "
+                  f"s2/s1={m['sv_ratio']:.3f}  shape=[{comps}]")
+    return 0
+
+
 def cmd_oracle_check(args) -> int:
     from apda_fft_tpu import analyze_epoch
     from apda_fft_tpu.ops.fft import next_pow2
@@ -432,6 +493,18 @@ def main(argv=None) -> int:
                     help="max coherent peaks reported")
     co.add_argument("--json", action="store_true")
     co.set_defaults(fn=cmd_coherence)
+
+    fd = sub.add_parser("fdd", help="multi-sensor modal analysis (FDD: modes + shapes)")
+    fd.add_argument("files", nargs="+",
+                    help="one simultaneously recorded log file per sensor")
+    fd.add_argument("--window", type=int, default=1024,
+                    help="CSD segment length (padded to next pow2)")
+    fd.add_argument("--hop", type=int, default=None,
+                    help="segment hop (default: 50%% overlap)")
+    fd.add_argument("--top", type=int, default=4,
+                    help="max modes reported")
+    fd.add_argument("--json", action="store_true")
+    fd.set_defaults(fn=cmd_fdd)
 
     o = sub.add_parser("oracle-check", help="validate device decisions vs float64 oracle")
     o.add_argument("files", nargs="+")

@@ -1,0 +1,271 @@
+"""FDD operational modal analysis (`models/modal.py`).
+
+Validation strategy: (1) the CSD matrix against the already-scipy-checked
+pairwise `cross_psd` / `welch_psd`, (2) the all-real batched power
+iteration against `numpy.linalg.eigh` on the host-assembled complex
+matrices, (3) end-to-end mode recovery on a synthetic multi-sensor modal
+model with known shapes (white-noise-driven SDOF resonators mixed through
+a mode-shape matrix - the textbook output-only identification setup).
+"""
+
+import numpy as np
+import pytest
+
+from apda_fft_tpu.models.modal import (
+    FDDResult,
+    csd_matrix,
+    fdd,
+    modal_assurance,
+    sv_spectra,
+)
+from apda_fft_tpu.models.streaming import cross_psd, welch_psd
+
+
+def _modal_records(
+    shapes: np.ndarray,
+    freqs_hz,
+    zetas,
+    fs: float,
+    t_sec: float,
+    seed: int = 0,
+    sensor_noise: float = 0.02,
+) -> np.ndarray:
+    """[S, T] responses: white-noise-driven SDOF modal coordinates mixed
+    through the ``[n_modes, S]`` shape matrix, plus independent sensor noise."""
+    import scipy.signal
+
+    rng = np.random.default_rng(seed)
+    n = int(t_sec * fs)
+    qs = []
+    for f, z in zip(freqs_hz, zetas):
+        w = 2 * np.pi * f
+        # Discretized SDOF resonator: poles at exp((-z*w +/- i*w*sqrt(1-z^2))/fs).
+        r = np.exp(-z * w / fs)
+        th = w * np.sqrt(1 - z * z) / fs
+        a = [1.0, -2.0 * r * np.cos(th), r * r]
+        qs.append(scipy.signal.lfilter([1.0], a, rng.standard_normal(n)))
+    q = np.stack(qs)  # [n_modes, T]
+    x = shapes.T @ q  # [S, T]
+    x += sensor_noise * np.std(x) * rng.standard_normal(x.shape)
+    return x.astype(np.float32)
+
+
+def test_csd_matrix_matches_pairwise_cross_psd():
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((3, 4096)).astype(np.float32)
+    fs, window = 256.0, 512
+    freqs, gr, gi = csd_matrix(x, fs, window)
+    gr, gi = np.asarray(gr), np.asarray(gi)
+    h = window // 2
+    assert gr.shape == (h, 3, 3) and gi.shape == (h, 3, 3)
+
+    for a in range(3):
+        for b in range(3):
+            fp, pxy = cross_psd(x[a], x[b], fs, window)
+            np.testing.assert_allclose(freqs, fp, rtol=1e-6)
+            got = gr[:, a, b] + 1j * gi[:, a, b]
+            np.testing.assert_allclose(got, pxy, rtol=2e-4, atol=1e-7)
+    # Diagonal is the auto-PSD.
+    _, pxx = welch_psd(x[1], fs, window)
+    np.testing.assert_allclose(gr[:, 1, 1], pxx, rtol=2e-4, atol=1e-7)
+
+
+def test_csd_matrix_hermitian_dc_zero():
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((4, 2048)).astype(np.float32)
+    _, gr, gi = csd_matrix(x, 100.0, 256)
+    gr, gi = np.asarray(gr), np.asarray(gi)
+    np.testing.assert_allclose(gr, np.swapaxes(gr, -1, -2), atol=1e-7)
+    np.testing.assert_allclose(gi, -np.swapaxes(gi, -1, -2), atol=1e-7)
+    assert np.all(gr[0] == 0) and np.all(gi[0] == 0)
+
+
+def test_sv_spectra_match_numpy_eigh():
+    rng = np.random.default_rng(9)
+    h, s = 64, 5
+    a = rng.standard_normal((h, s, 3)) + 1j * rng.standard_normal((h, s, 3))
+    g = a @ a.conj().swapaxes(-1, -2)  # Hermitian PSD, rank 3
+    s1, s2, vr, vi = (
+        np.asarray(t)
+        for t in sv_spectra(
+            np.real(g).astype(np.float32), np.imag(g).astype(np.float32)
+        )
+    )
+    w, v = np.linalg.eigh(g)  # ascending
+    np.testing.assert_allclose(s1, w[:, -1], rtol=5e-4)
+    np.testing.assert_allclose(s2, w[:, -2], rtol=5e-3, atol=1e-3 * w[:, -1].max())
+    # Dominant eigenvector aligned (MAC ~ 1 per frequency line).
+    got = vr + 1j * vi
+    want = v[:, :, -1]
+    mac = np.abs(np.sum(got.conj() * want, axis=-1)) ** 2 / (
+        np.sum(np.abs(got) ** 2, axis=-1) * np.sum(np.abs(want) ** 2, axis=-1)
+    )
+    assert mac.min() > 0.999
+    # Phase fix: largest component real positive.
+    j = np.argmax(np.abs(got) ** 2, axis=-1)
+    picked = got[np.arange(h), j]
+    assert np.abs(np.imag(picked)).max() < 1e-4
+    assert np.real(picked).min() > 0
+
+
+def test_sv_spectra_rank1_exact():
+    rng = np.random.default_rng(10)
+    v = rng.standard_normal(4) + 1j * rng.standard_normal(4)
+    lam = 3.7
+    g = lam * np.outer(v, v.conj()) / np.vdot(v, v).real
+    s1, s2, _, _ = (
+        np.asarray(t)
+        for t in sv_spectra(
+            np.real(g)[None].astype(np.float32), np.imag(g)[None].astype(np.float32)
+        )
+    )
+    np.testing.assert_allclose(s1[0], lam, rtol=1e-5)
+    assert 0.0 <= s2[0] < 1e-5 * lam
+
+
+def test_fdd_recovers_modes_and_shapes():
+    # 4-sensor line structure, first two bending-like modes.
+    shapes = np.array(
+        [
+            [0.38, 0.71, 0.92, 1.0],  # mode 1: all in phase
+            [0.87, 1.0, 0.28, -0.75],  # mode 2: sign change along the line
+        ]
+    )
+    fs = 128.0
+    x = _modal_records(shapes, [9.3, 23.8], [0.012, 0.01], fs, t_sec=240.0, seed=3)
+    res = fdd(x, fs, window=1024)
+    assert isinstance(res, FDDResult)
+    assert int(res.count) >= 2
+
+    found = res.freq[: int(res.count)]
+    df = fs / 1024.0
+    err1 = np.min(np.abs(found - 9.3))
+    err2 = np.min(np.abs(found - 23.8))
+    assert err1 <= 2 * df and err2 <= 2 * df, (found, df)
+
+    # Mode shapes: MAC > 0.95 against the truth for both modes.
+    i1 = int(np.argmin(np.abs(found - 9.3)))
+    i2 = int(np.argmin(np.abs(found - 23.8)))
+    est = res.shapes()[[i1, i2]]
+    mac = modal_assurance(est, shapes)
+    assert mac[0, 0] > 0.95 and mac[1, 1] > 0.95, mac
+    assert mac[0, 1] < 0.3 and mac[1, 0] < 0.3, mac
+    # Well-separated modes: the s2/s1 separation ratio stays low.
+    assert res.sv_ratio[i1] < 0.6 and res.sv_ratio[i2] < 0.6
+    # Spectra exposed for plotting, finite and ordered.
+    assert res.sv1.shape == res.sv2.shape == res.freqs.shape
+    assert np.all(res.sv1 >= res.sv2) and np.all(res.sv2 >= 0)
+
+
+def test_fdd_damping_ballpark():
+    shapes = np.array([[0.6, 1.0, 0.8]])
+    fs = 128.0
+    zeta = 0.02
+    x = _modal_records(shapes, [12.0], [zeta], fs, t_sec=480.0, seed=5)
+    res = fdd(x, fs, window=1024)
+    assert int(res.count) >= 1
+    i = int(np.argmin(np.abs(res.freq[: int(res.count)] - 12.0)))
+    # Half-power estimate on a Welch-averaged bell: right order of magnitude
+    # (taper broadening biases it up; this pins the scale, not the digit).
+    assert 0.5 * 100 * zeta <= res.damping[i] <= 6 * 100 * zeta, res.damping[i]
+
+
+def test_fdd_single_sensor_reduces_to_psd_peaks():
+    from tests.signals import two_mode_signal
+
+    fs = 500.0
+    x = two_mode_signal(16384, fs, seed=11)[None, :].astype(np.float32)
+    res = fdd(x, fs, window=2048)
+    _, pxx = welch_psd(x[0], fs, 2048)
+    # 1x1 CSD: s1 IS the auto-PSD, s2 = 0, shape = [1.0].
+    np.testing.assert_allclose(res.sv1, np.asarray(pxx), rtol=5e-4, atol=1e-9)
+    assert np.all(res.sv2 <= 1e-6 * res.sv1.max())
+    n = int(res.count)
+    assert n >= 2
+    assert np.allclose(res.shape_re[:n], 1.0) and np.allclose(res.shape_im[:n], 0.0)
+    found = res.freq[:n]
+    assert np.min(np.abs(found - 12.3)) < 0.3
+    assert np.min(np.abs(found - 47.7)) < 0.3
+
+
+def test_modal_assurance_properties():
+    rng = np.random.default_rng(12)
+    a = rng.standard_normal((3, 6)) + 1j * rng.standard_normal((3, 6))
+    mac = modal_assurance(a, a)
+    np.testing.assert_allclose(np.diag(mac), 1.0, atol=1e-12)
+    # Invariant to complex scaling.
+    mac2 = modal_assurance(a * (2.0 - 1.5j), a)
+    np.testing.assert_allclose(mac2, mac, atol=1e-12)
+    assert mac.min() >= 0 and mac.max() <= 1 + 1e-12
+    # 1-D input convenience.
+    one = modal_assurance(a[0], a[0])
+    assert one.shape == (1, 1) and abs(one[0, 0] - 1) < 1e-12
+    with pytest.raises(ValueError):
+        modal_assurance(a, rng.standard_normal((2, 5)))
+
+
+def test_cli_fdd_json(tmp_path, capsys):
+    import json
+
+    from apda_fft_tpu.__main__ import main
+    from apda_fft_tpu.io import logfile
+
+    shapes = np.array([[0.5, 1.0, -0.8]])
+    fs = 128.0
+    x = _modal_records(shapes, [14.0], [0.015], fs, t_sec=120.0, seed=6)
+    paths = []
+    for s in range(x.shape[0]):
+        path = tmp_path / f"0013a20041e7f6b{s}_Xaxis_16_08_2026_10_20_30.log"
+        logfile.write_acquisition_header(
+            path, "10:20:30", "2g", "128 Hz", "X axis", "Synced",
+            means=["22.0", "0.01", "0.01", "0.98"], humidity=50.0,
+            baselines=(0.0, 0.0, 0.0),
+        )
+        logfile.append_samples(path, [f"{v:8.6f}" for v in x[s]])
+        paths.append(str(path))
+
+    rc = main(["fdd", *paths, "--window", "512", "--json"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["fs"] == fs and len(out["files"]) == 3
+    assert out["modes"], "expected at least one identified mode"
+    m = min(out["modes"], key=lambda m: abs(m["freq"] - 14.0))
+    assert abs(m["freq"] - 14.0) <= 2 * fs / 512
+    got = np.array([c["re"] + 1j * c["im"] for c in m["shape"]])
+    mac = modal_assurance(got, shapes[0])
+    assert mac[0, 0] > 0.9, (got, mac)
+
+    # Text mode and the mismatched-rate guard.
+    assert main(["fdd", *paths, "--window", "512"]) == 0
+    assert "shape=" in capsys.readouterr().out
+
+
+def test_cli_fdd_rejects_mixed_rates(tmp_path, capsys):
+    from apda_fft_tpu.__main__ import main
+    from apda_fft_tpu.io import logfile
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for s, fs_s in enumerate(("128 Hz", "256 Hz")):
+        path = tmp_path / f"0013a20041e7f6c{s}_Xaxis_16_08_2026_10_20_30.log"
+        logfile.write_acquisition_header(
+            path, "10:20:30", "2g", fs_s, "X axis", "Synced",
+            means=["22.0", "0.01", "0.01", "0.98"], humidity=50.0,
+            baselines=(0.0, 0.0, 0.0),
+        )
+        logfile.append_samples(
+            path, [f"{v:8.6f}" for v in rng.standard_normal(2048)]
+        )
+        paths.append(str(path))
+    assert main(["fdd", *paths]) == 1
+    assert "sampling rates differ" in capsys.readouterr().err
+
+
+def test_fdd_validation_errors():
+    x = np.zeros((2, 600), np.float32)
+    with pytest.raises(ValueError, match=">= 2 segments"):
+        fdd(x, 100.0, window=512)
+    with pytest.raises(ValueError, match=r"\[S, T\]"):
+        fdd(np.zeros((2, 2, 512), np.float32), 100.0, window=128)
+    with pytest.raises(ValueError, match="taper"):
+        csd_matrix(x, 100.0, 128, taper="boxcar")
