@@ -321,7 +321,7 @@ def cmd_fdd(args) -> int:
     records = np.stack(
         [np.asarray(rec.samples[:t], np.float32) for _, rec in loaded]
     )
-    res = fdd(records, fs, args.window, args.hop, k=args.top)
+    res = fdd(records, fs, args.window, args.hop, k=args.top, efdd=args.efdd)
 
     n = int(res.count)
     modes = []
@@ -330,12 +330,15 @@ def cmd_fdd(args) -> int:
             {"re": round(float(r), 4), "im": round(float(m), 4)}
             for r, m in zip(res.shape_re[i], res.shape_im[i])
         ]
-        modes.append({
+        mode = {
             "freq": float(res.freq[i]),
             "damping_pct": float(res.damping[i]),
             "sv_ratio": round(float(res.sv_ratio[i]), 4),
             "shape": shape,
-        })
+        }
+        if args.efdd and np.isfinite(res.damping_efdd[i]):
+            mode["damping_efdd_pct"] = round(float(res.damping_efdd[i]), 3)
+        modes.append(mode)
     if args.json:
         print(json.dumps({
             "files": [p for p, _ in loaded], "fs": fs, "window": args.window,
@@ -349,8 +352,11 @@ def cmd_fdd(args) -> int:
             comps = "  ".join(
                 f"{c['re']:+.3f}{c['im']:+.3f}j" for c in m["shape"]
             )
-            print(f"  f={m['freq']:9.4f} Hz  damping={m['damping_pct']:.2f}%  "
-                  f"s2/s1={m['sv_ratio']:.3f}  shape=[{comps}]")
+            line = (f"  f={m['freq']:9.4f} Hz  damping={m['damping_pct']:.2f}%  "
+                    f"s2/s1={m['sv_ratio']:.3f}  shape=[{comps}]")
+            if "damping_efdd_pct" in m:
+                line += f"  efdd={m['damping_efdd_pct']:.3f}%"
+            print(line)
     return 0
 
 
@@ -503,6 +509,8 @@ def main(argv=None) -> int:
                     help="segment hop (default: 50%% overlap)")
     fd.add_argument("--top", type=int, default=4,
                     help="max modes reported")
+    fd.add_argument("--efdd", action="store_true",
+                    help="enhanced-FDD damping (autocorrelation log decrement)")
     fd.add_argument("--json", action="store_true")
     fd.set_defaults(fn=cmd_fdd)
 

@@ -83,6 +83,8 @@ class FDDResult(NamedTuple):
     freqs: np.ndarray  # [H] bin frequencies (plotting axis)
     sv1: np.ndarray  # [H] first singular value of G(f) (density units)
     sv2: np.ndarray  # [H] second singular value (noise/secondary-mode floor)
+    damping_efdd: np.ndarray  # [k] percent, enhanced-FDD log-decrement
+    #: estimate (NaN when efdd=False or the per-mode fit is untrustworthy)
 
     @property
     def k(self) -> int:
@@ -232,6 +234,86 @@ def sv_spectra(gr, gi, iters: int = _POWER_ITERS):
     return s1, s2, vr, vi
 
 
+def _efdd_zeta(
+    sv1: np.ndarray,
+    vr: np.ndarray,
+    vi: np.ndarray,
+    i0: int,
+    fs: float,
+    window: int,
+    mac_min: float = 0.8,
+) -> float:
+    """Enhanced-FDD damping (percent) for the mode peaking at bin ``i0``.
+
+    EFDD (Brincker/Ventura/Andersen 2001): around each picked peak, the
+    bins whose first singular VECTOR still matches the peak's mode shape
+    (MAC >= ``mac_min``) form that mode's SDOF spectral bell; the inverse
+    transform of the bell is the mode's free-decay autocorrelation, and a
+    log-decrement fit of its envelope estimates damping without the
+    resolution-limited bias of the half-power width.  Two refinements on
+    the textbook recipe, both mattering at gateway-scale windows:
+
+    * the bell is additionally floored at 2% of the peak's power so a
+      MAC-degenerate geometry (S=1 makes MAC identically 1) cannot sweep
+      unrelated spectrum into the bell;
+    * Welch estimation multiplies the true autocorrelation by the
+      segment-length Bartlett factor ``(1 - t/T_seg)``, which reads as
+      extra damping; the fit subtracts ``log(1 - t/T_seg)`` exactly
+      instead of absorbing the bias.
+
+    Returns NaN when the fit is untrustworthy: bell narrower than 3 bins,
+    fewer than 2 oscillation cycles above the fit floor, or a non-positive
+    decay estimate.
+    """
+    h = sv1.shape[0]
+    phi_r, phi_i = vr[i0], vi[i0]
+    dot_r = vr @ phi_r + vi @ phi_i
+    dot_i = vr @ phi_i - vi @ phi_r
+    mac = dot_r * dot_r + dot_i * dot_i  # unit vectors: |<phi(f), phi0>|^2
+    in_bell = (mac >= mac_min) & (sv1 >= 0.02 * sv1[i0])
+    lo = i0
+    while lo > 0 and in_bell[lo - 1]:
+        lo -= 1
+    hi = i0
+    while hi < h - 1 and in_bell[hi + 1]:
+        hi += 1
+    if hi - lo + 1 < 3:
+        return float("nan")
+
+    bell = np.zeros(h + 1, np.float64)
+    bell[lo : hi + 1] = sv1[lo : hi + 1]
+    r = np.fft.irfft(bell, n=2 * h)  # modal autocorrelation, dt = 1/fs
+    n = r.shape[0]
+
+    # Analytic envelope (Hilbert via the half-spectrum trick).
+    spec = np.fft.fft(r)
+    spec[1 : n // 2] *= 2.0
+    spec[n // 2 + 1 :] = 0.0
+    env = np.abs(np.fft.ifft(spec))
+
+    # Fit from the t=0 peak down to the 5% floor, only over the first half
+    # (the irfft correlation is circular: the back half mirrors the front).
+    t = np.arange(n) / fs
+    t_seg = window / fs
+    fit = (env > 0.05 * env[0]) & (np.arange(n) < n // 2) & (t < 0.95 * t_seg)
+    if fit.sum() < 4:
+        return float("nan")
+    f0 = i0 * fs / (2 * h)
+    if f0 <= 0 or (fit.sum() / fs) * f0 < 2.0:  # < 2 cycles above floor
+        return float("nan")
+    # log env = log A - zeta*w0*t + log(1 - t/T_seg)  -> subtract the known
+    # Bartlett term, then ordinary least squares for the slope.  (Computed
+    # on the fit window only: past t_seg the Bartlett argument is invalid,
+    # and those lags are already excluded above.)
+    tw = t[fit]
+    yw = np.log(np.maximum(env[fit], 1e-300)) - np.log1p(-tw / t_seg)
+    slope = np.polyfit(tw, yw, 1)[0]
+    zeta = -slope / (2.0 * np.pi * f0)
+    if not np.isfinite(zeta) or zeta <= 0:
+        return float("nan")
+    return 100.0 * zeta
+
+
 def fdd(
     records,
     fs,
@@ -244,6 +326,7 @@ def fdd(
     max_candidates: int | None = None,
     selection: str = "auto",
     iters: int = _POWER_ITERS,
+    efdd: bool = False,
     dtype=jnp.float32,
 ) -> FDDResult:
     """Frequency-Domain Decomposition over ``[S, T]`` multi-sensor records.
@@ -260,6 +343,12 @@ def fdd(
     structures with more active modes in band.  Needs at least 2 segments
     (use ``window <= T // 2``); more segments average the CSD estimate
     down - the usual Welch trade-off.
+
+    ``efdd=True`` additionally runs the enhanced-FDD damping estimator
+    per accepted mode (MAC-selected SDOF bell -> modal autocorrelation ->
+    Bartlett-corrected log decrement; see :func:`_efdd_zeta`), filling
+    ``damping_efdd`` - usually much closer to the true damping ratio than
+    the resolution-limited half-power ``damping``.
     """
     records = jnp.asarray(records, dtype)
     if records.ndim != 2:
@@ -302,6 +391,14 @@ def fdd(
     ).astype(s1_h.dtype)
     shape_re = np.where(valid[:, None], vr_h[safe], 0.0).astype(s1_h.dtype)
     shape_im = np.where(valid[:, None], vi_h[safe], 0.0).astype(s1_h.dtype)
+    zeta_e = np.full(idx.shape, np.nan, s1_h.dtype)
+    if efdd:
+        fs_f = float(np.asarray(fs))
+        for slot in range(count):
+            zeta_e[slot] = _efdd_zeta(
+                s1_h.astype(np.float64), vr_h.astype(np.float64),
+                vi_h.astype(np.float64), int(idx[slot]), fs_f, window,
+            )
     return FDDResult(
         count=np.asarray(det.count)[0],
         idx=idx,
@@ -313,6 +410,7 @@ def fdd(
         freqs=np.asarray(freqs),
         sv1=s1_h,
         sv2=s2_h,
+        damping_efdd=zeta_e,
     )
 
 

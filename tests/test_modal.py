@@ -170,6 +170,38 @@ def test_fdd_damping_ballpark():
     assert 0.5 * 100 * zeta <= res.damping[i] <= 6 * 100 * zeta, res.damping[i]
 
 
+def test_efdd_damping_beats_half_power():
+    shapes = np.array([[0.6, 1.0, 0.8]])
+    fs = 128.0
+    zeta = 0.015
+    x = _modal_records(shapes, [12.0], [zeta], fs, t_sec=600.0, seed=7,
+                       sensor_noise=0.01)
+    res = fdd(x, fs, window=2048, efdd=True)
+    assert int(res.count) >= 1
+    i = int(np.argmin(np.abs(res.freq[: int(res.count)] - 12.0)))
+    got = res.damping_efdd[i]
+    assert np.isfinite(got)
+    true_pct = 100 * zeta
+    # EFDD should land within +-40% of truth AND be at least as close as the
+    # resolution-limited half-power number.
+    assert 0.6 * true_pct <= got <= 1.4 * true_pct, (got, true_pct)
+    assert abs(got - true_pct) <= abs(res.damping[i] - true_pct) + 1e-9
+    # Modes not requested / invalid slots stay NaN.
+    res_off = fdd(x, fs, window=2048)
+    assert np.all(np.isnan(res_off.damping_efdd))
+
+
+def test_efdd_guards_return_nan():
+    from apda_fft_tpu.models.modal import _efdd_zeta
+
+    h, s = 64, 3
+    sv1 = np.zeros(h)
+    sv1[10] = 1.0  # single-bin bell -> too narrow
+    vr = np.tile(np.array([1.0, 0.0, 0.0]), (h, 1))
+    vi = np.zeros((h, s))
+    assert np.isnan(_efdd_zeta(sv1, vr, vi, 10, 128.0, 128))
+
+
 def test_fdd_single_sensor_reduces_to_psd_peaks():
     from tests.signals import two_mode_signal
 
