@@ -70,6 +70,15 @@ class GatewayConfig:
     #: Welch segment taper (independent of ``taper``, which stays
     #: reference-parity rectangular by default for the epoch path)
     welch_taper: str = "hann"
+    #: array-level modal report: when >= fdd_min_sensors sensors deliver
+    #: same-axis acquisitions at one sampling rate in an analysis batch,
+    #: run FDD (cross-spectral SVD) over the aligned records and append
+    #: the identified modes + mode shapes to the history log
+    fdd_report: bool = False
+    #: FDD CSD segment length in samples (padded to the next power of two)
+    fdd_window: int = 1024
+    #: minimum simultaneously delivered same-axis sensors for an FDD run
+    fdd_min_sensors: int = 2
 
     @classmethod
     def load(cls, config_path: str | os.PathLike) -> "GatewayConfig":
@@ -111,6 +120,16 @@ class GatewayConfig:
                     f"unknown welch_taper {welch_taper!r} in {config_path}; "
                     f"expected one of {TAPERS}"
                 )
+            fdd_window = int(gw.get("fdd_window", 1024))
+            fdd_min_sensors = int(gw.get("fdd_min_sensors", 2))
+            if fdd_window < 4:
+                raise GatewayConfigError(
+                    f"fdd_window must be >= 4, got {fdd_window} in {config_path}"
+                )
+            if fdd_min_sensors < 1:
+                raise GatewayConfigError(
+                    f"fdd_min_sensors must be >= 1, got {fdd_min_sensors}"
+                )
             return cls(
                 ftp=FtpSettings(**cfg.get("ftp", {})),
                 fastapi_url=cfg.get("fastapi", {}).get("url", ""),
@@ -131,6 +150,9 @@ class GatewayConfig:
                 welch_window=welch_window,
                 welch_hop=welch_hop,
                 welch_taper=welch_taper,
+                fdd_report=bool(gw.get("fdd_report", False)),
+                fdd_window=fdd_window,
+                fdd_min_sensors=fdd_min_sensors,
             )
         except GatewayConfigError:
             raise

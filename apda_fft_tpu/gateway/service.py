@@ -108,6 +108,12 @@ class GatewayService:
         self._drift_state_path = os.path.join(config.data_dir, "drift_tracks.json")
         self._drift_state_dirty = False
         self._load_drift_state()
+        # Array-level FDD report (beyond-reference): per-(axis, fs) records
+        # accumulated across the epoch's analyses, flushed at sync.  The age
+        # map retires groups that never reach fdd_min_sensors so a lone
+        # sensor's records cannot accumulate unboundedly.
+        self._fdd_pending: dict[tuple[str, float], dict[str, np.ndarray]] = {}
+        self._fdd_pending_age: dict[tuple[str, float], int] = {}
         # Background egress (the capability GT_FFT_v5.py:109-113 stubbed).
         self.uploader = AsyncUploadManager(upload_timeout) if async_uploads else None
         self._uploads_inflight: dict[str, int] = {}
@@ -440,6 +446,8 @@ class GatewayService:
         if self.pending_analysis:
             batch, self.pending_analysis = self.pending_analysis, []
             self._analyze_files(batch)
+        if self.config.fdd_report and self._fdd_pending:
+            self._fdd_flush()
 
         peaks_text = self._peaks_report(addr)
         metrics = self._metrics_report(addr)
@@ -583,6 +591,17 @@ class GatewayService:
             self._store_result(addr, rec.axis, rp, bucket_metrics.get(i, {}))
             if path.endswith("_shock.log") and rp.count:
                 self._shock_ringdown(addr, rec.axis, records[i][0], rec.fs)
+        if self.config.fdd_report:
+            # Accumulate for the sync-boundary array report (the analysis
+            # batch is per-file in immediate mode; the array epoch closes at
+            # the next 0xA1, the same boundary uploads flush on).
+            for addr, path, rec in loaded:
+                if path.endswith("_shock.log"):
+                    continue
+                key = (rec.axis, float(rec.fs))
+                best = self._fdd_pending.setdefault(key, {})
+                if addr not in best or len(rec.samples) > len(best[addr]):
+                    best[addr] = np.asarray(rec.samples, np.float32)
         # One durability flush per analysis batch (not per record: the JSON
         # covers every tracked sensor, so per-record writes would be O(B)
         # redundant IO; alerts flush immediately in _track_drift).
@@ -610,6 +629,73 @@ class GatewayService:
         self.history(
             f"\tShock ring-down: f={f0:.3f} Hz, zeta={zeta * 100.0:.2f}%\n"
         )
+
+    def _fdd_flush(self) -> None:
+        """Array-level modal report: FDD over same-axis multi-sensor records.
+
+        Beyond-reference capability at the gateway level: the reference (and
+        the per-file analysis above) sees each sensor alone; when the epoch's
+        accumulated analyses carry the same axis from
+        ``fdd_min_sensors``-or-more sensors at one sampling rate, the records
+        are aligned to their common length and decomposed into modes + mode
+        shapes (``models/modal.py``), appended to the history log as
+        ``[FDD]`` lines at the sync boundary (the same epoch boundary uploads
+        flush on).  Sensors are ordered by address so shape components are
+        attributable; a sensor with several acquisitions in the epoch
+        contributes its longest record.  Failures only warn - the per-sensor
+        results are already stored.  Groups below the sensor minimum stay
+        pending (their remaining sensors may deliver before the next sync).
+        """
+        for (axis, fs), by_addr in sorted(self._fdd_pending.items()):
+            if len(by_addr) < self.config.fdd_min_sensors:
+                # Stays pending a few epochs (its remaining sensors may still
+                # deliver), then retires so it cannot accumulate unboundedly.
+                age = self._fdd_pending_age.get((axis, fs), 0) + 1
+                if age > self._FDD_PENDING_MAX_AGE:
+                    del self._fdd_pending[(axis, fs)]
+                    self._fdd_pending_age.pop((axis, fs), None)
+                else:
+                    self._fdd_pending_age[(axis, fs)] = age
+                continue
+            del self._fdd_pending[(axis, fs)]
+            self._fdd_pending_age.pop((axis, fs), None)
+            addrs = sorted(by_addr)
+            t = min(len(by_addr[a]) for a in addrs)
+            window = self.config.fdd_window
+            if t < 2 * window:
+                self.history(
+                    f"\t[FDD] {axis}: {len(addrs)} sensors but only {t} common "
+                    f"samples (< 2*window={2 * window}), skipping\n"
+                )
+                continue
+            try:
+                from apda_fft_tpu.models.modal import fdd
+
+                res = fdd(
+                    np.stack([by_addr[a][:t] for a in addrs]), fs, window,
+                    efdd=True,
+                )
+            except Exception as exc:  # noqa: BLE001 - report-only path
+                self.history(f"\t[WARN] FDD failed for axis {axis}: {exc}\n")
+                continue
+            n = int(res.count)
+            self.history(
+                f"\t[FDD] {axis}: {len(addrs)} sensors "
+                f"({', '.join(addrs)}), window {window}, {n} mode(s)\n"
+            )
+            for i in range(n):
+                comps = " ".join(
+                    f"{re:+.3f}{im:+.3f}j"
+                    for re, im in zip(res.shape_re[i], res.shape_im[i])
+                )
+                line = (f"\t[FDD]   f={res.freq[i]:.4f} Hz "
+                        f"damping={res.damping[i]:.2f}% "
+                        f"s2/s1={res.sv_ratio[i]:.3f} shape=[{comps}]")
+                if np.isfinite(res.damping_efdd[i]):
+                    line += f" efdd={res.damping_efdd[i]:.3f}%"
+                self.history(line + "\n")
+
+    _FDD_PENDING_MAX_AGE = 4  # sync flushes an under-min group survives
 
     _DRIFT_TRACK_KEEP = 512  # archived-track cap per (sensor, axis)
 

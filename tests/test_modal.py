@@ -293,6 +293,120 @@ def test_cli_fdd_rejects_mixed_rates(tmp_path, capsys):
     assert "sampling rates differ" in capsys.readouterr().err
 
 
+def test_gateway_fdd_report_end_to_end(tmp_path):
+    """3 simulated sensors, same axis: [FDD] modal report in history.log."""
+    from apda_fft_tpu.gateway.transport import SensorSimulator
+    from tests.test_gateway import make_service
+
+    fs = 125.0
+    shapes = np.array([[0.38, 0.92, 1.0]])
+    x = _modal_records(shapes, [9.3], [0.012], fs, t_sec=40.0, seed=4)
+    svc, transport, _, _ = make_service(
+        tmp_path,
+        gateway_extra={"fdd_report": True, "fdd_window": 512,
+                       "fdd_min_sensors": 3},
+    )
+    assert svc.config.fdd_report and svc.config.fdd_window == 512
+    macs = [f"0013a20041e7f6b{i}" for i in range(3)]
+    for mac, rec in zip(macs, x):
+        SensorSimulator(mac, fs=fs, axis="X", chunk=100).stream_acquisition(
+            transport, rec
+        )
+    svc.drain()
+    # The array report flushes at the sync boundary (like uploads).
+    assert "[FDD]" not in open(svc.config.logger_file).read()
+    # Per-sensor results were stored as usual alongside the accumulation.
+    assert all(mac in svc.fft_results for mac in macs)
+    SensorSimulator(macs[0]).heartbeat(transport)
+    svc.drain()
+
+    history = open(svc.config.logger_file).read()
+    assert "[FDD] X: 3 sensors" in history
+    # The 9.3 Hz mode lands within a bin of the segment grid.
+    df = fs / 512
+    import re as _re
+
+    freqs = [float(m) for m in _re.findall(r"\[FDD\]   f=([0-9.]+) Hz", history)]
+    assert freqs and min(abs(f - 9.3) for f in freqs) <= 2 * df
+    # Shape has one component per sensor.
+    line = next(ln for ln in history.splitlines() if "[FDD]   f=" in ln)
+    assert line.count("j") == 3
+
+
+def test_gateway_fdd_report_skips_below_min_sensors(tmp_path):
+    from apda_fft_tpu.gateway.transport import SensorSimulator
+    from tests.test_gateway import make_service
+
+    fs = 125.0
+    shapes = np.array([[1.0, 0.5]])
+    x = _modal_records(shapes, [9.3], [0.012], fs, t_sec=40.0, seed=4)
+    svc, transport, _, _ = make_service(
+        tmp_path,
+        gateway_extra={"fdd_report": True, "fdd_window": 512,
+                       "fdd_min_sensors": 3},
+    )
+    for i, rec in enumerate(x):
+        SensorSimulator(f"0013a20041e7f6c{i}", fs=fs, axis="X",
+                        chunk=100).stream_acquisition(transport, rec)
+    SensorSimulator("0013a20041e7f6c0").heartbeat(transport)
+    svc.drain()
+    assert "[FDD]" not in open(svc.config.logger_file).read()
+    # The under-min group retires after a few syncs instead of accumulating.
+    for _ in range(svc._FDD_PENDING_MAX_AGE + 1):
+        SensorSimulator("0013a20041e7f6c0").heartbeat(transport)
+        svc.drain()
+    assert not svc._fdd_pending
+
+
+def test_gateway_fdd_report_short_records_warn(tmp_path):
+    from apda_fft_tpu.gateway.transport import SensorSimulator
+    from tests.test_gateway import make_service
+
+    fs = 125.0
+    rng = np.random.default_rng(0)
+    svc, transport, _, _ = make_service(
+        tmp_path,
+        gateway_extra={"fdd_report": True, "fdd_window": 512,
+                       "fdd_min_sensors": 2},
+    )
+    for i in range(2):
+        SensorSimulator(f"0013a20041e7f6d{i}", fs=fs, axis="X",
+                        chunk=100).stream_acquisition(
+            transport, rng.standard_normal(600).astype(np.float32)
+        )
+    SensorSimulator("0013a20041e7f6d0").heartbeat(transport)
+    svc.drain()
+    history = open(svc.config.logger_file).read()
+    assert "skipping" in history and "[FDD]" in history
+
+
+def test_gateway_config_fdd_validation(tmp_path):
+    import json as _json
+
+    from apda_fft_tpu.gateway.config import GatewayConfig, GatewayConfigError
+
+    def cfg(extra):
+        path = tmp_path / "gw.json"
+        base = {
+            "gateway": {
+                "logger_file": str(tmp_path / "history.log"),
+                "device_file": str(tmp_path / "devices.txt"),
+                "config_file": str(tmp_path / "config.txt"),
+                **extra,
+            }
+        }
+        path.write_text(_json.dumps(base))
+        return GatewayConfig.load(path)
+
+    c = cfg({"fdd_report": True, "fdd_window": 2048, "fdd_min_sensors": 4})
+    assert c.fdd_report and c.fdd_window == 2048 and c.fdd_min_sensors == 4
+    assert not cfg({}).fdd_report  # default off = reference parity
+    with pytest.raises(GatewayConfigError, match="fdd_window"):
+        cfg({"fdd_window": 2})
+    with pytest.raises(GatewayConfigError, match="fdd_min_sensors"):
+        cfg({"fdd_min_sensors": 0})
+
+
 def test_fdd_validation_errors():
     x = np.zeros((2, 600), np.float32)
     with pytest.raises(ValueError, match=">= 2 segments"):
