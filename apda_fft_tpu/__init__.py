@@ -32,7 +32,14 @@ from apda_fft_tpu.models.streaming import (
     spectrogram,
     welch_psd,
 )
-from apda_fft_tpu.models.modal import FDDResult, csd_matrix, fdd, modal_assurance
+from apda_fft_tpu.models.modal import (
+    FDDResult,
+    ModalTracker,
+    ModeTrack,
+    csd_matrix,
+    fdd,
+    modal_assurance,
+)
 from apda_fft_tpu.models.tracking import PeakTracker, Track, match_peaks
 from apda_fft_tpu.ops.ringdown import ringdown_damping
 from apda_fft_tpu.ops.fft import (
@@ -61,6 +68,8 @@ def __getattr__(name):
 __all__ = [
     "EpochResult",
     "FDDResult",
+    "ModalTracker",
+    "ModeTrack",
     "PeakTracker",
     "PipelineConfig",
     "ProminencePeaks",

@@ -79,6 +79,10 @@ class GatewayConfig:
     fdd_window: int = 1024
     #: minimum simultaneously delivered same-axis sensors for an FDD run
     fdd_min_sensors: int = 2
+    #: sustained-MAC alert threshold for tracked FDD mode shapes (a mode
+    #: whose median-of-3 MAC vs its birth shape drops below this writes one
+    #: [ALERT] history line - the shape-based damage indicator); 0 disables
+    fdd_mac_alert: float = 0.9
 
     @classmethod
     def load(cls, config_path: str | os.PathLike) -> "GatewayConfig":
@@ -130,6 +134,11 @@ class GatewayConfig:
                 raise GatewayConfigError(
                     f"fdd_min_sensors must be >= 1, got {fdd_min_sensors}"
                 )
+            fdd_mac_alert = float(gw.get("fdd_mac_alert", 0.9))
+            if not 0.0 <= fdd_mac_alert <= 1.0:
+                raise GatewayConfigError(
+                    f"fdd_mac_alert must be in [0, 1] (0 disables), got {fdd_mac_alert}"
+                )
             return cls(
                 ftp=FtpSettings(**cfg.get("ftp", {})),
                 fastapi_url=cfg.get("fastapi", {}).get("url", ""),
@@ -153,6 +162,7 @@ class GatewayConfig:
                 fdd_report=bool(gw.get("fdd_report", False)),
                 fdd_window=fdd_window,
                 fdd_min_sensors=fdd_min_sensors,
+                fdd_mac_alert=fdd_mac_alert,
             )
         except GatewayConfigError:
             raise

@@ -114,6 +114,12 @@ class GatewayService:
         # sensor's records cannot accumulate unboundedly.
         self._fdd_pending: dict[tuple[str, float], dict[str, np.ndarray]] = {}
         self._fdd_pending_age: dict[tuple[str, float], int] = {}
+        # Mode tracking across array reports: per-(axis, fs) MAC-based
+        # trackers; shape-degradation alerts dedup per track like drift
+        # alerts.  In-memory only (the report is informational; the durable
+        # drift story is PeakTracker's persisted per-sensor state).
+        self._modal_trackers: dict = {}
+        self._modal_alerted: set = set()
         # Background egress (the capability GT_FFT_v5.py:109-113 stubbed).
         self.uploader = AsyncUploadManager(upload_timeout) if async_uploads else None
         self._uploads_inflight: dict[str, int] = {}
@@ -694,6 +700,23 @@ class GatewayService:
                 if np.isfinite(res.damping_efdd[i]):
                     line += f" efdd={res.damping_efdd[i]:.3f}%"
                 self.history(line + "\n")
+            if self.config.fdd_mac_alert > 0:
+                from apda_fft_tpu.models.modal import ModalTracker
+
+                mt = self._modal_trackers.setdefault(
+                    (axis, fs), ModalTracker(mac_alert=self.config.fdd_mac_alert)
+                )
+                mt.update(res, t=self.clock().timestamp())
+                for tr in mt.shape_alerts():
+                    key = (axis, fs, tr.track_id)
+                    if key in self._modal_alerted:
+                        continue
+                    self._modal_alerted.add(key)
+                    self.history(
+                        f"\t[ALERT] FDD mode-shape change: {axis} "
+                        f"f={tr.last_freq:.4f} Hz MAC={tr.sustained_mac():.3f} "
+                        f"vs baseline (track {tr.track_id})\n"
+                    )
 
     _FDD_PENDING_MAX_AGE = 4  # sync flushes an under-min group survives
 

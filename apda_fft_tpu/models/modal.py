@@ -414,6 +414,152 @@ def fdd(
     )
 
 
+class ModeTrack:
+    """One persistent structural mode over time (frequency + shape).
+
+    ``ref_shape`` is the complex mode shape at track birth (the healthy
+    baseline); every later observation records its MAC against that
+    baseline, so a sustained MAC drop - the classic shape-based damage
+    indicator, invisible to frequency-only tracking - is a first-class
+    output.
+    """
+
+    def __init__(self, track_id: int, t, freq: float, shape: np.ndarray,
+                 damping: float):
+        self.track_id = track_id
+        self.times = [t]
+        self.freqs = [float(freq)]
+        self.dampings = [float(damping)]
+        self.ref_shape = np.asarray(shape, np.complex128)
+        self.last_shape = self.ref_shape
+        self.macs = [1.0]
+        self.missed = 0
+        self.observed = 1
+
+    @property
+    def last_freq(self) -> float:
+        return self.freqs[-1]
+
+    def sustained_mac(self, k: int = 3) -> float:
+        """Median MAC of the last ``k`` observations vs the birth shape."""
+        k = max(1, min(k, len(self.macs)))
+        return float(np.median(self.macs[-k:]))
+
+    def observe(self, t, freq: float, shape: np.ndarray, damping: float) -> None:
+        shape = np.asarray(shape, np.complex128)
+        self.times.append(t)
+        self.freqs.append(float(freq))
+        self.dampings.append(float(damping))
+        self.macs.append(float(modal_assurance(shape, self.ref_shape)[0, 0]))
+        self.last_shape = shape
+        self.missed = 0
+        self.observed += 1
+
+    def to_dict(self) -> dict:
+        return {
+            "track_id": self.track_id,
+            "epochs": self.observed,
+            "freqs": [float(f) for f in self.freqs],
+            "dampings": [float(d) for d in self.dampings],
+            "macs": [float(m) for m in self.macs],
+            "ref_shape": [[float(c.real), float(c.imag)] for c in self.ref_shape],
+            "last_shape": [[float(c.real), float(c.imag)] for c in self.last_shape],
+        }
+
+    def __len__(self) -> int:
+        return len(self.freqs)
+
+
+class ModalTracker:
+    """Track FDD modes across epochs by frequency AND mode shape.
+
+    Frequency-only tracking (:class:`~apda_fft_tpu.models.tracking.PeakTracker`)
+    cannot follow two modes through a crossing (temperature can move close
+    modes past each other) and cannot see shape change at constant
+    frequency.  This tracker matches each epoch's :class:`FDDResult` modes
+    to persistent :class:`ModeTrack`\\ s by a combined criterion: a pair is
+    admissible iff the relative frequency distance is within ``rel_tol``
+    AND the MAC against the track's birth shape is at least ``mac_min``;
+    admissible pairs are taken greedily by the combined normalized
+    distance, shape first (``1 - MAC`` weighted double).
+
+    ``shape_alerts()`` lists tracks whose sustained (median-of-3) MAC vs
+    their birth shape has dropped below ``mac_alert`` - the shape-based
+    damage indicator.
+
+    Host-side numpy by design (k <= a handful of modes per epoch).
+    """
+
+    def __init__(self, rel_tol: float = 0.05, mac_min: float = 0.7,
+                 mac_alert: float = 0.9, max_missed: int = 5):
+        self.rel_tol = rel_tol
+        self.mac_min = mac_min
+        self.mac_alert = mac_alert
+        self.max_missed = max_missed
+        self._tracks: list[ModeTrack] = []
+        self._archive: list[ModeTrack] = []
+        self._next_id = 0
+        self._epoch = 0
+
+    def update(self, res: FDDResult, t=None) -> list[ModeTrack]:
+        """Match one epoch's FDD modes; returns the tracks matched or born."""
+        t = self._epoch if t is None else t
+        self._epoch += 1
+        n = int(res.count)
+        freqs = [float(res.freq[i]) for i in range(n)]
+        shapes = [res.shapes()[i] for i in range(n)]
+        damps = [float(res.damping[i]) for i in range(n)]
+
+        live = []
+        for tr in self._tracks:
+            (live if tr.missed < self.max_missed else self._archive).append(tr)
+        self._tracks = live
+
+        # Admissible (track, mode) pairs, greedily by combined distance.
+        cand: list[tuple[float, int, int]] = []
+        for ti, tr in enumerate(live):
+            for ni in range(n):
+                df = abs(freqs[ni] - tr.last_freq)
+                if tr.last_freq <= 0 or df > self.rel_tol * tr.last_freq:
+                    continue
+                mac = float(modal_assurance(shapes[ni], tr.ref_shape)[0, 0])
+                if mac < self.mac_min:
+                    continue
+                score = df / (self.rel_tol * tr.last_freq) + 2.0 * (1.0 - mac)
+                cand.append((score, ti, ni))
+        cand.sort()
+        used_t: set[int] = set()
+        used_n: set[int] = set()
+        out: list[ModeTrack] = []
+        for _, ti, ni in cand:
+            if ti in used_t or ni in used_n:
+                continue
+            used_t.add(ti)
+            used_n.add(ni)
+            live[ti].observe(t, freqs[ni], shapes[ni], damps[ni])
+            out.append(live[ti])
+        for ti, tr in enumerate(live):
+            if ti not in used_t:
+                tr.missed += 1
+        for ni in range(n):
+            if ni not in used_n:
+                tr = ModeTrack(self._next_id, t, freqs[ni], shapes[ni], damps[ni])
+                self._next_id += 1
+                self._tracks.append(tr)
+                out.append(tr)
+        return out
+
+    def tracks(self) -> list[ModeTrack]:
+        return list(self._tracks) + list(self._archive)
+
+    def shape_alerts(self, min_epochs: int = 3) -> list[ModeTrack]:
+        """Tracks whose sustained MAC vs birth shape fell below ``mac_alert``."""
+        return [
+            tr for tr in self._tracks
+            if tr.observed >= min_epochs and tr.sustained_mac() < self.mac_alert
+        ]
+
+
 def modal_assurance(a, b) -> np.ndarray:
     """Modal Assurance Criterion matrix between two shape sets.
 

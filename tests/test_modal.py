@@ -293,6 +293,91 @@ def test_cli_fdd_rejects_mixed_rates(tmp_path, capsys):
     assert "sampling rates differ" in capsys.readouterr().err
 
 
+def _mk_fdd_result(freqs, shapes, dampings=None):
+    """Hand-built FDDResult for tracker tests (no FFT involved)."""
+    from apda_fft_tpu.models.modal import FDDResult
+
+    k = len(freqs)
+    shapes = np.asarray(shapes, np.complex128)
+    norm = np.linalg.norm(shapes, axis=-1, keepdims=True)
+    shapes = shapes / np.where(norm > 0, norm, 1.0)
+    damp = np.asarray(dampings if dampings is not None else [1.0] * k, np.float32)
+    h = 8
+    return FDDResult(
+        count=np.int32(k),
+        idx=np.arange(1, k + 1, dtype=np.int32),
+        freq=np.asarray(freqs, np.float32),
+        damping=damp,
+        sv_ratio=np.zeros(k, np.float32),
+        shape_re=np.real(shapes).astype(np.float32),
+        shape_im=np.imag(shapes).astype(np.float32),
+        freqs=np.arange(h, dtype=np.float32),
+        sv1=np.ones(h, np.float32),
+        sv2=np.zeros(h, np.float32),
+        damping_efdd=np.full(k, np.nan, np.float32),
+    )
+
+
+def test_modal_tracker_follows_modes_through_crossing():
+    from apda_fft_tpu.models.modal import ModalTracker
+
+    a = [1.0, 1.0, 1.0, 1.0]
+    b = [1.0, 0.4, -0.5, -1.0]
+    tr = ModalTracker(rel_tol=0.06)
+    t1 = tr.update(_mk_fdd_result([10.0, 10.8], [a, b]))
+    id_a = next(t.track_id for t in t1 if abs(t.last_freq - 10.0) < 1e-6)
+    id_b = next(t.track_id for t in t1 if abs(t.last_freq - 10.8) < 1e-6)
+    # The modes cross: the A-shaped mode is now ABOVE the B-shaped one, and
+    # each new frequency is closer to the OTHER track's last frequency.
+    # Frequency-nearest matching would swap the identities; MAC keeps them.
+    tr.update(_mk_fdd_result([10.5, 10.4], [a, b]))
+    tracks = {t.track_id: t for t in tr.tracks()}
+    assert [round(f, 4) for f in tracks[id_a].freqs] == [10.0, 10.5]
+    assert [round(f, 4) for f in tracks[id_b].freqs] == [10.8, 10.4]
+    assert min(tracks[id_a].macs) > 0.99 and min(tracks[id_b].macs) > 0.99
+
+
+def test_modal_tracker_shape_alert_fires():
+    from apda_fft_tpu.models.modal import ModalTracker
+
+    base = np.array([1.0, 0.8, 0.5, 0.2])
+    tr = ModalTracker(mac_alert=0.95, mac_min=0.5)
+    for step in range(5):
+        # Progressive local stiffness change: one component drifts off.
+        shape = base.copy()
+        shape[2] = 0.5 - 0.22 * step
+        tr.update(_mk_fdd_result([12.0], [shape]))
+    assert not tr.shape_alerts(min_epochs=99)  # epoch floor respected
+    alerts = tr.shape_alerts(min_epochs=3)
+    assert len(alerts) == 1
+    assert alerts[0].sustained_mac() < 0.95
+    assert alerts[0].macs[0] == 1.0 and alerts[0].macs[-1] < 0.9
+    # Stable shape never alerts.
+    tr2 = ModalTracker(mac_alert=0.95)
+    for _ in range(5):
+        tr2.update(_mk_fdd_result([12.0], [base]))
+    assert not tr2.shape_alerts()
+
+
+def test_modal_tracker_retirement_and_serialization():
+    import json as _json
+
+    from apda_fft_tpu.models.modal import ModalTracker
+
+    shape = [1.0, 0.5]
+    tr = ModalTracker(max_missed=2)
+    tr.update(_mk_fdd_result([8.0], [shape]))
+    for _ in range(4):
+        tr.update(_mk_fdd_result([], np.zeros((0, 2))))
+    # Retired to archive; a re-appearance births a NEW track.
+    t2 = tr.update(_mk_fdd_result([8.0], [shape]))
+    assert len(tr.tracks()) == 2
+    assert t2[0].track_id != tr.tracks()[-1].track_id or len(tr._archive) == 1
+    d = tr.tracks()[0].to_dict()
+    _json.dumps(d)  # JSON-serializable
+    assert d["epochs"] >= 1 and len(d["ref_shape"][0]) == 2
+
+
 def test_gateway_fdd_report_end_to_end(tmp_path):
     """3 simulated sensors, same axis: [FDD] modal report in history.log."""
     from apda_fft_tpu.gateway.transport import SensorSimulator
@@ -378,6 +463,38 @@ def test_gateway_fdd_report_short_records_warn(tmp_path):
     svc.drain()
     history = open(svc.config.logger_file).read()
     assert "skipping" in history and "[FDD]" in history
+
+
+def test_gateway_fdd_shape_alert(tmp_path):
+    """A progressive mode-shape change across epochs raises one [ALERT]."""
+    from apda_fft_tpu.gateway.transport import SensorSimulator
+    from tests.test_gateway import make_service
+
+    fs = 125.0
+    svc, transport, _, _ = make_service(
+        tmp_path,
+        gateway_extra={"fdd_report": True, "fdd_window": 512,
+                       "fdd_min_sensors": 3, "fdd_mac_alert": 0.95},
+    )
+    macs = [f"0013a20041e7f6e{i}" for i in range(3)]
+    for epoch in range(6):
+        # Sensor 2's component degrades epoch over epoch (local stiffness
+        # change at that sensor's position): gradual enough to keep matching
+        # the track (MAC >= mac_min) while the sustained MAC crosses the
+        # alert threshold (measured MACs ~[1, .996, .982, .954, .909, .844]).
+        shapes = np.array([[0.38, 0.92, 1.0 - 0.12 * epoch]])
+        x = _modal_records(shapes, [9.3], [0.012], fs, t_sec=40.0,
+                           seed=10 + epoch)
+        for mac, rec in zip(macs, x):
+            SensorSimulator(mac, fs=fs, axis="X", chunk=100).stream_acquisition(
+                transport, rec
+            )
+        SensorSimulator(macs[0]).heartbeat(transport)
+        svc.drain()
+    history = open(svc.config.logger_file).read()
+    assert "[ALERT] FDD mode-shape change: X" in history
+    # Dedup: exactly one alert line for the track.
+    assert history.count("[ALERT] FDD mode-shape change") == 1
 
 
 def test_gateway_config_fdd_validation(tmp_path):
