@@ -314,14 +314,25 @@ def cmd_fdd(args) -> int:
         return 1
     fs = loaded[0][1].fs
     t = min(len(rec.samples) for _, rec in loaded)
-    if t < 2 * args.window:
-        print(f"need >= 2 overlapping segments ({t} common samples < "
-              f"2*window={2 * args.window})", file=sys.stderr)
+    from apda_fft_tpu.models.modal import fdd_segments
+
+    if args.hop is not None and args.hop < 1:
+        print(f"--hop must be >= 1, got {args.hop}", file=sys.stderr)
+        return 1
+    # Pre-check with the SAME framing arithmetic fdd() uses (incl. --hop).
+    if fdd_segments(t, args.window, args.hop) < 2:
+        print(f"need >= 2 segments: {t} common samples with "
+              f"window={args.window}, hop={args.hop or args.window // 2}",
+              file=sys.stderr)
         return 1
     records = np.stack(
         [np.asarray(rec.samples[:t], np.float32) for _, rec in loaded]
     )
-    res = fdd(records, fs, args.window, args.hop, k=args.top, efdd=args.efdd)
+    try:
+        res = fdd(records, fs, args.window, args.hop, k=args.top, efdd=args.efdd)
+    except ValueError as exc:
+        print(f"fdd failed: {exc}", file=sys.stderr)
+        return 1
 
     n = int(res.count)
     modes = []

@@ -114,12 +114,11 @@ class GatewayService:
         # sensor's records cannot accumulate unboundedly.
         self._fdd_pending: dict[tuple[str, float], dict[str, np.ndarray]] = {}
         self._fdd_pending_age: dict[tuple[str, float], int] = {}
-        # Mode tracking across array reports: per-(axis, fs) MAC-based
-        # trackers; shape-degradation alerts dedup per track like drift
-        # alerts.  In-memory only (the report is informational; the durable
+        # Mode tracking across array reports: per-(axis, fs, roster)
+        # MAC-based trackers; shape-degradation alerts dedup on the track
+        # itself.  In-memory only (the report is informational; the durable
         # drift story is PeakTracker's persisted per-sensor state).
         self._modal_trackers: dict = {}
-        self._modal_alerted: set = set()
         # Background egress (the capability GT_FFT_v5.py:109-113 stubbed).
         self.uploader = AsyncUploadManager(upload_timeout) if async_uploads else None
         self._uploads_inflight: dict[str, int] = {}
@@ -600,14 +599,28 @@ class GatewayService:
         if self.config.fdd_report:
             # Accumulate for the sync-boundary array report (the analysis
             # batch is per-file in immediate mode; the array epoch closes at
-            # the next 0xA1, the same boundary uploads flush on).
+            # the next 0xA1, the same boundary uploads flush on).  Only
+            # sync-disciplined records qualify: FDD's cross-spectral phases
+            # (hence mode shapes) assume simultaneous sampling, which the
+            # sensor network provides via its GPS/PPS sync - an "Asynced"
+            # record's sample clock is free-running and its phases are
+            # meaningless across sensors.
+            from apda_fft_tpu.gateway.egress import timestamp_from_filename
+
             for addr, path, rec in loaded:
                 if path.endswith("_shock.log"):
                     continue
+                if not rec.is_synced:
+                    self.history(
+                        f"\t[FDD] skipping unsynced record from {addr} "
+                        f"({rec.axis}): cross-sensor phase undefined\n"
+                    )
+                    continue
                 key = (rec.axis, float(rec.fs))
                 best = self._fdd_pending.setdefault(key, {})
-                if addr not in best or len(rec.samples) > len(best[addr]):
-                    best[addr] = np.asarray(rec.samples, np.float32)
+                ts = timestamp_from_filename(os.path.basename(path))
+                if addr not in best or len(rec.samples) > len(best[addr][0]):
+                    best[addr] = (np.asarray(rec.samples, np.float32), ts)
         # One durability flush per analysis batch (not per record: the JSON
         # covers every tracked sensor, so per-record writes would be O(B)
         # redundant IO; alerts flush immediately in _track_drift).
@@ -651,13 +664,33 @@ class GatewayService:
         contributes its longest record.  Failures only warn - the per-sensor
         results are already stored.  Groups below the sensor minimum stay
         pending (their remaining sensors may deliver before the next sync).
+
+        Alignment guard: cross-spectral phases assume the records cover the
+        SAME acquisition.  Pending entries carry their filename timestamp;
+        records older than ``_FDD_ALIGN_TOL_S`` relative to the group's
+        newest are dropped (a stale record left pending from an earlier
+        epoch must not be mixed into a later acquisition's CSD).
         """
         for (axis, fs), by_addr in sorted(self._fdd_pending.items()):
+            # Drop stale entries first so they can neither satisfy the
+            # sensor minimum nor pollute the CSD.
+            stamps = [ts for _, ts in by_addr.values() if ts is not None]
+            if stamps:
+                newest = max(stamps)
+                for a in [a for a, (_, ts) in by_addr.items()
+                          if ts is not None
+                          and (newest - ts).total_seconds() > self._FDD_ALIGN_TOL_S]:
+                    self.history(
+                        f"\t[FDD] dropping stale {axis} record from {a} "
+                        f"({(newest - by_addr[a][1]).total_seconds():.0f}s older "
+                        f"than the epoch's newest)\n"
+                    )
+                    del by_addr[a]
             if len(by_addr) < self.config.fdd_min_sensors:
                 # Stays pending a few epochs (its remaining sensors may still
                 # deliver), then retires so it cannot accumulate unboundedly.
                 age = self._fdd_pending_age.get((axis, fs), 0) + 1
-                if age > self._FDD_PENDING_MAX_AGE:
+                if age > self._FDD_PENDING_MAX_AGE or not by_addr:
                     del self._fdd_pending[(axis, fs)]
                     self._fdd_pending_age.pop((axis, fs), None)
                 else:
@@ -666,7 +699,7 @@ class GatewayService:
             del self._fdd_pending[(axis, fs)]
             self._fdd_pending_age.pop((axis, fs), None)
             addrs = sorted(by_addr)
-            t = min(len(by_addr[a]) for a in addrs)
+            t = min(len(by_addr[a][0]) for a in addrs)
             window = self.config.fdd_window
             if t < 2 * window:
                 self.history(
@@ -678,7 +711,7 @@ class GatewayService:
                 from apda_fft_tpu.models.modal import fdd
 
                 res = fdd(
-                    np.stack([by_addr[a][:t] for a in addrs]), fs, window,
+                    np.stack([by_addr[a][0][:t] for a in addrs]), fs, window,
                     efdd=True,
                 )
             except Exception as exc:  # noqa: BLE001 - report-only path
@@ -701,24 +734,39 @@ class GatewayService:
                     line += f" efdd={res.damping_efdd[i]:.3f}%"
                 self.history(line + "\n")
             if self.config.fdd_mac_alert > 0:
-                from apda_fft_tpu.models.modal import ModalTracker
+                # Tracker keyed by the sensor ROSTER, not just (axis, fs):
+                # shapes from different sensor sets have different lengths
+                # and orderings, so comparing them is meaningless (and a
+                # length change would raise out of modal_assurance).  A
+                # roster change simply starts a fresh tracker/baseline.
+                try:
+                    from apda_fft_tpu.models.modal import ModalTracker
 
-                mt = self._modal_trackers.setdefault(
-                    (axis, fs), ModalTracker(mac_alert=self.config.fdd_mac_alert)
-                )
-                mt.update(res, t=self.clock().timestamp())
-                for tr in mt.shape_alerts():
-                    key = (axis, fs, tr.track_id)
-                    if key in self._modal_alerted:
-                        continue
-                    self._modal_alerted.add(key)
-                    self.history(
-                        f"\t[ALERT] FDD mode-shape change: {axis} "
-                        f"f={tr.last_freq:.4f} Hz MAC={tr.sustained_mac():.3f} "
-                        f"vs baseline (track {tr.track_id})\n"
+                    mt = self._modal_trackers.setdefault(
+                        (axis, fs, tuple(addrs)),
+                        ModalTracker(mac_alert=self.config.fdd_mac_alert),
                     )
+                    while len(self._modal_trackers) > 64:
+                        # Roster churn bound: drop the oldest tracker (dicts
+                        # preserve insertion order) rather than grow forever.
+                        self._modal_trackers.pop(
+                            next(iter(self._modal_trackers))
+                        )
+                    mt.update(res, t=self.clock().timestamp())
+                    for tr in mt.shape_alerts():
+                        if tr.alerted:
+                            continue
+                        tr.alerted = True
+                        self.history(
+                            f"\t[ALERT] FDD mode-shape change: {axis} "
+                            f"f={tr.last_freq:.4f} Hz MAC={tr.sustained_mac():.3f} "
+                            f"vs baseline (track {tr.track_id})\n"
+                        )
+                except Exception as exc:  # noqa: BLE001 - report-only path
+                    self.history(f"\t[WARN] FDD tracking failed: {exc}\n")
 
     _FDD_PENDING_MAX_AGE = 4  # sync flushes an under-min group survives
+    _FDD_ALIGN_TOL_S = 300.0  # max filename-timestamp spread within one run
 
     _DRIFT_TRACK_KEEP = 512  # archived-track cap per (sensor, axis)
 

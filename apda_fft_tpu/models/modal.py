@@ -121,6 +121,8 @@ def csd_matrix(
         raise ValueError(f"records must be [S, T], got shape {records.shape}")
     if records.shape[0] < 1:
         raise ValueError("need at least one sensor channel")
+    if hop is not None and hop < 1:
+        raise ValueError(f"hop must be >= 1 (or None for 50% overlap), got {hop}")
     hop = max(window // 2, 1) if hop is None else hop
     if taper not in fft_ops.TAPERS:
         raise ValueError(f"unknown taper {taper!r}; expected one of {fft_ops.TAPERS}")
@@ -232,6 +234,19 @@ def sv_spectra(gr, gi, iters: int = _POWER_ITERS):
     s2 = jnp.clip(s2, 0.0, s1)
     vr, vi = _phase_fix(vr, vi)
     return s1, s2, vr, vi
+
+
+def fdd_segments(t: int, window: int, hop: int | None = None) -> int:
+    """Number of Welch segments :func:`fdd`/:func:`csd_matrix` will frame.
+
+    The single place for the framing arithmetic, so callers (e.g. the CLI)
+    can pre-check ">= 2 segments" with the SAME hop they will pass instead
+    of approximating it.
+    """
+    hop = max(window // 2, 1) if hop is None else hop
+    if t < window:
+        return 0
+    return (t - window) // hop + 1
 
 
 def _efdd_zeta(
@@ -353,8 +368,10 @@ def fdd(
     records = jnp.asarray(records, dtype)
     if records.ndim != 2:
         raise ValueError(f"records must be [S, T], got shape {records.shape}")
-    n_seg = (records.shape[-1] - window) // (max(window // 2, 1) if hop is None else hop) + 1
-    if records.shape[-1] < window or n_seg < 2:
+    if hop is not None and hop < 1:
+        raise ValueError(f"hop must be >= 1 (or None for 50% overlap), got {hop}")
+    n_seg = fdd_segments(records.shape[-1], window, hop)
+    if n_seg < 2:
         raise ValueError(
             f"need >= 2 segments: T={records.shape[-1]} with window={window}"
         )
@@ -435,6 +452,8 @@ class ModeTrack:
         self.macs = [1.0]
         self.missed = 0
         self.observed = 1
+        self.alerted = False  # one shape alert per track (dedup lives here,
+        #: not in an unbounded caller-side set)
 
     @property
     def last_freq(self) -> float:
@@ -445,7 +464,8 @@ class ModeTrack:
         k = max(1, min(k, len(self.macs)))
         return float(np.median(self.macs[-k:]))
 
-    def observe(self, t, freq: float, shape: np.ndarray, damping: float) -> None:
+    def observe(self, t, freq: float, shape: np.ndarray, damping: float,
+                history_cap: int = 0) -> None:
         shape = np.asarray(shape, np.complex128)
         self.times.append(t)
         self.freqs.append(float(freq))
@@ -454,6 +474,12 @@ class ModeTrack:
         self.last_shape = shape
         self.missed = 0
         self.observed += 1
+        if history_cap and len(self.freqs) > history_cap:
+            # Trim the MIDDLE: keep the birth head (the MAC baseline's
+            # context) and the recent tail - bounds months-long tracks
+            # (same policy as tracking.PeakTracker).
+            cut = slice(8, 9)
+            del self.times[cut], self.freqs[cut], self.dampings[cut], self.macs[cut]
 
     def to_dict(self) -> dict:
         return {
@@ -490,12 +516,20 @@ class ModalTracker:
     Host-side numpy by design (k <= a handful of modes per epoch).
     """
 
+    #: retired tracks kept for history (oldest dropped past this)
+    ARCHIVE_KEEP = 64
+    #: per-archived-track observation cap (birth head 8 + recent tail)
+    ARCHIVE_OBS_KEEP = 64
+
     def __init__(self, rel_tol: float = 0.05, mac_min: float = 0.7,
-                 mac_alert: float = 0.9, max_missed: int = 5):
+                 mac_alert: float = 0.9, max_missed: int = 5,
+                 history_cap: int = 2048):
         self.rel_tol = rel_tol
         self.mac_min = mac_min
         self.mac_alert = mac_alert
         self.max_missed = max_missed
+        #: per-live-track observation cap (middle-trimmed past it; 0 = off)
+        self.history_cap = history_cap
         self._tracks: list[ModeTrack] = []
         self._archive: list[ModeTrack] = []
         self._next_id = 0
@@ -512,7 +546,19 @@ class ModalTracker:
 
         live = []
         for tr in self._tracks:
-            (live if tr.missed < self.max_missed else self._archive).append(tr)
+            if tr.missed < self.max_missed:
+                live.append(tr)
+                continue
+            # Retired tracks can never grow again: trim their observation
+            # lists hard and bound the archive itself (oldest out first) so
+            # a months-long gateway process stays bounded.
+            if len(tr.freqs) > self.ARCHIVE_OBS_KEEP:
+                head, tail = 8, self.ARCHIVE_OBS_KEEP - 8
+                cut = slice(head, len(tr.freqs) - tail)
+                del tr.times[cut], tr.freqs[cut], tr.dampings[cut], tr.macs[cut]
+            self._archive.append(tr)
+        if len(self._archive) > self.ARCHIVE_KEEP:
+            del self._archive[: len(self._archive) - self.ARCHIVE_KEEP]
         self._tracks = live
 
         # Admissible (track, mode) pairs, greedily by combined distance.
@@ -536,7 +582,8 @@ class ModalTracker:
                 continue
             used_t.add(ti)
             used_n.add(ni)
-            live[ti].observe(t, freqs[ni], shapes[ni], damps[ni])
+            live[ti].observe(t, freqs[ni], shapes[ni], damps[ni],
+                             history_cap=self.history_cap)
             out.append(live[ti])
         for ti, tr in enumerate(live):
             if ti not in used_t:

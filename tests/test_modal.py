@@ -497,6 +497,108 @@ def test_gateway_fdd_shape_alert(tmp_path):
     assert history.count("[ALERT] FDD mode-shape change") == 1
 
 
+def test_gateway_fdd_roster_change_does_not_crash_sync(tmp_path):
+    """A sensor joining between epochs starts a fresh tracker, no exception."""
+    from apda_fft_tpu.gateway.transport import SensorSimulator
+    from tests.test_gateway import make_service
+
+    fs = 125.0
+    svc, transport, _, _ = make_service(
+        tmp_path,
+        gateway_extra={"fdd_report": True, "fdd_window": 512,
+                       "fdd_min_sensors": 2},
+    )
+    for epoch, n_sensors in ((0, 2), (1, 3)):
+        shapes = np.array([[0.38, 0.92, 1.0][:n_sensors]])
+        x = _modal_records(shapes, [9.3], [0.012], fs, t_sec=30.0, seed=epoch)
+        for i in range(n_sensors):
+            SensorSimulator(f"0013a20041e7f6f{i}", fs=fs, axis="X",
+                            chunk=100).stream_acquisition(transport, x[i])
+        SensorSimulator("0013a20041e7f6f0").heartbeat(transport)
+        svc.drain()
+    history = open(svc.config.logger_file).read()
+    assert "[FDD] X: 2 sensors" in history and "[FDD] X: 3 sensors" in history
+    assert "FDD tracking failed" not in history
+    assert "Error in main loop" not in history
+    # Two tracker keys: one per roster.
+    assert len(svc._modal_trackers) == 2
+
+
+def test_gateway_fdd_drops_stale_pending_records(tmp_path):
+    """A record left pending from an old epoch is not mixed into a new CSD."""
+    from datetime import datetime, timedelta
+
+    from tests.test_gateway import make_service
+
+    svc, _, _, _ = make_service(
+        tmp_path,
+        gateway_extra={"fdd_report": True, "fdd_window": 256,
+                       "fdd_min_sensors": 2},
+    )
+    rng = np.random.default_rng(0)
+    t0 = datetime(2026, 8, 16, 10, 0, 0)
+    fresh = t0 + timedelta(seconds=400)
+    svc._fdd_pending[("X", 125.0)] = {
+        "aaaa": (rng.standard_normal(2048).astype(np.float32), t0),
+        "bbbb": (rng.standard_normal(2048).astype(np.float32), fresh),
+        "cccc": (rng.standard_normal(2048).astype(np.float32),
+                 fresh + timedelta(seconds=5)),
+    }
+    svc._fdd_flush()
+    history = open(svc.config.logger_file).read()
+    assert "dropping stale X record from aaaa" in history
+    # The two aligned records still ran.
+    assert "[FDD] X: 2 sensors (bbbb, cccc)" in history
+
+
+def test_modal_tracker_history_and_archive_bounds():
+    from apda_fft_tpu.models.modal import ModalTracker
+
+    shape = [1.0, 0.5]
+    tr = ModalTracker(history_cap=32, max_missed=1)
+    for _ in range(64):
+        tr.update(_mk_fdd_result([8.0], [shape]))
+    t0 = tr.tracks()[0]
+    assert len(t0.freqs) == 32 and t0.observed == 64
+    assert len(t0.times) == len(t0.dampings) == len(t0.macs) == 32
+    # Archive is bounded too: churn many short-lived tracks through one
+    # tracker (each birth misses out two epochs later and retires).
+    tr3 = ModalTracker(max_missed=1, rel_tol=1e-6)
+    for i in range(ModalTracker.ARCHIVE_KEEP + 40):
+        tr3.update(_mk_fdd_result([100.0 + i], [shape]))
+        tr3.update(_mk_fdd_result([], np.zeros((0, 2))))
+        tr3.update(_mk_fdd_result([], np.zeros((0, 2))))
+    assert len(tr3._archive) <= ModalTracker.ARCHIVE_KEEP
+
+
+def test_cli_fdd_hop_validation(tmp_path, capsys):
+    from apda_fft_tpu.__main__ import main
+    from apda_fft_tpu.io import logfile
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for s in range(2):
+        path = tmp_path / f"0013a20041e7f6a{s}_Xaxis_16_08_2026_10_20_30.log"
+        logfile.write_acquisition_header(
+            path, "10:20:30", "2g", "128 Hz", "X axis", "Synced",
+            means=["22.0", "0.01", "0.01", "0.98"], humidity=50.0,
+            baselines=(0.0, 0.0, 0.0),
+        )
+        logfile.append_samples(
+            path, [f"{v:8.6f}" for v in rng.standard_normal(2048)]
+        )
+        paths.append(str(path))
+    # hop 0: clean error, not a ZeroDivisionError traceback.
+    assert main(["fdd", *paths, "--window", "1024", "--hop", "0"]) == 1
+    assert "--hop must be >= 1" in capsys.readouterr().err
+    # Huge hop: one segment only -> clean error with the real arithmetic.
+    assert main(["fdd", *paths, "--window", "1024", "--hop", "2000"]) == 1
+    assert ">= 2 segments" in capsys.readouterr().err
+    # Small hop on a length the old 2*window pre-check would have rejected:
+    # 1.6 segments-wise fine (hop 256 -> 5 segments over 2048).
+    assert main(["fdd", *paths, "--window", "1024", "--hop", "256"]) == 0
+
+
 def test_gateway_config_fdd_validation(tmp_path):
     import json as _json
 
