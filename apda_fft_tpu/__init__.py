@@ -40,6 +40,13 @@ from apda_fft_tpu.models.modal import (
     fdd,
     modal_assurance,
 )
+from apda_fft_tpu.models.ssi import (
+    SSIMode,
+    SSIResult,
+    correlation_blocks,
+    modal_phase_collinearity,
+    ssi,
+)
 from apda_fft_tpu.models.tracking import PeakTracker, Track, match_peaks
 from apda_fft_tpu.ops.ringdown import ringdown_damping
 from apda_fft_tpu.ops.fft import (
@@ -75,6 +82,8 @@ __all__ = [
     "ProminencePeaks",
     "RecordPeaks",
     "ResolutionPeaks",
+    "SSIMode",
+    "SSIResult",
     "SpectralPipeline",
     "Track",
     "analyze_epoch",
@@ -86,6 +95,7 @@ __all__ = [
     "center_and_pad",
     "coherence",
     "coherence_with_phase",
+    "correlation_blocks",
     "cross_psd",
     "csd_matrix",
     "fdd",
@@ -95,11 +105,13 @@ __all__ = [
     "full_spectrum",
     "halfspec_magnitudes",
     "match_peaks",
+    "modal_phase_collinearity",
     "next_pow2",
     "prominence_peaks",
     "resolution_peaks",
     "ringdown_damping",
     "spectrogram",
+    "ssi",
     "taper_window",
     "welch_psd",
 ]

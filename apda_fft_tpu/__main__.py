@@ -371,6 +371,80 @@ def cmd_fdd(args) -> int:
     return 0
 
 
+def cmd_ssi(args) -> int:
+    """Time-domain modal identification (SSI-COV) with stabilization.
+
+    Takes simultaneously recorded acquisition files (one per sensor) and
+    fits a stochastic state-space model to the output correlations: poles
+    give off-grid eigenfrequencies and reliable damping ratios, shapes
+    come with phase-collinearity physicality scores, and the
+    stabilization diagram separates structure from noise — the
+    time-domain complement to the ``fdd`` command.
+    """
+    from apda_fft_tpu.models.ssi import ssi
+
+    loaded = _load(args.files)
+    if len(loaded) < 1:
+        print("no analyzable files", file=sys.stderr)
+        return 1
+    rates = {rec.fs for _, rec in loaded}
+    if len(rates) != 1:
+        print(f"sampling rates differ across files: {sorted(rates)}", file=sys.stderr)
+        return 1
+    fs = loaded[0][1].fs
+    t = min(len(rec.samples) for _, rec in loaded)
+    if t < 8 * args.block_rows:
+        print(f"records too short: {t} common samples for --block-rows "
+              f"{args.block_rows} (need >= {8 * args.block_rows})", file=sys.stderr)
+        return 1
+    records = np.stack(
+        [np.asarray(rec.samples[:t], np.float32) for _, rec in loaded]
+    )
+    max_order = args.block_rows * records.shape[0]
+    orders = range(2, min(max_order, args.max_order) + 1, 2)
+    try:
+        res = ssi(records, fs, i=args.block_rows, orders=orders,
+                  min_orders=args.min_orders)
+    except ValueError as exc:
+        print(f"ssi failed: {exc}", file=sys.stderr)
+        return 1
+
+    modes = []
+    for m in res.modes:
+        modes.append({
+            "freq": round(m.freq, 4),
+            "damping_pct": round(m.damping, 3),
+            "freq_std": round(m.freq_std, 4),
+            "damping_std_pct": round(m.damping_std, 3),
+            "n_orders": m.n_orders,
+            "mpc": round(m.mpc, 4),
+            "shape": [
+                {"re": round(float(c.real), 4), "im": round(float(c.imag), 4)}
+                for c in m.shape
+            ],
+        })
+    if args.json:
+        print(json.dumps({
+            "files": [p for p, _ in loaded], "fs": fs,
+            "block_rows": args.block_rows, "orders": [int(n) for n in res.orders],
+            "modes": modes,
+        }))
+    else:
+        print(f"SSI-COV over {len(loaded)} sensors (fs={fs} Hz, "
+              f"i={args.block_rows}, orders {res.orders[0]}..{res.orders[-1]}):")
+        if not modes:
+            print("  no stabilized physical modes")
+        for m in modes:
+            comps = "  ".join(
+                f"{c['re']:+.3f}{c['im']:+.3f}j" for c in m["shape"]
+            )
+            print(f"  f={m['freq']:9.4f} Hz (±{m['freq_std']:.4f})  "
+                  f"damping={m['damping_pct']:.3f}% (±{m['damping_std_pct']:.3f})  "
+                  f"stable over {m['n_orders']} orders  mpc={m['mpc']:.3f}  "
+                  f"shape=[{comps}]")
+    return 0
+
+
 def cmd_oracle_check(args) -> int:
     from apda_fft_tpu import analyze_epoch
     from apda_fft_tpu.ops.fft import next_pow2
@@ -524,6 +598,19 @@ def main(argv=None) -> int:
                     help="enhanced-FDD damping (autocorrelation log decrement)")
     fd.add_argument("--json", action="store_true")
     fd.set_defaults(fn=cmd_fdd)
+
+    ss = sub.add_parser("ssi", help="time-domain modal identification "
+                                    "(SSI-COV: poles, damping, stabilization)")
+    ss.add_argument("files", nargs="+",
+                    help="one simultaneously recorded log file per sensor")
+    ss.add_argument("--block-rows", type=int, default=20, metavar="I",
+                    help="Hankel block rows; correlation horizon = 2I/fs s")
+    ss.add_argument("--max-order", type=int, default=60,
+                    help="highest model order in the stabilization sweep")
+    ss.add_argument("--min-orders", type=int, default=5,
+                    help="orders a pole must stabilize across to be a mode")
+    ss.add_argument("--json", action="store_true")
+    ss.set_defaults(fn=cmd_ssi)
 
     o = sub.add_parser("oracle-check", help="validate device decisions vs float64 oracle")
     o.add_argument("files", nargs="+")

@@ -1,0 +1,299 @@
+"""SSI-COV stochastic subspace identification (`models/ssi.py`).
+
+Validation strategy: (1) device correlation blocks against a numpy float64
+direct computation, (2) end-to-end mode recovery (frequency, damping, MAC
+vs true shapes) on the same synthetic white-noise-driven modal model the
+FDD tests use — SSI must recover *damping* well, which is its reason to
+exist, (3) a white-noise null corpus where no physical mode may survive
+the stabilization + MPC filters, (4) frequency agreement with `fdd` on
+shared records, (5) input validation.
+"""
+
+import numpy as np
+import pytest
+import scipy.signal
+
+from apda_fft_tpu.models.modal import fdd, modal_assurance
+from apda_fft_tpu.models.ssi import (
+    SSIMode,
+    SSIResult,
+    correlation_blocks,
+    modal_phase_collinearity,
+    ssi,
+)
+
+FS = 50.0
+SHAPES = np.array([
+    [1.0, 0.8, 0.5, 0.2],
+    [0.9, 0.1, -0.6, -1.0],
+])
+FREQS = (3.1, 7.6)
+ZETAS = (0.01, 0.02)
+
+
+def _modal_records(shapes, freqs_hz, zetas, fs, t_sec, seed=0,
+                   sensor_noise=0.02):
+    """[S, T] white-noise-driven modal responses (same model as test_modal)."""
+    rng = np.random.default_rng(seed)
+    n = int(t_sec * fs)
+    qs = []
+    for f, z in zip(freqs_hz, zetas):
+        w = 2 * np.pi * f
+        r = np.exp(-z * w / fs)
+        th = w * np.sqrt(1 - z * z) / fs
+        a = [1.0, -2.0 * r * np.cos(th), r * r]
+        qs.append(scipy.signal.lfilter([1.0], a, rng.standard_normal(n)))
+    x = shapes.T @ np.stack(qs)
+    x += sensor_noise * np.std(x) * rng.standard_normal(x.shape)
+    return x.astype(np.float32)
+
+
+# ---------------------------------------------------------------- blocks
+
+
+def test_correlation_blocks_match_numpy_f64():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((3, 5000)).astype(np.float32)
+    n_lags = 12
+    r = correlation_blocks(x, n_lags)
+    assert r.shape == (n_lags, 3, 3) and r.dtype == np.float64
+
+    xm = x.astype(np.float64)
+    xm -= xm.mean(-1, keepdims=True)
+    t0 = 5000 - n_lags + 1
+    for lag in range(n_lags):
+        ref = xm[:, lag : lag + t0] @ xm[:, :t0].T / t0
+        err = np.abs(r[lag] - ref).max() / np.abs(ref).max()
+        assert err < 2e-6, f"lag {lag}: rel err {err}"
+
+
+def test_correlation_blocks_lag0_symmetric_psd():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((4, 4000)).astype(np.float32)
+    r = correlation_blocks(x, 8)
+    np.testing.assert_allclose(r[0], r[0].T, atol=1e-9)
+    assert np.all(np.linalg.eigvalsh(r[0]) > 0)
+
+
+def test_correlation_blocks_detrend_none():
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((2, 3000)) + 5.0).astype(np.float32)
+    r_mean = correlation_blocks(x, 4)
+    r_none = correlation_blocks(x, 4, detrend="none")
+    # Without mean removal the DC offset (5^2 = 25) dominates every block.
+    assert np.abs(r_none[1]).max() > 10 * np.abs(r_mean[1]).max()
+
+
+def test_correlation_blocks_validation():
+    x = np.zeros((2, 100), np.float32)
+    with pytest.raises(ValueError, match="n_lags"):
+        correlation_blocks(x, 1)
+    with pytest.raises(ValueError, match="too short"):
+        correlation_blocks(x, 30)
+    with pytest.raises(ValueError, match="S, T"):
+        correlation_blocks(np.zeros(100, np.float32), 4)
+    with pytest.raises(ValueError, match="detrend"):
+        correlation_blocks(x, 4, detrend="median")
+
+
+# ------------------------------------------------------------- recovery
+
+
+def test_ssi_recovers_frequency_damping_and_shapes():
+    x = _modal_records(SHAPES, FREQS, ZETAS, FS, 240.0, seed=3)
+    res = ssi(x, FS, i=30)
+    assert isinstance(res, SSIResult)
+    assert res.count == 2
+
+    for mode, f_true, z_true, shape_true in zip(
+        res.modes, FREQS, ZETAS, SHAPES
+    ):
+        # Frequency off-grid (not bin-quantized): within 0.5%.
+        assert abs(mode.freq - f_true) / f_true < 5e-3
+        # Damping — SSI's reason to exist — within 25% relative (an
+        # output-only damping estimate from 4 minutes of data; the FDD
+        # half-power estimate errs by >100% on the same records).
+        assert abs(mode.damping - 100 * z_true) / (100 * z_true) < 0.25
+        mac = modal_assurance(shape_true, mode.shape)[0, 0]
+        assert mac > 0.95
+        assert mode.mpc > 0.99
+        assert mode.n_orders >= 10  # physical poles stabilize broadly
+        assert mode.freq_std < 0.05 * mode.freq
+
+    # Result convenience views.
+    assert res.freqs().shape == (2,) and res.dampings().shape == (2,)
+    assert res.shapes().shape == (2, 4)
+    # Hankel singular values: descending, with the 4-dim physical
+    # subspace (2 modes x 2 states) separated from the noise floor.
+    sv = res.hankel_sv
+    assert np.all(np.diff(sv) <= 1e-9)
+    assert sv[3] > 10 * sv[4]
+
+
+def test_ssi_white_noise_null():
+    """Pure white noise must identify no physical modes.
+
+    Finite-sample correlations DO stabilize spurious poles across orders
+    (they are deterministic given the data), so this is the test that the
+    min_orders + MPC physicality filters actually work.
+    """
+    for seed in (100, 101, 102, 103, 104, 105):
+        rng = np.random.default_rng(seed)
+        x = rng.standard_normal((4, 12000)).astype(np.float32)
+        res = ssi(x, FS, i=30)
+        assert res.count == 0, (
+            f"seed {seed}: spurious modes "
+            f"{[(m.freq, m.n_orders, m.mpc) for m in res.modes]}"
+        )
+
+
+def test_ssi_single_channel():
+    """S=1 still identifies frequency + damping (shape is trivial).
+
+    With one channel the MPC physicality filter is degenerate (a
+    1-component shape is always phase-collinear), so heavily damped
+    spurious poles CAN stabilize alongside the physical mode — the test
+    asserts the physical mode is recovered accurately and is the most
+    broadly stabilized one, not that it is alone.
+    """
+    shapes = np.array([[1.0]])
+    x = _modal_records(shapes, [3.1], [0.01], FS, 240.0, seed=4)
+    res = ssi(x, FS, i=30, orders=range(2, 31, 2))
+    assert res.count >= 1
+    m = min(res.modes, key=lambda m: abs(m.freq - 3.1))
+    assert abs(m.freq - 3.1) / 3.1 < 5e-3
+    assert abs(m.damping - 1.0) < 0.4
+    # The physical pole stabilizes across more orders than any artifact.
+    assert m.n_orders == max(mm.n_orders for mm in res.modes)
+
+
+def test_ssi_agrees_with_fdd():
+    # Same configuration test_modal.py::test_fdd_recovers_modes_and_shapes
+    # validates for FDD, so disagreement here indicts SSI, not FDD.
+    shapes = np.array([
+        [0.38, 0.71, 0.92, 1.0],
+        [0.87, 1.0, 0.28, -0.75],
+    ])
+    fs = 128.0
+    x = _modal_records(shapes, [9.3, 23.8], [0.012, 0.01], fs, 240.0, seed=3)
+    res_ssi = ssi(x, fs, i=25)
+    res_fdd = fdd(x, fs, window=1024)
+    assert res_ssi.count == 2
+    n_fdd = int(res_fdd.count)
+    assert n_fdd >= 2
+    bin_hz = fs / 1024
+    fdd_freqs = res_fdd.freq[:n_fdd]
+    for mode in res_ssi.modes:
+        # Each SSI mode matches an FDD peak within two FFT bins, and the
+        # shapes agree.
+        j = int(np.argmin(np.abs(fdd_freqs - mode.freq)))
+        assert abs(fdd_freqs[j] - mode.freq) <= 2 * bin_hz
+        phi_fdd = res_fdd.shape_re[j] + 1j * res_fdd.shape_im[j]
+        assert modal_assurance(phi_fdd, mode.shape)[0, 0] > 0.95
+
+
+def test_ssi_stabilization_diagram_structure():
+    x = _modal_records(SHAPES, FREQS, ZETAS, FS, 120.0, seed=6)
+    res = ssi(x, FS, i=20, orders=range(2, 41, 2))
+    assert list(res.orders) == list(range(2, 41, 2))
+    assert len(res.diagram) == len(res.orders)
+    for d, n in zip(res.diagram, res.orders):
+        assert d["order"] == n
+        p = d["freq"].shape[0]
+        assert d["damping"].shape == (p,) and d["stable"].shape == (p,)
+        assert d["stable"].dtype == bool
+        assert np.all(np.diff(d["freq"]) >= 0)  # sorted by frequency
+        assert np.all((d["damping"] > 0) & (d["damping"] < 20.0))
+        assert np.all((d["freq"] > 0) & (d["freq"] < FS / 2))
+    # The lowest order has no previous order: nothing can be stable.
+    assert not res.diagram[0]["stable"].any()
+    # Physical modes are stable at the highest order.
+    top = res.diagram[-1]
+    for f_true in FREQS:
+        j = int(np.argmin(np.abs(top["freq"] - f_true)))
+        assert top["stable"][j]
+
+
+def test_modal_phase_collinearity_bounds():
+    assert modal_phase_collinearity(np.array([1.0, -2.0, 0.5])) == pytest.approx(1.0)
+    # Global phase rotation leaves MPC at 1.
+    phi = np.array([1.0, -2.0, 0.5]) * np.exp(1j * 0.7)
+    assert modal_phase_collinearity(phi) == pytest.approx(1.0)
+    # Maximally phase-scattered: re/im balanced and orthogonal.
+    phi = np.array([1.0 + 0j, 0.0 + 1.0j])
+    assert modal_phase_collinearity(phi) == pytest.approx(0.0)
+    assert modal_phase_collinearity(np.zeros(3)) == 0.0
+
+
+def _write_acq_files(tmp_path, x, fs):
+    from apda_fft_tpu.io import logfile
+
+    paths = []
+    for s in range(x.shape[0]):
+        path = tmp_path / f"0013a20041e7f6c{s}_Xaxis_16_08_2026_11_00_00.log"
+        logfile.write_acquisition_header(
+            path, "11:00:00", "2g", f"{int(fs)} Hz", "X axis", "Synced",
+            means=["22.0", "0.01", "0.01", "0.98"], humidity=50.0,
+            baselines=(0.0, 0.0, 0.0),
+        )
+        logfile.append_samples(path, [f"{v:8.6f}" for v in x[s]])
+        paths.append(str(path))
+    return paths
+
+
+def test_cli_ssi_json(tmp_path, capsys):
+    import json
+
+    from apda_fft_tpu.__main__ import main
+
+    shapes = np.array([[0.5, 1.0, -0.8]])
+    fs = 128.0
+    x = _modal_records(shapes, [14.0], [0.015], fs, t_sec=120.0, seed=6)
+    paths = _write_acq_files(tmp_path, x, fs)
+
+    rc = main(["ssi", *paths, "--block-rows", "30", "--json"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["fs"] == fs and len(out["files"]) == 3
+    assert out["modes"], "expected at least one identified mode"
+    m = min(out["modes"], key=lambda d: abs(d["freq"] - 14.0))
+    assert abs(m["freq"] - 14.0) < 0.14  # off-grid: within 1%
+    assert abs(m["damping_pct"] - 1.5) < 0.6
+    assert m["mpc"] > 0.9 and m["n_orders"] >= 5
+    got = np.array([c["re"] + 1j * c["im"] for c in m["shape"]])
+    assert modal_assurance(got, shapes[0])[0, 0] > 0.9
+
+    # Text mode on the same files.
+    assert main(["ssi", *paths, "--block-rows", "30"]) == 0
+    assert "stable over" in capsys.readouterr().out
+
+
+def test_cli_ssi_guards(tmp_path, capsys):
+    from apda_fft_tpu.__main__ import main
+
+    fs = 128.0
+    x = _modal_records(np.array([[1.0, 0.5]]), [10.0], [0.01], fs, 2.0, seed=7)
+    paths = _write_acq_files(tmp_path, x, fs)
+    # 2 s of data is too short for 40 block rows.
+    assert main(["ssi", *paths, "--block-rows", "40"]) == 1
+    assert "too short" in capsys.readouterr().err
+
+
+def test_ssi_validation_errors():
+    x = np.zeros((2, 4000), np.float32)
+    with pytest.raises(ValueError, match="i >= 2"):
+        ssi(x, FS, i=1)
+    with pytest.raises(ValueError, match="fs"):
+        ssi(x, 0.0)
+    with pytest.raises(ValueError, match="exceeds i\\*S"):
+        ssi(x, FS, i=4, orders=[2, 10])
+    with pytest.raises(ValueError, match="orders is empty"):
+        ssi(x, FS, orders=[])
+    with pytest.raises(ValueError, match=">= 2"):
+        ssi(x, FS, orders=[1, 4])
+    with pytest.raises(ValueError, match="min_orders"):
+        ssi(x, FS, min_orders=0)
+    with pytest.raises(ValueError, match="mpc_min"):
+        ssi(x, FS, mpc_min=1.5)
+    with pytest.raises(ValueError, match="S, T"):
+        ssi(np.zeros(4000, np.float32), FS)
