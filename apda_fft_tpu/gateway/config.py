@@ -83,6 +83,15 @@ class GatewayConfig:
     #: whose median-of-3 MAC vs its birth shape drops below this writes one
     #: [ALERT] history line - the shape-based damage indicator); 0 disables
     fdd_mac_alert: float = 0.9
+    #: array-level time-domain modal report: run SSI-COV (stochastic
+    #: subspace identification, models/ssi.py) over the same aligned
+    #: multi-sensor record groups the FDD report uses, appending
+    #: stabilized modes (off-grid frequency + pole damping + shape) as
+    #: [SSI] history lines at the sync boundary.  Independent of
+    #: ``fdd_report`` (either enables the group accumulation).
+    ssi_report: bool = False
+    #: SSI Hankel block rows; correlation horizon = 2*block_rows/fs seconds
+    ssi_block_rows: int = 20
 
     @classmethod
     def load(cls, config_path: str | os.PathLike) -> "GatewayConfig":
@@ -139,6 +148,11 @@ class GatewayConfig:
                 raise GatewayConfigError(
                     f"fdd_mac_alert must be in [0, 1] (0 disables), got {fdd_mac_alert}"
                 )
+            ssi_block_rows = int(gw.get("ssi_block_rows", 20))
+            if ssi_block_rows < 2:
+                raise GatewayConfigError(
+                    f"ssi_block_rows must be >= 2, got {ssi_block_rows} in {config_path}"
+                )
             return cls(
                 ftp=FtpSettings(**cfg.get("ftp", {})),
                 fastapi_url=cfg.get("fastapi", {}).get("url", ""),
@@ -163,6 +177,8 @@ class GatewayConfig:
                 fdd_window=fdd_window,
                 fdd_min_sensors=fdd_min_sensors,
                 fdd_mac_alert=fdd_mac_alert,
+                ssi_report=bool(gw.get("ssi_report", False)),
+                ssi_block_rows=ssi_block_rows,
             )
         except GatewayConfigError:
             raise

@@ -451,7 +451,7 @@ class GatewayService:
         if self.pending_analysis:
             batch, self.pending_analysis = self.pending_analysis, []
             self._analyze_files(batch)
-        if self.config.fdd_report and self._fdd_pending:
+        if (self.config.fdd_report or self.config.ssi_report) and self._fdd_pending:
             self._fdd_flush()
 
         peaks_text = self._peaks_report(addr)
@@ -596,12 +596,14 @@ class GatewayService:
             self._store_result(addr, rec.axis, rp, bucket_metrics.get(i, {}))
             if path.endswith("_shock.log") and rp.count:
                 self._shock_ringdown(addr, rec.axis, records[i][0], rec.fs)
-        if self.config.fdd_report:
-            # Accumulate for the sync-boundary array report (the analysis
-            # batch is per-file in immediate mode; the array epoch closes at
-            # the next 0xA1, the same boundary uploads flush on).  Only
-            # sync-disciplined records qualify: FDD's cross-spectral phases
-            # (hence mode shapes) assume simultaneous sampling, which the
+        if self.config.fdd_report or self.config.ssi_report:
+            # Accumulate for the sync-boundary array reports (FDD and/or
+            # SSI — both consume the same aligned multi-sensor groups; the
+            # analysis batch is per-file in immediate mode; the array epoch
+            # closes at the next 0xA1, the same boundary uploads flush on).
+            # Only sync-disciplined records qualify: cross-sensor phases and
+            # cross-correlations (hence mode shapes) assume simultaneous
+            # sampling, which the
             # sensor network provides via its GPS/PPS sync - an "Asynced"
             # record's sample clock is free-running and its phases are
             # meaningless across sensors.
@@ -650,7 +652,11 @@ class GatewayService:
         )
 
     def _fdd_flush(self) -> None:
-        """Array-level modal report: FDD over same-axis multi-sensor records.
+        """Array-level modal reports (FDD and/or SSI) at the sync boundary.
+
+        Groups pending same-axis multi-sensor records, aligns each group to
+        its common length, and dispatches to ``_fdd_run`` (frequency-domain,
+        ``fdd_report``) and/or ``_ssi_run`` (time-domain, ``ssi_report``).
 
         Beyond-reference capability at the gateway level: the reference (and
         the per-file analysis above) sees each sensor alone; when the epoch's
@@ -700,70 +706,117 @@ class GatewayService:
             self._fdd_pending_age.pop((axis, fs), None)
             addrs = sorted(by_addr)
             t = min(len(by_addr[a][0]) for a in addrs)
-            window = self.config.fdd_window
-            if t < 2 * window:
-                self.history(
-                    f"\t[FDD] {axis}: {len(addrs)} sensors but only {t} common "
-                    f"samples (< 2*window={2 * window}), skipping\n"
-                )
-                continue
-            try:
-                from apda_fft_tpu.models.modal import fdd
+            records = np.stack([by_addr[a][0][:t] for a in addrs])
+            if self.config.fdd_report:
+                self._fdd_run(axis, fs, addrs, records)
+            if self.config.ssi_report:
+                self._ssi_run(axis, fs, addrs, records)
 
-                res = fdd(
-                    np.stack([by_addr[a][0][:t] for a in addrs]), fs, window,
-                    efdd=True,
-                )
-            except Exception as exc:  # noqa: BLE001 - report-only path
-                self.history(f"\t[WARN] FDD failed for axis {axis}: {exc}\n")
-                continue
-            n = int(res.count)
+    def _fdd_run(self, axis: str, fs: float, addrs: list,
+                 records: np.ndarray) -> None:
+        """FDD + EFDD + mode-shape tracking over one aligned record group."""
+        t = records.shape[1]
+        window = self.config.fdd_window
+        if t < 2 * window:
             self.history(
-                f"\t[FDD] {axis}: {len(addrs)} sensors "
-                f"({', '.join(addrs)}), window {window}, {n} mode(s)\n"
+                f"\t[FDD] {axis}: {len(addrs)} sensors but only {t} common "
+                f"samples (< 2*window={2 * window}), skipping\n"
             )
-            for i in range(n):
-                comps = " ".join(
-                    f"{re:+.3f}{im:+.3f}j"
-                    for re, im in zip(res.shape_re[i], res.shape_im[i])
-                )
-                line = (f"\t[FDD]   f={res.freq[i]:.4f} Hz "
-                        f"damping={res.damping[i]:.2f}% "
-                        f"s2/s1={res.sv_ratio[i]:.3f} shape=[{comps}]")
-                if np.isfinite(res.damping_efdd[i]):
-                    line += f" efdd={res.damping_efdd[i]:.3f}%"
-                self.history(line + "\n")
-            if self.config.fdd_mac_alert > 0:
-                # Tracker keyed by the sensor ROSTER, not just (axis, fs):
-                # shapes from different sensor sets have different lengths
-                # and orderings, so comparing them is meaningless (and a
-                # length change would raise out of modal_assurance).  A
-                # roster change simply starts a fresh tracker/baseline.
-                try:
-                    from apda_fft_tpu.models.modal import ModalTracker
+            return
+        try:
+            from apda_fft_tpu.models.modal import fdd
 
-                    mt = self._modal_trackers.setdefault(
-                        (axis, fs, tuple(addrs)),
-                        ModalTracker(mac_alert=self.config.fdd_mac_alert),
+            res = fdd(records, fs, window, efdd=True)
+        except Exception as exc:  # noqa: BLE001 - report-only path
+            self.history(f"\t[WARN] FDD failed for axis {axis}: {exc}\n")
+            return
+        n = int(res.count)
+        self.history(
+            f"\t[FDD] {axis}: {len(addrs)} sensors "
+            f"({', '.join(addrs)}), window {window}, {n} mode(s)\n"
+        )
+        for i in range(n):
+            comps = " ".join(
+                f"{re:+.3f}{im:+.3f}j"
+                for re, im in zip(res.shape_re[i], res.shape_im[i])
+            )
+            line = (f"\t[FDD]   f={res.freq[i]:.4f} Hz "
+                    f"damping={res.damping[i]:.2f}% "
+                    f"s2/s1={res.sv_ratio[i]:.3f} shape=[{comps}]")
+            if np.isfinite(res.damping_efdd[i]):
+                line += f" efdd={res.damping_efdd[i]:.3f}%"
+            self.history(line + "\n")
+        if self.config.fdd_mac_alert > 0:
+            # Tracker keyed by the sensor ROSTER, not just (axis, fs):
+            # shapes from different sensor sets have different lengths
+            # and orderings, so comparing them is meaningless (and a
+            # length change would raise out of modal_assurance).  A
+            # roster change simply starts a fresh tracker/baseline.
+            try:
+                from apda_fft_tpu.models.modal import ModalTracker
+
+                mt = self._modal_trackers.setdefault(
+                    (axis, fs, tuple(addrs)),
+                    ModalTracker(mac_alert=self.config.fdd_mac_alert),
+                )
+                while len(self._modal_trackers) > 64:
+                    # Roster churn bound: drop the oldest tracker (dicts
+                    # preserve insertion order) rather than grow forever.
+                    self._modal_trackers.pop(
+                        next(iter(self._modal_trackers))
                     )
-                    while len(self._modal_trackers) > 64:
-                        # Roster churn bound: drop the oldest tracker (dicts
-                        # preserve insertion order) rather than grow forever.
-                        self._modal_trackers.pop(
-                            next(iter(self._modal_trackers))
-                        )
-                    mt.update(res, t=self.clock().timestamp())
-                    for tr in mt.shape_alerts():
-                        if tr.alerted:
-                            continue
-                        tr.alerted = True
-                        self.history(
-                            f"\t[ALERT] FDD mode-shape change: {axis} "
-                            f"f={tr.last_freq:.4f} Hz MAC={tr.sustained_mac():.3f} "
-                            f"vs baseline (track {tr.track_id})\n"
-                        )
-                except Exception as exc:  # noqa: BLE001 - report-only path
-                    self.history(f"\t[WARN] FDD tracking failed: {exc}\n")
+                mt.update(res, t=self.clock().timestamp())
+                for tr in mt.shape_alerts():
+                    if tr.alerted:
+                        continue
+                    tr.alerted = True
+                    self.history(
+                        f"\t[ALERT] FDD mode-shape change: {axis} "
+                        f"f={tr.last_freq:.4f} Hz MAC={tr.sustained_mac():.3f} "
+                        f"vs baseline (track {tr.track_id})\n"
+                    )
+            except Exception as exc:  # noqa: BLE001 - report-only path
+                self.history(f"\t[WARN] FDD tracking failed: {exc}\n")
+
+    def _ssi_run(self, axis: str, fs: float, addrs: list,
+                 records: np.ndarray) -> None:
+        """SSI-COV time-domain modal report over one aligned record group.
+
+        Beyond-reference capability (`models/ssi.py`): stabilized state-space
+        poles give off-grid eigenfrequencies and pole damping — the damping
+        number the FDD half-power estimate can only bound.  Report-only like
+        the FDD path: failures warn and move on.
+        """
+        t = records.shape[1]
+        i_rows = self.config.ssi_block_rows
+        if t < 8 * i_rows:
+            self.history(
+                f"\t[SSI] {axis}: {len(addrs)} sensors but only {t} common "
+                f"samples (< 8*block_rows={8 * i_rows}), skipping\n"
+            )
+            return
+        try:
+            from apda_fft_tpu.models.ssi import ssi
+
+            max_order = min(i_rows * records.shape[0], 60)
+            res = ssi(records, fs, i=i_rows,
+                      orders=range(2, max_order + 1, 2))
+        except Exception as exc:  # noqa: BLE001 - report-only path
+            self.history(f"\t[WARN] SSI failed for axis {axis}: {exc}\n")
+            return
+        self.history(
+            f"\t[SSI] {axis}: {len(addrs)} sensors "
+            f"({', '.join(addrs)}), block rows {i_rows}, "
+            f"{res.count} stabilized mode(s)\n"
+        )
+        for m in res.modes:
+            comps = " ".join(
+                f"{c.real:+.3f}{c.imag:+.3f}j" for c in m.shape
+            )
+            self.history(
+                f"\t[SSI]   f={m.freq:.4f} Hz damping={m.damping:.3f}% "
+                f"orders={m.n_orders} mpc={m.mpc:.3f} shape=[{comps}]\n"
+            )
 
     _FDD_PENDING_MAX_AGE = 4  # sync flushes an under-min group survives
     _FDD_ALIGN_TOL_S = 300.0  # max filename-timestamp spread within one run

@@ -250,6 +250,27 @@ def _poles_at_order(u: np.ndarray, sv: np.ndarray, s: int, order: int,
             shapes[order_ix])
 
 
+def _merge_close_modes(modes: list, tol_freq: float, mac_min: float) -> list:
+    """Merge duplicate modes from split pole clusters (frequency-sorted in).
+
+    Greedy clustering can split one physical pole into two clusters
+    straddling the tolerance (seen on hardware: a 7.6 Hz mode reported as
+    7.513 Hz/5-orders + 7.596 Hz/27-orders).  Adjacent modes within
+    ``2*tol_freq`` whose shapes match (MAC ≥ ``mac_min``) are one mode;
+    the more broadly stabilized cluster wins.
+    """
+    merged: list = []
+    for m in modes:
+        if merged:
+            prev = merged[-1]
+            close = abs(m.freq - prev.freq) / prev.freq < 2 * tol_freq
+            if close and modal_assurance(prev.shape, m.shape)[0, 0] >= mac_min:
+                merged[-1] = max(prev, m, key=lambda mm: mm.n_orders)
+                continue
+        merged.append(m)
+    return merged
+
+
 def ssi(
     records,
     fs,
@@ -397,6 +418,7 @@ def ssi(
             mpc=phase_col,
         ))
     modes.sort(key=lambda m: m.freq)
+    modes = _merge_close_modes(modes, tol_freq, mac_min)
 
     # Plot-friendly diagram (shapes dropped: large and only needed above).
     slim = [

@@ -214,6 +214,31 @@ def test_ssi_stabilization_diagram_structure():
         assert top["stable"][j]
 
 
+def test_merge_close_modes():
+    from apda_fft_tpu.models.ssi import _merge_close_modes
+
+    def mk(freq, n_orders, shape):
+        return SSIMode(freq=freq, damping=1.0, shape=np.asarray(shape, complex),
+                       order=40, n_orders=n_orders, freq_std=0.01,
+                       damping_std=0.1, mpc=1.0)
+
+    a = [1.0, 0.5, -0.3]
+    b = [0.2, -1.0, 0.7]
+    # The hardware-observed split: same shape, 1.1% apart, 5 vs 27 orders.
+    split = [mk(7.513, 5, a), mk(7.596, 27, a)]
+    out = _merge_close_modes(split, tol_freq=0.01, mac_min=0.95)
+    assert len(out) == 1 and out[0].freq == 7.596 and out[0].n_orders == 27
+    # Close in frequency but different shape: NOT merged (genuinely two
+    # modes, e.g. a repeated-frequency pair).
+    out = _merge_close_modes([mk(7.513, 5, a), mk(7.596, 27, b)],
+                             tol_freq=0.01, mac_min=0.95)
+    assert len(out) == 2
+    # Well-separated: untouched.
+    out = _merge_close_modes([mk(3.1, 20, a), mk(7.6, 20, a)],
+                             tol_freq=0.01, mac_min=0.95)
+    assert len(out) == 2
+
+
 def test_modal_phase_collinearity_bounds():
     assert modal_phase_collinearity(np.array([1.0, -2.0, 0.5])) == pytest.approx(1.0)
     # Global phase rotation leaves MPC at 1.
@@ -277,6 +302,113 @@ def test_cli_ssi_guards(tmp_path, capsys):
     # 2 s of data is too short for 40 block rows.
     assert main(["ssi", *paths, "--block-rows", "40"]) == 1
     assert "too short" in capsys.readouterr().err
+
+
+def test_gateway_ssi_report_end_to_end(tmp_path):
+    """3 simulated sensors, ssi_report only: [SSI] report at the sync boundary."""
+    from apda_fft_tpu.gateway.transport import SensorSimulator
+    from tests.test_gateway import make_service
+
+    fs = 125.0
+    shapes = np.array([[0.38, 0.92, 1.0]])
+    x = _modal_records(shapes, [9.3], [0.012], fs, t_sec=40.0, seed=4)
+    svc, transport, _, _ = make_service(
+        tmp_path,
+        gateway_extra={"ssi_report": True, "ssi_block_rows": 20,
+                       "fdd_min_sensors": 3},
+    )
+    assert svc.config.ssi_report and svc.config.ssi_block_rows == 20
+    assert not svc.config.fdd_report
+    macs = [f"0013a20041e7f6e{i}" for i in range(3)]
+    for mac, rec in zip(macs, x):
+        SensorSimulator(mac, fs=fs, axis="X", chunk=100).stream_acquisition(
+            transport, rec
+        )
+    svc.drain()
+    # Accumulation happens without fdd_report; flush waits for the sync.
+    assert svc._fdd_pending
+    assert "[SSI]" not in open(svc.config.logger_file).read()
+    SensorSimulator(macs[0]).heartbeat(transport)
+    svc.drain()
+
+    history = open(svc.config.logger_file).read()
+    assert "[SSI] X: 3 sensors" in history
+    assert "[FDD]" not in history  # fdd_report stayed off
+    import re as _re
+
+    freqs = [float(m) for m in _re.findall(r"\[SSI\]   f=([0-9.]+) Hz", history)]
+    # Poles are off-grid: within 1% of the planted 9.3 Hz.
+    assert freqs and min(abs(f - 9.3) for f in freqs) < 0.093
+    line = next(ln for ln in history.splitlines() if "[SSI]   f=" in ln)
+    assert line.count("j") == 3 and "mpc=" in line and "orders=" in line
+
+
+def test_gateway_ssi_and_fdd_share_groups(tmp_path):
+    """Both reports on: one accumulation feeds [FDD] and [SSI] lines."""
+    from apda_fft_tpu.gateway.transport import SensorSimulator
+    from tests.test_gateway import make_service
+
+    fs = 125.0
+    shapes = np.array([[0.38, 0.92, 1.0]])
+    x = _modal_records(shapes, [9.3], [0.012], fs, t_sec=40.0, seed=5)
+    svc, transport, _, _ = make_service(
+        tmp_path,
+        gateway_extra={"fdd_report": True, "fdd_window": 512,
+                       "ssi_report": True, "fdd_min_sensors": 3},
+    )
+    macs = [f"0013a20041e7f6f{i}" for i in range(3)]
+    for mac, rec in zip(macs, x):
+        SensorSimulator(mac, fs=fs, axis="X", chunk=100).stream_acquisition(
+            transport, rec
+        )
+    SensorSimulator(macs[0]).heartbeat(transport)
+    svc.drain()
+    history = open(svc.config.logger_file).read()
+    assert "[FDD] X: 3 sensors" in history
+    assert "[SSI] X: 3 sensors" in history
+    assert not svc._fdd_pending  # group consumed once, by both reports
+
+
+def test_gateway_ssi_short_records_skip(tmp_path):
+    from apda_fft_tpu.gateway.transport import SensorSimulator
+    from tests.test_gateway import make_service
+
+    fs = 125.0
+    rng = np.random.default_rng(0)
+    svc, transport, _, _ = make_service(
+        tmp_path,
+        gateway_extra={"ssi_report": True, "ssi_block_rows": 40,
+                       "fdd_min_sensors": 2},
+    )
+    for i in range(2):
+        SensorSimulator(f"0013a20041e7f70{i}", fs=fs, axis="X",
+                        chunk=100).stream_acquisition(
+            transport, rng.standard_normal(300).astype(np.float32)
+        )
+    SensorSimulator("0013a20041e7f700").heartbeat(transport)
+    svc.drain()
+    history = open(svc.config.logger_file).read()
+    assert "[SSI]" in history and "skipping" in history
+
+
+def test_gateway_config_validates_ssi_block_rows(tmp_path):
+    import json
+
+    from apda_fft_tpu.gateway.config import GatewayConfig, GatewayConfigError
+
+    cfg = {
+        "gateway": {
+            "logger_file": str(tmp_path / "history.log"),
+            "device_file": str(tmp_path / "devices.txt"),
+            "config_file": str(tmp_path / "config.txt"),
+            "ssi_report": True,
+            "ssi_block_rows": 1,
+        }
+    }
+    p = tmp_path / "gw_config.json"
+    p.write_text(json.dumps(cfg))
+    with pytest.raises(GatewayConfigError, match="ssi_block_rows"):
+        GatewayConfig.load(p)
 
 
 def test_ssi_validation_errors():
