@@ -65,6 +65,20 @@ def main() -> None:
     for row in mac:
         print("  " + "  ".join(f"{v:.3f}" for v in row))
 
+    # Cross-check with SSI-COV, the time-domain method: poles live off the
+    # FFT bin grid and their damping is far more reliable than the
+    # resolution-limited half-power width (true: 1.2% and 1.0%).
+    res_ssi = apda.ssi(records, fs, i=25)
+    print(f"SSI-COV stabilized {res_ssi.count} mode(s):")
+    for m in res_ssi.modes:
+        print(f"  f={m.freq:8.4f} Hz (±{m.freq_std:.4f})  "
+              f"damping={m.damping:.3f}% (±{m.damping_std:.3f})  "
+              f"stable over {m.n_orders} orders  mpc={m.mpc:.3f}")
+    mac = apda.modal_assurance(res_ssi.shapes(), true_shapes)
+    print("SSI MAC vs true shapes:")
+    for row in mac:
+        print("  " + "  ".join(f"{v:.3f}" for v in row))
+
     # Track the modes across epochs; a shape change raises an alert.
     tracker = apda.ModalTracker(mac_alert=0.95)
     tracker.update(res)
