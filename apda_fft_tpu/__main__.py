@@ -400,8 +400,13 @@ def cmd_ssi(args) -> int:
     records = np.stack(
         [np.asarray(rec.samples[:t], np.float32) for _, rec in loaded]
     )
-    max_order = args.block_rows * records.shape[0]
+    max_order = (args.block_rows - 1) * records.shape[0]
     orders = range(2, min(max_order, args.max_order) + 1, 2)
+    if not len(orders):
+        print(f"--block-rows {args.block_rows} with {records.shape[0]} "
+              f"sensor(s) supports no model order >= 2; raise --block-rows",
+              file=sys.stderr)
+        return 1
     try:
         res = ssi(records, fs, i=args.block_rows, orders=orders,
                   min_orders=args.min_orders)

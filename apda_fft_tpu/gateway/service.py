@@ -613,9 +613,11 @@ class GatewayService:
                 if path.endswith("_shock.log"):
                     continue
                 if not rec.is_synced:
+                    tag = "FDD" if self.config.fdd_report else "SSI"
                     self.history(
-                        f"\t[FDD] skipping unsynced record from {addr} "
-                        f"({rec.axis}): cross-sensor phase undefined\n"
+                        f"\t[{tag}] skipping unsynced record from {addr} "
+                        f"({rec.axis}): cross-sensor phases/correlations "
+                        "undefined\n"
                     )
                     continue
                 key = (rec.axis, float(rec.fs))
@@ -798,9 +800,7 @@ class GatewayService:
         try:
             from apda_fft_tpu.models.ssi import ssi
 
-            max_order = min(i_rows * records.shape[0], 60)
-            res = ssi(records, fs, i=i_rows,
-                      orders=range(2, max_order + 1, 2))
+            res = ssi(records, fs, i=i_rows)
         except Exception as exc:  # noqa: BLE001 - report-only path
             self.history(f"\t[WARN] SSI failed for axis {axis}: {exc}\n")
             return

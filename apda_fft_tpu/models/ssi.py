@@ -117,6 +117,7 @@ class SSIResult(NamedTuple):
     diagram: list  #: list[dict], one per model order (ascending)
     orders: np.ndarray  #: [n_orders] int — model orders evaluated
     hankel_sv: np.ndarray  #: [i*S] float64 — Hankel singular values
+    n_sensors: int  #: S — channel count of the input records
 
     @property
     def count(self) -> int:
@@ -129,9 +130,9 @@ class SSIResult(NamedTuple):
         return np.asarray([m.damping for m in self.modes], np.float64)
 
     def shapes(self) -> np.ndarray:
-        """Complex [count, S] mode-shape matrix."""
+        """Complex [count, S] mode-shape matrix (shape [0, S] when empty)."""
         if not self.modes:
-            return np.zeros((0, 0), np.complex128)
+            return np.zeros((0, self.n_sensors), np.complex128)
         return np.stack([m.shape for m in self.modes])
 
 
@@ -228,9 +229,12 @@ def _poles_at_order(u: np.ndarray, sv: np.ndarray, s: int, order: int,
     o = u[:, :order] * np.sqrt(sv[:order])[None, :]
     a, *_ = np.linalg.lstsq(o[:-s], o[s:], rcond=None)
     lam, psi = np.linalg.eig(a)
-    mu = fs * np.log(lam.astype(np.complex128))
-    wn = np.abs(mu)
     with np.errstate(invalid="ignore", divide="ignore"):
+        # A rank-deficient A (dead channel, degenerate group) has zero
+        # eigenvalues: log/multiply produce inf/NaN poles that the keep
+        # mask below drops — silence the transient warnings, not the math.
+        mu = fs * np.log(lam.astype(np.complex128))
+        wn = np.abs(mu)
         zeta = np.where(wn > 0, -mu.real / np.where(wn > 0, wn, 1.0), np.inf)
     freq = wn / (2.0 * np.pi)
     keep = (
@@ -312,10 +316,11 @@ def ssi(
     occasional heavily damped artifacts alongside the physical poles and
     screen by ``n_orders``/``damping``.)
 
-    ``i`` (block rows) bounds the maximum model order at ``i·S`` and sets
-    the correlation horizon ``2i/fs`` seconds — use ``i ≳ fs / f_min``
-    so the slowest mode of interest completes a cycle inside the horizon.
-    ``orders`` defaults to every even order ``2..min(i·S, 2·S·i//2, 60)``.
+    ``i`` (block rows) bounds the maximum model order at ``(i-1)·S`` (the
+    shift-invariance fit drops one block row) and sets the correlation
+    horizon ``2i/fs`` seconds — use ``i ≳ fs / f_min`` so the slowest mode
+    of interest completes a cycle inside the horizon.  ``orders`` defaults
+    to every even order ``2..min((i-1)·S, 60)``.
 
     Frequencies are NOT bin-quantized (poles live off-grid), so SSI also
     serves as a high-resolution cross-check of the FFT-detector outputs.
@@ -329,17 +334,24 @@ def ssi(
     if records.ndim != 2:
         raise ValueError(f"records must be [S, T], got shape {records.shape}")
     s = records.shape[0]
-    max_order = i * s
+    # The shift-invariance least squares drops one block row (O_up has
+    # (i-1)*S rows), so that is the highest DETERMINED model order — at
+    # order > (i-1)*S lstsq silently returns minimum-norm artifact poles.
+    max_order = (i - 1) * s
     if orders is None:
         orders = range(2, min(max_order, 60) + 1, 2)
     orders = sorted(set(int(n) for n in orders))
     if not orders:
-        raise ValueError("orders is empty")
+        raise ValueError(
+            "orders is empty (with the default sweep this means "
+            f"(i-1)*S = {max_order} < 2; raise i)"
+        )
     if orders[0] < 2:
         raise ValueError(f"model orders must be >= 2, got {orders[0]}")
     if orders[-1] > max_order:
         raise ValueError(
-            f"max order {orders[-1]} exceeds i*S = {max_order}; raise i"
+            f"max order {orders[-1]} exceeds (i-1)*S = {max_order} "
+            "(the shift-invariance fit is underdetermined past it); raise i"
         )
     if min_orders < 1:
         raise ValueError(f"min_orders must be >= 1, got {min_orders}")
@@ -430,4 +442,5 @@ def ssi(
         diagram=slim,
         orders=np.asarray(orders, np.int64),
         hankel_sv=sv,
+        n_sensors=s,
     )

@@ -102,7 +102,21 @@ def collect(fuzz_cases: int = 150, configs=(1, 2, 3, 4, 5), backend: str = "matm
     evidence["noisy"] = noisy
     print(f"# noisy: {json.dumps(noisy)}", file=sys.stderr, flush=True)
 
-    # 5) Fault soak: the recovery-invariants story (guarded like the rest).
+    # 5) Modal identification: SSI-COV device-f32 vs float64 correlation
+    #    oracle through identical host identification + truth recovery
+    #    (guarded like the rest).
+    try:
+        from benchmarks.ssi_fuzz import run_ssi_fuzz
+
+        ssi_ev = run_ssi_fuzz(10)
+        evidence["ssi_fuzz"] = ssi_ev
+        ok &= bool(ssi_ev.get("ok"))
+    except Exception as exc:  # noqa: BLE001
+        evidence["ssi_fuzz"] = {"metric": "ssi_fuzz", "error": str(exc)}
+        ok = False
+    print(f"# ssi: {json.dumps(evidence['ssi_fuzz'])}", file=sys.stderr, flush=True)
+
+    # 6) Fault soak: the recovery-invariants story (guarded like the rest).
     try:
         from benchmarks.soak import run_soak
 

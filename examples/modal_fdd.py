@@ -18,22 +18,9 @@ import numpy as np
 import apda_fft_tpu as apda
 
 
-def modal_response(shapes, freqs_hz, zetas, fs, t_sec, seed=0):
-    """[S, T] white-noise-driven structural response with known mode shapes."""
-    import scipy.signal
-
-    rng = np.random.default_rng(seed)
-    n = int(t_sec * fs)
-    qs = []
-    for f, z in zip(freqs_hz, zetas):
-        w = 2 * np.pi * f
-        r = np.exp(-z * w / fs)
-        th = w * np.sqrt(1 - z * z) / fs
-        qs.append(scipy.signal.lfilter([1.0], [1.0, -2 * r * np.cos(th), r * r],
-                                       rng.standard_normal(n)))
-    x = shapes.T @ np.stack(qs)
-    x += 0.02 * np.std(x) * rng.standard_normal(x.shape)
-    return x.astype(np.float32)
+# The canonical synthetic structural response (white-noise-driven SDOF
+# modal coordinates mixed through a shape matrix) ships as a utility.
+from apda_fft_tpu.utils.synthetic import modal_records as modal_response
 
 
 def main() -> None:
@@ -44,7 +31,7 @@ def main() -> None:
         [0.87, 1.00, 0.28, -0.75],  # mode 2: sign change along the line
     ])
     records = modal_response(true_shapes, [9.3, 23.8], [0.012, 0.010],
-                             fs, t_sec=240.0, seed=3)
+                             fs, 240.0, seed=3)
 
     res = apda.fdd(records, fs, window=1024, efdd=True)
     print(f"{records.shape[0]} sensors, {records.shape[1]} samples each -> "

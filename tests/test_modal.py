@@ -19,35 +19,7 @@ from apda_fft_tpu.models.modal import (
     sv_spectra,
 )
 from apda_fft_tpu.models.streaming import cross_psd, welch_psd
-
-
-def _modal_records(
-    shapes: np.ndarray,
-    freqs_hz,
-    zetas,
-    fs: float,
-    t_sec: float,
-    seed: int = 0,
-    sensor_noise: float = 0.02,
-) -> np.ndarray:
-    """[S, T] responses: white-noise-driven SDOF modal coordinates mixed
-    through the ``[n_modes, S]`` shape matrix, plus independent sensor noise."""
-    import scipy.signal
-
-    rng = np.random.default_rng(seed)
-    n = int(t_sec * fs)
-    qs = []
-    for f, z in zip(freqs_hz, zetas):
-        w = 2 * np.pi * f
-        # Discretized SDOF resonator: poles at exp((-z*w +/- i*w*sqrt(1-z^2))/fs).
-        r = np.exp(-z * w / fs)
-        th = w * np.sqrt(1 - z * z) / fs
-        a = [1.0, -2.0 * r * np.cos(th), r * r]
-        qs.append(scipy.signal.lfilter([1.0], a, rng.standard_normal(n)))
-    q = np.stack(qs)  # [n_modes, T]
-    x = shapes.T @ q  # [S, T]
-    x += sensor_noise * np.std(x) * rng.standard_normal(x.shape)
-    return x.astype(np.float32)
+from apda_fft_tpu.utils.synthetic import modal_records as _modal_records
 
 
 def test_csd_matrix_matches_pairwise_cross_psd():

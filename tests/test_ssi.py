@@ -11,7 +11,6 @@ shared records, (5) input validation.
 
 import numpy as np
 import pytest
-import scipy.signal
 
 from apda_fft_tpu.models.modal import fdd, modal_assurance
 from apda_fft_tpu.models.ssi import (
@@ -21,6 +20,7 @@ from apda_fft_tpu.models.ssi import (
     modal_phase_collinearity,
     ssi,
 )
+from apda_fft_tpu.utils.synthetic import modal_records as _modal_records
 
 FS = 50.0
 SHAPES = np.array([
@@ -29,23 +29,6 @@ SHAPES = np.array([
 ])
 FREQS = (3.1, 7.6)
 ZETAS = (0.01, 0.02)
-
-
-def _modal_records(shapes, freqs_hz, zetas, fs, t_sec, seed=0,
-                   sensor_noise=0.02):
-    """[S, T] white-noise-driven modal responses (same model as test_modal)."""
-    rng = np.random.default_rng(seed)
-    n = int(t_sec * fs)
-    qs = []
-    for f, z in zip(freqs_hz, zetas):
-        w = 2 * np.pi * f
-        r = np.exp(-z * w / fs)
-        th = w * np.sqrt(1 - z * z) / fs
-        a = [1.0, -2.0 * r * np.cos(th), r * r]
-        qs.append(scipy.signal.lfilter([1.0], a, rng.standard_normal(n)))
-    x = shapes.T @ np.stack(qs)
-    x += sensor_noise * np.std(x) * rng.standard_normal(x.shape)
-    return x.astype(np.float32)
 
 
 # ---------------------------------------------------------------- blocks
@@ -145,6 +128,10 @@ def test_ssi_white_noise_null():
             f"seed {seed}: spurious modes "
             f"{[(m.freq, m.n_orders, m.mpc) for m in res.modes]}"
         )
+        # Empty results keep the sensor dimension (a [0, S] MAC against a
+        # truth set is a valid no-op, not a crash).
+        assert res.shapes().shape == (0, 4)
+        assert modal_assurance(res.shapes(), SHAPES).shape == (0, 2)
 
 
 def test_ssi_single_channel():
@@ -158,7 +145,7 @@ def test_ssi_single_channel():
     """
     shapes = np.array([[1.0]])
     x = _modal_records(shapes, [3.1], [0.01], FS, 240.0, seed=4)
-    res = ssi(x, FS, i=30, orders=range(2, 31, 2))
+    res = ssi(x, FS, i=30, orders=range(2, 29, 2))
     assert res.count >= 1
     m = min(res.modes, key=lambda m: abs(m.freq - 3.1))
     assert abs(m.freq - 3.1) / 3.1 < 5e-3
@@ -417,8 +404,16 @@ def test_ssi_validation_errors():
         ssi(x, FS, i=1)
     with pytest.raises(ValueError, match="fs"):
         ssi(x, 0.0)
-    with pytest.raises(ValueError, match="exceeds i\\*S"):
+    with pytest.raises(ValueError, match="underdetermined"):
         ssi(x, FS, i=4, orders=[2, 10])
+    # The highest DETERMINED order is (i-1)*S, not i*S: O_up loses a block
+    # row, so an i*S-order fit would be rank-deficient minimum-norm noise.
+    with pytest.raises(ValueError, match="underdetermined"):
+        ssi(np.random.default_rng(0).standard_normal((2, 4000)).astype(np.float32),
+            FS, i=4, orders=[2, 8])  # i*S = 8 > (i-1)*S = 6
+    res = ssi(np.random.default_rng(0).standard_normal((2, 4000)).astype(np.float32),
+              FS, i=4, orders=[2, 6])  # exactly (i-1)*S: allowed
+    assert list(res.orders) == [2, 6]
     with pytest.raises(ValueError, match="orders is empty"):
         ssi(x, FS, orders=[])
     with pytest.raises(ValueError, match=">= 2"):
