@@ -289,6 +289,7 @@ def ssi(
     zeta_max: float = 0.20,
     detrend: str = "mean",
     dtype=jnp.float32,
+    blocks=None,
 ) -> SSIResult:
     """SSI-COV modal identification over ``[S, T]`` multi-sensor records.
 
@@ -324,6 +325,12 @@ def ssi(
 
     Frequencies are NOT bin-quantized (poles live off-grid), so SSI also
     serves as a high-resolution cross-check of the FFT-detector outputs.
+
+    ``blocks`` injects externally computed correlation blocks ``[2i, S, S]``
+    in place of the device stage — e.g. the sequence-sharded
+    :func:`~apda_fft_tpu.parallel.mesh.correlation_blocks_sharded` for
+    records too long for one chip, or a float64 oracle in validation
+    harnesses (``benchmarks/ssi_fuzz.py``).
     """
     fs = float(np.asarray(fs))
     if fs <= 0:
@@ -358,7 +365,14 @@ def ssi(
     if not 0.0 <= mpc_min <= 1.0:
         raise ValueError(f"mpc_min must be in [0, 1], got {mpc_min}")
 
-    r = correlation_blocks(records, 2 * i, detrend=detrend, dtype=dtype)
+    if blocks is None:
+        r = correlation_blocks(records, 2 * i, detrend=detrend, dtype=dtype)
+    else:
+        r = np.asarray(blocks, np.float64)
+        if r.shape != (2 * i, s, s):
+            raise ValueError(
+                f"blocks must be [2i, S, S] = {(2 * i, s, s)}, got {r.shape}"
+            )
     h = _block_hankel(r, i)
     u, sv, _ = np.linalg.svd(h)
 

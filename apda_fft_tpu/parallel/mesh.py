@@ -111,3 +111,90 @@ def analyze_epoch_sharded(
     if pad:
         res = type(res)(*(x[:b] for x in res))
     return res
+
+
+def correlation_blocks_sharded(
+    records,
+    n_lags: int,
+    mesh: Mesh,
+    seq_axis: str = "seq",
+    detrend: str = "mean",
+    dtype=None,
+):
+    """SSI correlation blocks with the TIME axis sharded over the mesh.
+
+    Same contract as :func:`apda_fft_tpu.models.ssi.correlation_blocks`
+    (fixed-window ``R[l] = (1/T0) sum_{t<T0} y[:, t+l] y[:, t]^T`` with
+    ``T0 = T - L + 1``, per-channel mean removal, float64 host return) but
+    for records too long for one chip: ``records [S, T]`` is sharded along
+    ``T`` over ``seq_axis``; each device computes its local partial sums
+    after a ``ppermute`` halo exchange of ``L-1`` samples from its right
+    neighbour, and ONE ``psum`` of the tiny ``[L, S, S]`` partials
+    combines them - communication is O(S*L + L*S^2) regardless of T, so
+    scaling over ICI is linear in chips.  The wraparound halo the last
+    shard receives is never read: its valid base positions stop ``L-1``
+    short of its chunk end by the fixed-window mask.  T must be divisible
+    by the axis size.  Feed the result to ``ssi(..., blocks=...)``.
+    """
+    import functools
+
+    import jax.numpy as jnp
+
+    from apda_fft_tpu.models.ssi import correlation_blocks  # noqa: F401 (contract anchor)
+
+    if dtype is None:
+        dtype = jnp.float32
+    records = jnp.asarray(records, dtype)
+    if records.ndim != 2:
+        raise ValueError(f"records must be [S, T], got shape {records.shape}")
+    s, t = records.shape
+    if n_lags < 2:
+        raise ValueError(f"n_lags must be >= 2, got {n_lags}")
+    if t < 4 * n_lags:
+        raise ValueError(
+            f"record too short: T={t} < 4*n_lags={4 * n_lags} "
+            "(correlation estimates would be meaningless)"
+        )
+    if detrend not in ("mean", "none"):
+        raise ValueError(f"unknown detrend {detrend!r}; expected 'mean' or 'none'")
+    d = mesh.shape[seq_axis]
+    if t % d:
+        raise ValueError(f"T={t} must be divisible by the {seq_axis!r} axis size {d}")
+    c = t // d
+    if c < n_lags:
+        raise ValueError(
+            f"per-device chunk {c} shorter than n_lags={n_lags}: "
+            "use fewer devices or longer records"
+        )
+    t0 = t - n_lags + 1
+    perm = [(i, (i - 1) % d) for i in range(d)]
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P(None, seq_axis),
+        out_specs=P(None, None, None),
+    )
+    def run(yl: jnp.ndarray) -> jnp.ndarray:
+        if detrend == "mean":
+            mean = jax.lax.psum(jnp.sum(yl, axis=-1), seq_axis) / t
+            yl = yl - mean[:, None]
+        rank = jax.lax.axis_index(seq_axis)
+        # Halo: first L-1 columns of the right neighbour (wraparound for
+        # the last shard is masked dead below).
+        halo = jax.lax.ppermute(yl[:, : n_lags - 1], seq_axis, perm)
+        ext = jnp.concatenate([yl, halo], axis=-1)  # [S, C + L - 1]
+        # Fixed-window mask on the BASE positions: global index < T0.
+        base = rank.astype(jnp.int32) * c + jnp.arange(c, dtype=jnp.int32)
+        y0m = yl * (base < t0).astype(yl.dtype)[None, :]
+
+        def one_lag(_, l):
+            seg = jax.lax.dynamic_slice_in_dim(ext, l, c, axis=-1)
+            r = jnp.einsum("at,bt->ab", seg, y0m,
+                           precision=jax.lax.Precision.HIGHEST)
+            return None, r
+
+        _, partial = jax.lax.scan(one_lag, None, jnp.arange(n_lags))
+        return jax.lax.psum(partial, seq_axis) / t0
+
+    return np.asarray(jax.jit(run)(records), np.float64)

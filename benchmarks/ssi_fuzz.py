@@ -33,7 +33,6 @@ def _corr_oracle(x: np.ndarray, n_lags: int) -> np.ndarray:
 
 
 def run_ssi_fuzz(n_cases: int = 10, seed: int = 20260818) -> dict:
-    from apda_fft_tpu.models import ssi as ssi_mod
     from apda_fft_tpu.models.modal import modal_assurance
     from apda_fft_tpu.models.ssi import ssi
 
@@ -54,13 +53,7 @@ def run_ssi_fuzz(n_cases: int = 10, seed: int = 20260818) -> dict:
         i = 30
 
         res_dev = ssi(x, fs, i=i)
-        r64 = _corr_oracle(x, 2 * i)
-        orig = ssi_mod.correlation_blocks
-        try:
-            ssi_mod.correlation_blocks = lambda *a, **k: r64
-            res_ora = ssi(x, fs, i=i)
-        finally:
-            ssi_mod.correlation_blocks = orig
+        res_ora = ssi(x, fs, i=i, blocks=_corr_oracle(x, 2 * i))
 
         case_ok = res_dev.count == res_ora.count
         if case_ok:

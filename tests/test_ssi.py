@@ -79,6 +79,58 @@ def test_correlation_blocks_validation():
         correlation_blocks(x, 4, detrend="median")
 
 
+def test_correlation_blocks_sharded_matches_single_device():
+    """Time-axis-sharded correlation (ppermute halo + one psum) vs single
+    device, on the virtual 8-device mesh - the beyond-one-chip path for
+    hours-long records - and end-to-end through ssi(blocks=...)."""
+    import jax
+
+    from apda_fft_tpu.parallel.mesh import correlation_blocks_sharded, make_mesh
+
+    mesh = make_mesh(8, ("seq",))
+    x = _modal_records(SHAPES, FREQS, ZETAS, FS, 240.0, seed=9)  # T=12000
+    n_lags = 60
+    ref = correlation_blocks(x, n_lags)
+    got = correlation_blocks_sharded(x, n_lags, mesh)
+    assert got.shape == ref.shape == (n_lags, 4, 4)
+    # f32 partial sums accumulate in a different order across shards:
+    # allclose, not equal - and both within the same distance of float64.
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5 * np.abs(ref).max())
+    xm = x.astype(np.float64)
+    xm -= xm.mean(-1, keepdims=True)
+    t0 = x.shape[1] - n_lags + 1
+    for lag in (0, 31, n_lags - 1):
+        oracle = xm[:, lag : lag + t0] @ xm[:, :t0].T / t0
+        err = np.abs(got[lag] - oracle).max() / np.abs(oracle).max()
+        assert err < 2e-6, f"lag {lag}: rel err {err} vs float64"
+
+    # The identification consumes either path equivalently.  Marginal
+    # noise poles sit ON the stabilization threshold, so the different
+    # f32 accumulation order may flip one in or out; the contract is that
+    # both paths recover every PHYSICAL mode at matching frequencies.
+    res = ssi(x, FS, i=30, blocks=got)
+    ref_res = ssi(x, FS, i=30)
+    for f_true in FREQS:
+        a = min(res.modes, key=lambda m: abs(m.freq - f_true))
+        b = min(ref_res.modes, key=lambda m: abs(m.freq - f_true))
+        assert abs(a.freq - f_true) / f_true < 5e-3
+        assert abs(b.freq - f_true) / f_true < 5e-3
+        assert abs(a.freq - b.freq) / b.freq < 1e-3
+        assert modal_assurance(a.shape, b.shape)[0, 0] > 0.999
+
+    # Contract guards.
+    with pytest.raises(ValueError, match="divisible"):
+        correlation_blocks_sharded(x[:, :11995], n_lags, mesh)
+    with pytest.raises(ValueError, match="chunk"):
+        correlation_blocks_sharded(x[:, : 8 * 32], 60, mesh)
+
+
+def test_ssi_blocks_injection_validation():
+    x = np.random.default_rng(0).standard_normal((3, 4000)).astype(np.float32)
+    with pytest.raises(ValueError, match="blocks must be"):
+        ssi(x, FS, i=10, blocks=np.zeros((5, 3, 3)))
+
+
 # ------------------------------------------------------------- recovery
 
 
