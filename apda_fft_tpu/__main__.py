@@ -414,6 +414,30 @@ def cmd_ssi(args) -> int:
         print(f"ssi failed: {exc}", file=sys.stderr)
         return 1
 
+    if args.out:
+        # Stabilization diagram for offline plotting: per-pole rows
+        # (order, freq, damping, stable) + Hankel singular values + the
+        # final mode table.  Ragged per-order pole lists flatten into
+        # parallel columns.
+        order_col, f_col, z_col, s_col = [], [], [], []
+        for d in res.diagram:
+            order_col.extend([d["order"]] * len(d["freq"]))
+            f_col.extend(d["freq"])
+            z_col.extend(d["damping"])
+            s_col.extend(d["stable"])
+        np.savez(
+            args.out,
+            pole_order=np.asarray(order_col, np.int64),
+            pole_freq=np.asarray(f_col, np.float64),
+            pole_damping=np.asarray(z_col, np.float64),
+            pole_stable=np.asarray(s_col, bool),
+            hankel_sv=res.hankel_sv,
+            mode_freq=res.freqs(),
+            mode_damping=res.dampings(),
+            mode_shapes=res.shapes(),
+        )
+        print(f"# wrote {args.out}", file=sys.stderr)
+
     modes = []
     for m in res.modes:
         modes.append({
@@ -614,6 +638,10 @@ def main(argv=None) -> int:
                     help="highest model order in the stabilization sweep")
     ss.add_argument("--min-orders", type=int, default=5,
                     help="orders a pole must stabilize across to be a mode")
+    ss.add_argument("--out", default="",
+                    help="also save the stabilization diagram (per-pole "
+                         "order/freq/damping/stable columns), Hankel "
+                         "singular values, and mode table to this .npz")
     ss.add_argument("--json", action="store_true")
     ss.set_defaults(fn=cmd_ssi)
 

@@ -332,6 +332,30 @@ def test_cli_ssi_json(tmp_path, capsys):
     assert "stable over" in capsys.readouterr().out
 
 
+def test_cli_ssi_out_npz(tmp_path, capsys):
+    from apda_fft_tpu.__main__ import main
+
+    fs = 128.0
+    shapes = np.array([[0.5, 1.0, -0.8]])
+    x = _modal_records(shapes, [14.0], [0.015], fs, t_sec=120.0, seed=6)
+    paths = _write_acq_files(tmp_path, x, fs)
+    out = tmp_path / "diagram.npz"
+    assert main(["ssi", *paths, "--block-rows", "30", "--out", str(out)]) == 0
+    capsys.readouterr()
+    d = np.load(out)
+    n_poles = d["pole_freq"].shape[0]
+    assert n_poles > 0
+    assert d["pole_order"].shape == d["pole_damping"].shape == (n_poles,)
+    assert d["pole_stable"].dtype == bool
+    # The identified mode appears among the stable poles of its orders.
+    assert d["mode_freq"].size >= 1
+    f0 = d["mode_freq"][0]
+    stable_f = d["pole_freq"][d["pole_stable"]]
+    assert np.min(np.abs(stable_f - f0)) / f0 < 0.01
+    assert d["hankel_sv"].ndim == 1 and np.all(np.diff(d["hankel_sv"]) <= 1e-9)
+    assert d["mode_shapes"].shape == (d["mode_freq"].size, 3)
+
+
 def test_cli_ssi_guards(tmp_path, capsys):
     from apda_fft_tpu.__main__ import main
 
