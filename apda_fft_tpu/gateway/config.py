@@ -92,6 +92,11 @@ class GatewayConfig:
     ssi_report: bool = False
     #: SSI Hankel block rows; correlation horizon = 2*block_rows/fs seconds
     ssi_block_rows: int = 20
+    #: sustained-damping alert threshold for tracked SSI modes, as a
+    #: RELATIVE increase vs the track's birth damping (0.5 = +50%): rising
+    #: modal damping is the classic early cracking/loosening indicator,
+    #: and SSI pole damping is reliable enough to trend; 0 disables
+    ssi_damping_alert: float = 0.0
 
     @classmethod
     def load(cls, config_path: str | os.PathLike) -> "GatewayConfig":
@@ -153,6 +158,12 @@ class GatewayConfig:
                 raise GatewayConfigError(
                     f"ssi_block_rows must be >= 2, got {ssi_block_rows} in {config_path}"
                 )
+            ssi_damping_alert = float(gw.get("ssi_damping_alert", 0.0))
+            if ssi_damping_alert < 0:
+                raise GatewayConfigError(
+                    f"ssi_damping_alert must be >= 0 (0 disables), "
+                    f"got {ssi_damping_alert}"
+                )
             return cls(
                 ftp=FtpSettings(**cfg.get("ftp", {})),
                 fastapi_url=cfg.get("fastapi", {}).get("url", ""),
@@ -179,6 +190,7 @@ class GatewayConfig:
                 fdd_mac_alert=fdd_mac_alert,
                 ssi_report=bool(gw.get("ssi_report", False)),
                 ssi_block_rows=ssi_block_rows,
+                ssi_damping_alert=ssi_damping_alert,
             )
         except GatewayConfigError:
             raise

@@ -119,6 +119,7 @@ class GatewayService:
         # itself.  In-memory only (the report is informational; the durable
         # drift story is PeakTracker's persisted per-sensor state).
         self._modal_trackers: dict = {}
+        self._ssi_trackers: dict = {}
         # Background egress (the capability GT_FFT_v5.py:109-113 stubbed).
         self.uploader = AsyncUploadManager(upload_timeout) if async_uploads else None
         self._uploads_inflight: dict[str, int] = {}
@@ -817,6 +818,36 @@ class GatewayService:
                 f"\t[SSI]   f={m.freq:.4f} Hz damping={m.damping:.3f}% "
                 f"orders={m.n_orders} mpc={m.mpc:.3f} shape=[{comps}]\n"
             )
+        if self.config.ssi_damping_alert > 0:
+            # Damping-trend tracking on SSI poles (roster-keyed like the
+            # FDD shape trackers): sustained damping rise vs the track's
+            # birth value is the early cracking/loosening indicator, and
+            # pole damping - unlike the half-power width - is stable
+            # enough to trend.  One [ALERT] per track.
+            try:
+                from apda_fft_tpu.models.modal import ModalTracker
+
+                mt = self._ssi_trackers.setdefault(
+                    (axis, fs, tuple(addrs)), ModalTracker()
+                )
+                while len(self._ssi_trackers) > 64:
+                    self._ssi_trackers.pop(next(iter(self._ssi_trackers)))
+                mt.update(res, t=self.clock().timestamp())
+                for tr in mt.damping_alerts(
+                    rel_increase=self.config.ssi_damping_alert
+                ):
+                    if tr.damping_alerted:
+                        continue
+                    tr.damping_alerted = True
+                    self.history(
+                        f"\t[ALERT] SSI damping increase: {axis} "
+                        f"f={tr.last_freq:.4f} Hz "
+                        f"damping {tr.birth_damping:.3f}% -> "
+                        f"{tr.sustained_damping():.3f}% "
+                        f"(track {tr.track_id})\n"
+                    )
+            except Exception as exc:  # noqa: BLE001 - report-only path
+                self.history(f"\t[WARN] SSI tracking failed: {exc}\n")
 
     _FDD_PENDING_MAX_AGE = 4  # sync flushes an under-min group survives
     _FDD_ALIGN_TOL_S = 300.0  # max filename-timestamp spread within one run

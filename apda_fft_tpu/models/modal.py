@@ -454,6 +454,7 @@ class ModeTrack:
         self.observed = 1
         self.alerted = False  # one shape alert per track (dedup lives here,
         #: not in an unbounded caller-side set)
+        self.damping_alerted = False  # same dedup policy, damping alert
 
     @property
     def last_freq(self) -> float:
@@ -463,6 +464,16 @@ class ModeTrack:
         """Median MAC of the last ``k`` observations vs the birth shape."""
         k = max(1, min(k, len(self.macs)))
         return float(np.median(self.macs[-k:]))
+
+    def sustained_damping(self, k: int = 3) -> float:
+        """Median damping (percent) of the last ``k`` observations."""
+        k = max(1, min(k, len(self.dampings)))
+        return float(np.median(self.dampings[-k:]))
+
+    @property
+    def birth_damping(self) -> float:
+        """Damping (percent) at track birth — the healthy baseline."""
+        return float(self.dampings[0])
 
     def observe(self, t, freq: float, shape: np.ndarray, damping: float,
                 history_cap: int = 0) -> None:
@@ -535,14 +546,26 @@ class ModalTracker:
         self._next_id = 0
         self._epoch = 0
 
-    def update(self, res: FDDResult, t=None) -> list[ModeTrack]:
-        """Match one epoch's FDD modes; returns the tracks matched or born."""
+    def update(self, res, t=None) -> list[ModeTrack]:
+        """Match one epoch's modes; returns the tracks matched or born.
+
+        Accepts an :class:`FDDResult` or an
+        :class:`~apda_fft_tpu.models.ssi.SSIResult` (duck-typed on the
+        ``modes`` list) — SSI's pole damping is the better input for
+        :meth:`damping_alerts`, FDD's shapes for :meth:`shape_alerts`.
+        """
         t = self._epoch if t is None else t
         self._epoch += 1
-        n = int(res.count)
-        freqs = [float(res.freq[i]) for i in range(n)]
-        shapes = [res.shapes()[i] for i in range(n)]
-        damps = [float(res.damping[i]) for i in range(n)]
+        if hasattr(res, "modes"):  # SSIResult
+            freqs = [m.freq for m in res.modes]
+            shapes = [m.shape for m in res.modes]
+            damps = [m.damping for m in res.modes]
+            n = len(freqs)
+        else:  # FDDResult
+            n = int(res.count)
+            freqs = [float(res.freq[i]) for i in range(n)]
+            shapes = [res.shapes()[i] for i in range(n)]
+            damps = [float(res.damping[i]) for i in range(n)]
 
         live = []
         for tr in self._tracks:
@@ -604,6 +627,23 @@ class ModalTracker:
         return [
             tr for tr in self._tracks
             if tr.observed >= min_epochs and tr.sustained_mac() < self.mac_alert
+        ]
+
+    def damping_alerts(self, rel_increase: float = 0.5,
+                       min_epochs: int = 5) -> list[ModeTrack]:
+        """Tracks whose sustained damping rose ≥ ``rel_increase`` vs birth.
+
+        The second classic damage/condition indicator alongside shape
+        change: cracking and loosening connections typically RAISE modal
+        damping well before frequency moves measurably.  Compares the
+        median-of-3 recent damping against the track's birth damping; a
+        zero/invalid birth damping (FDD's rejected-width zeros) never
+        alerts — feed SSI results for trustworthy damping tracking.
+        """
+        return [
+            tr for tr in self._tracks
+            if tr.observed >= min_epochs and tr.birth_damping > 0
+            and tr.sustained_damping() >= (1.0 + rel_increase) * tr.birth_damping
         ]
 
 

@@ -454,6 +454,71 @@ def test_gateway_ssi_short_records_skip(tmp_path):
     assert "[SSI]" in history and "skipping" in history
 
 
+def test_modal_tracker_accepts_ssi_results_and_damping_alerts():
+    from apda_fft_tpu.models.modal import ModalTracker
+    from apda_fft_tpu.models.ssi import SSIMode, SSIResult
+
+    def mk_res(freq, damping):
+        shape = np.asarray([1.0, 0.5, -0.3], complex)
+        m = SSIMode(freq=freq, damping=damping, shape=shape, order=20,
+                    n_orders=10, freq_std=0.01, damping_std=0.05, mpc=1.0)
+        return SSIResult(modes=[m], diagram=[], orders=np.asarray([20]),
+                         hankel_sv=np.ones(9), n_sensors=3)
+
+    tr = ModalTracker()
+    # Healthy epochs at 1.0%, then a sustained rise to 1.8% (+80%).
+    for d in (1.0, 1.02, 0.98, 1.8, 1.85, 1.78):
+        tr.update(mk_res(9.3, d))
+    assert not tr.damping_alerts(rel_increase=1.0)  # +100% not reached
+    alerts = tr.damping_alerts(rel_increase=0.5)
+    assert len(alerts) == 1
+    a = alerts[0]
+    assert a.birth_damping == pytest.approx(1.0)
+    assert a.sustained_damping() == pytest.approx(1.8, abs=0.1)
+    # The epoch floor is respected.
+    assert not tr.damping_alerts(rel_increase=0.5, min_epochs=99)
+    # The same track carries freq/MAC history like an FDD-fed one.
+    assert len(tr.tracks()) == 1 and tr.tracks()[0].observed == 6
+    assert min(tr.tracks()[0].macs) > 0.999
+
+    # Zero birth damping (FDD's rejected-width convention) never alerts.
+    tr2 = ModalTracker()
+    for d in (0.0, 5.0, 5.0, 5.0, 5.0):
+        tr2.update(mk_res(9.3, d))
+    assert not tr2.damping_alerts(rel_increase=0.5)
+
+
+def test_gateway_ssi_damping_alert(tmp_path):
+    """Rising modal damping across epochs raises one [ALERT] line."""
+    from apda_fft_tpu.gateway.transport import SensorSimulator
+    from tests.test_gateway import make_service
+
+    fs = 125.0
+    shapes = np.array([[0.7, 1.0]])
+    svc, transport, _, _ = make_service(
+        tmp_path,
+        gateway_extra={"ssi_report": True, "ssi_block_rows": 20,
+                       "ssi_damping_alert": 0.5, "fdd_min_sensors": 2},
+    )
+    assert svc.config.ssi_damping_alert == 0.5
+    macs = [f"0013a20041e7f71{i}" for i in range(2)]
+    # 3 healthy epochs at 1%, then 3 degraded at 2.5% (+150%).
+    for epoch, zeta in enumerate((0.01, 0.01, 0.01, 0.025, 0.025, 0.025)):
+        x = _modal_records(shapes, [9.3], [zeta], fs, t_sec=40.0,
+                           seed=20 + epoch)
+        for mac, rec in zip(macs, x):
+            SensorSimulator(mac, fs=fs, axis="X",
+                            chunk=100).stream_acquisition(transport, rec)
+        SensorSimulator(macs[0]).heartbeat(transport)
+        svc.drain()
+    history = open(svc.config.logger_file).read()
+    assert "[SSI] X: 2 sensors" in history
+    alerts = [ln for ln in history.splitlines()
+              if "[ALERT] SSI damping increase" in ln]
+    assert len(alerts) == 1, history
+    assert "f=9.3" in alerts[0]
+
+
 def test_gateway_config_validates_ssi_block_rows(tmp_path):
     import json
 
