@@ -115,11 +115,14 @@ class GatewayService:
         self._fdd_pending: dict[tuple[str, float], dict[str, np.ndarray]] = {}
         self._fdd_pending_age: dict[tuple[str, float], int] = {}
         # Mode tracking across array reports: per-(axis, fs, roster)
-        # MAC-based trackers; shape-degradation alerts dedup on the track
-        # itself.  In-memory only (the report is informational; the durable
-        # drift story is PeakTracker's persisted per-sensor state).
+        # MAC-based trackers; shape/damping alerts dedup on the track
+        # itself.  Persisted like the drift state: the birth shapes and
+        # birth dampings ARE the damage baselines, so a restart must not
+        # silently re-baseline a degraded structure as healthy.
         self._modal_trackers: dict = {}
         self._ssi_trackers: dict = {}
+        self._modal_state_path = os.path.join(config.data_dir, "modal_tracks.json")
+        self._load_modal_state()
         # Background egress (the capability GT_FFT_v5.py:109-113 stubbed).
         self.uploader = AsyncUploadManager(upload_timeout) if async_uploads else None
         self._uploads_inflight: dict[str, int] = {}
@@ -714,6 +717,11 @@ class GatewayService:
                 self._fdd_run(axis, fs, addrs, records)
             if self.config.ssi_report:
                 self._ssi_run(axis, fs, addrs, records)
+        if self._modal_trackers or self._ssi_trackers:
+            # One durability flush per sync boundary (same policy as the
+            # drift state): the trackers' birth baselines must survive a
+            # process restart.
+            self._save_modal_state()
 
     def _fdd_run(self, axis: str, fs: float, addrs: list,
                  records: np.ndarray) -> None:
@@ -853,6 +861,59 @@ class GatewayService:
     _FDD_ALIGN_TOL_S = 300.0  # max filename-timestamp spread within one run
 
     _DRIFT_TRACK_KEEP = 512  # archived-track cap per (sensor, axis)
+
+    @staticmethod
+    def _modal_key_str(key: tuple) -> str:
+        axis, fs, addrs = key
+        return f"{axis}|{fs}|{','.join(addrs)}"
+
+    @staticmethod
+    def _modal_key_tuple(s: str) -> tuple:
+        axis, fs, addrs = s.split("|", 2)
+        return (axis, float(fs), tuple(a for a in addrs.split(",") if a))
+
+    def _load_modal_state(self) -> None:
+        from apda_fft_tpu.models.modal import ModalTracker
+
+        try:
+            with open(self._modal_state_path) as fh:
+                state = json.load(fh)
+            modal = {
+                self._modal_key_tuple(k): ModalTracker.from_dict(d)
+                for k, d in state.get("fdd", {}).items()
+            }
+            ssi = {
+                self._modal_key_tuple(k): ModalTracker.from_dict(d)
+                for k, d in state.get("ssi", {}).items()
+            }
+        except FileNotFoundError:
+            return
+        except Exception as exc:  # noqa: BLE001 - corrupt state starts fresh
+            self.history(f"\t[WARN] modal state unreadable ({exc}), starting fresh\n")
+            return
+        self._modal_trackers = modal
+        self._ssi_trackers = ssi
+
+    def _save_modal_state(self) -> None:
+        state = {
+            "fdd": {self._modal_key_str(k): mt.to_dict()
+                    for k, mt in self._modal_trackers.items()},
+            "ssi": {self._modal_key_str(k): mt.to_dict()
+                    for k, mt in self._ssi_trackers.items()},
+        }
+        tmp = self._modal_state_path + ".tmp"
+        try:
+            with open(tmp, "w") as fh:
+                json.dump(state, fh)
+                fh.flush()
+                os.fsync(fh.fileno())  # durable before the atomic rename
+            os.replace(tmp, self._modal_state_path)
+        except OSError as exc:
+            self.history(f"\t[WARN] modal state not saved ({exc})\n")
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
     def _load_drift_state(self) -> None:
         try:

@@ -496,12 +496,34 @@ class ModeTrack:
         return {
             "track_id": self.track_id,
             "epochs": self.observed,
+            "times": [float(t) for t in self.times],
             "freqs": [float(f) for f in self.freqs],
             "dampings": [float(d) for d in self.dampings],
             "macs": [float(m) for m in self.macs],
             "ref_shape": [[float(c.real), float(c.imag)] for c in self.ref_shape],
             "last_shape": [[float(c.real), float(c.imag)] for c in self.last_shape],
+            "missed": self.missed,
+            "alerted": self.alerted,
+            "damping_alerted": self.damping_alerted,
         }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ModeTrack":
+        ref = np.asarray([complex(re, im) for re, im in d["ref_shape"]])
+        tr = cls(int(d["track_id"]), d["times"][0] if d.get("times") else 0,
+                 d["freqs"][0], ref, d["dampings"][0])
+        tr.times = list(d.get("times", [0.0] * len(d["freqs"])))
+        tr.freqs = [float(f) for f in d["freqs"]]
+        tr.dampings = [float(x) for x in d["dampings"]]
+        tr.macs = [float(m) for m in d["macs"]]
+        tr.last_shape = np.asarray(
+            [complex(re, im) for re, im in d["last_shape"]]
+        )
+        tr.observed = int(d["epochs"])
+        tr.missed = int(d.get("missed", 0))
+        tr.alerted = bool(d.get("alerted", False))
+        tr.damping_alerted = bool(d.get("damping_alerted", False))
+        return tr
 
     def __len__(self) -> int:
         return len(self.freqs)
@@ -628,6 +650,38 @@ class ModalTracker:
             tr for tr in self._tracks
             if tr.observed >= min_epochs and tr.sustained_mac() < self.mac_alert
         ]
+
+    def to_dict(self) -> dict:
+        """JSON-serializable state (gateway restart persistence).
+
+        The shape/damping baselines ARE the damage references: losing them
+        on a process restart would silently re-baseline a degraded
+        structure as healthy, so the gateway persists trackers alongside
+        its drift state.
+        """
+        return {
+            "rel_tol": self.rel_tol,
+            "mac_min": self.mac_min,
+            "mac_alert": self.mac_alert,
+            "max_missed": self.max_missed,
+            "history_cap": self.history_cap,
+            "next_id": self._next_id,
+            "epoch": self._epoch,
+            "tracks": [tr.to_dict() for tr in self._tracks],
+            "archive": [tr.to_dict() for tr in self._archive],
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ModalTracker":
+        mt = cls(rel_tol=float(d["rel_tol"]), mac_min=float(d["mac_min"]),
+                 mac_alert=float(d["mac_alert"]),
+                 max_missed=int(d["max_missed"]),
+                 history_cap=int(d.get("history_cap", 2048)))
+        mt._next_id = int(d["next_id"])
+        mt._epoch = int(d["epoch"])
+        mt._tracks = [ModeTrack.from_dict(x) for x in d.get("tracks", [])]
+        mt._archive = [ModeTrack.from_dict(x) for x in d.get("archive", [])]
+        return mt
 
     def damping_alerts(self, rel_increase: float = 0.5,
                        min_epochs: int = 5) -> list[ModeTrack]:

@@ -9,6 +9,8 @@ the stabilization + MPC filters, (4) frequency agreement with `fdd` on
 shared records, (5) input validation.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -517,6 +519,80 @@ def test_gateway_ssi_damping_alert(tmp_path):
               if "[ALERT] SSI damping increase" in ln]
     assert len(alerts) == 1, history
     assert "f=9.3" in alerts[0]
+
+
+def test_modal_tracker_serialization_roundtrip():
+    from apda_fft_tpu.models.modal import ModalTracker
+    from apda_fft_tpu.models.ssi import SSIMode, SSIResult
+
+    def mk_res(freq, damping, shape):
+        m = SSIMode(freq=freq, damping=damping,
+                    shape=np.asarray(shape, complex), order=20, n_orders=10,
+                    freq_std=0.01, damping_std=0.05, mpc=1.0)
+        return SSIResult(modes=[m], diagram=[], orders=np.asarray([20]),
+                         hankel_sv=np.ones(9), n_sensors=len(shape))
+
+    import json as _json
+
+    tr = ModalTracker(rel_tol=0.07, mac_alert=0.93)
+    for k, d in enumerate((1.0, 1.05, 1.7, 1.75)):
+        tr.update(mk_res(9.3, d, [1.0, 0.4 - 0.01 * k, -0.3]), t=100.0 + k)
+    tr.damping_alerts(rel_increase=0.5, min_epochs=3)[0].damping_alerted = True
+
+    d = tr.to_dict()
+    _json.loads(_json.dumps(d))  # JSON-serializable end to end
+    mt2 = ModalTracker.from_dict(d)
+    assert mt2.rel_tol == 0.07 and mt2.mac_alert == 0.93
+    t1, t2 = tr.tracks()[0], mt2.tracks()[0]
+    assert t1.freqs == t2.freqs and t1.dampings == t2.dampings
+    assert t1.macs == t2.macs and t1.times == t2.times
+    assert t2.damping_alerted and not t2.alerted
+    np.testing.assert_array_equal(t1.ref_shape, t2.ref_shape)
+    np.testing.assert_array_equal(t1.last_shape, t2.last_shape)
+    # The restored tracker keeps matching and alerting identically.
+    mt2.update(mk_res(9.31, 1.72, [1.0, 0.36, -0.3]), t=104.0)
+    assert len(mt2.tracks()) == 1  # matched, not re-birthed
+    assert mt2.damping_alerts(rel_increase=0.5, min_epochs=3)
+
+
+def test_gateway_modal_baselines_survive_restart(tmp_path):
+    """The damping baseline is the damage reference: a restart between the
+    healthy and degraded epochs must NOT re-baseline — the alert still
+    compares against the original birth damping."""
+    from apda_fft_tpu.gateway.transport import SensorSimulator
+    from tests.test_gateway import make_service
+
+    fs = 125.0
+    shapes = np.array([[0.7, 1.0]])
+    extra = {"ssi_report": True, "ssi_block_rows": 20,
+             "ssi_damping_alert": 0.5, "fdd_min_sensors": 2}
+    macs = [f"0013a20041e7f72{i}" for i in range(2)]
+
+    def run_epochs(svc, transport, zetas, seed0):
+        for epoch, zeta in enumerate(zetas):
+            x = _modal_records(shapes, [9.3], [zeta], fs, t_sec=40.0,
+                               seed=seed0 + epoch)
+            for mac, rec in zip(macs, x):
+                SensorSimulator(mac, fs=fs, axis="X",
+                                chunk=100).stream_acquisition(transport, rec)
+            SensorSimulator(macs[0]).heartbeat(transport)
+            svc.drain()
+
+    svc1, transport1, _, _ = make_service(tmp_path, gateway_extra=extra)
+    run_epochs(svc1, transport1, (0.01, 0.01, 0.01), seed0=40)
+    assert os.path.exists(os.path.join(svc1.config.data_dir,
+                                       "modal_tracks.json"))
+
+    # Restart: a fresh service on the same data_dir restores the tracker.
+    svc2, transport2, _, _ = make_service(tmp_path, gateway_extra=extra)
+    assert svc2._ssi_trackers, "restored SSI trackers"
+    (mt,) = svc2._ssi_trackers.values()
+    assert mt.tracks()[0].birth_damping == pytest.approx(1.0, abs=0.4)
+    run_epochs(svc2, transport2, (0.025, 0.025, 0.025), seed0=50)
+    history = open(svc2.config.logger_file).read()
+    alerts = [ln for ln in history.splitlines()
+              if "[ALERT] SSI damping increase" in ln]
+    assert len(alerts) == 1, history
 
 
 def test_gateway_config_validates_ssi_block_rows(tmp_path):
