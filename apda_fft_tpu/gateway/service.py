@@ -766,16 +766,10 @@ class GatewayService:
             try:
                 from apda_fft_tpu.models.modal import ModalTracker
 
-                mt = self._modal_trackers.setdefault(
-                    (axis, fs, tuple(addrs)),
-                    ModalTracker(mac_alert=self.config.fdd_mac_alert),
+                mt = self._lru_tracker(
+                    self._modal_trackers, (axis, fs, tuple(addrs)),
+                    lambda: ModalTracker(mac_alert=self.config.fdd_mac_alert),
                 )
-                while len(self._modal_trackers) > 64:
-                    # Roster churn bound: drop the oldest tracker (dicts
-                    # preserve insertion order) rather than grow forever.
-                    self._modal_trackers.pop(
-                        next(iter(self._modal_trackers))
-                    )
                 mt.update(res, t=self.clock().timestamp())
                 for tr in mt.shape_alerts():
                     if tr.alerted:
@@ -835,11 +829,9 @@ class GatewayService:
             try:
                 from apda_fft_tpu.models.modal import ModalTracker
 
-                mt = self._ssi_trackers.setdefault(
-                    (axis, fs, tuple(addrs)), ModalTracker()
+                mt = self._lru_tracker(
+                    self._ssi_trackers, (axis, fs, tuple(addrs)), ModalTracker
                 )
-                while len(self._ssi_trackers) > 64:
-                    self._ssi_trackers.pop(next(iter(self._ssi_trackers)))
                 mt.update(res, t=self.clock().timestamp())
                 for tr in mt.damping_alerts(
                     rel_increase=self.config.ssi_damping_alert
@@ -861,6 +853,24 @@ class GatewayService:
     _FDD_ALIGN_TOL_S = 300.0  # max filename-timestamp spread within one run
 
     _DRIFT_TRACK_KEEP = 512  # archived-track cap per (sensor, axis)
+
+    @staticmethod
+    def _lru_tracker(trackers: dict, key, factory, cap: int = 64):
+        """Fetch-or-create ``trackers[key]``, bounding the dict LRU-style.
+
+        Re-inserts the touched key at the end (dicts preserve insertion
+        order) BEFORE evicting, so the tracker being updated this sync can
+        never be the one dropped — a plain ``setdefault`` + pop-oldest
+        would evict a long-lived active roster whose key happened to be
+        insertion-oldest, silently destroying its damage baseline.
+        """
+        mt = trackers.pop(key, None)
+        if mt is None:
+            mt = factory()
+        trackers[key] = mt
+        while len(trackers) > cap:
+            trackers.pop(next(iter(trackers)))
+        return mt
 
     @staticmethod
     def _modal_key_str(key: tuple) -> str:

@@ -681,3 +681,29 @@ def test_fdd_validation_errors():
         fdd(np.zeros((2, 2, 512), np.float32), 100.0, window=128)
     with pytest.raises(ValueError, match="taper"):
         csd_matrix(x, 100.0, 128, taper="boxcar")
+
+
+def test_lru_tracker_never_evicts_active_roster():
+    """Regression: at the roster cap, updating the insertion-OLDEST key must
+    not evict the tracker being updated (setdefault + pop-oldest did)."""
+    from apda_fft_tpu.gateway.service import GatewayService
+    from apda_fft_tpu.models.modal import ModalTracker
+
+    trackers: dict = {}
+    active = ("X", 125.0, ("aaaa", "bbbb"))
+    born = GatewayService._lru_tracker(trackers, active, ModalTracker, cap=64)
+    for i in range(63):
+        GatewayService._lru_tracker(trackers, ("X", 125.0, (f"s{i}",)),
+                                    ModalTracker, cap=64)
+    assert len(trackers) == 64 and next(iter(trackers)) == active
+    # Touching the oldest (= active) key keeps the SAME tracker object and
+    # moves it to most-recent; nothing is evicted at exactly cap.
+    again = GatewayService._lru_tracker(trackers, active, ModalTracker, cap=64)
+    assert again is born and len(trackers) == 64
+    assert list(trackers)[-1] == active
+    # A genuinely new 65th key evicts the least-recently-used ("s0"),
+    # never the active roster.
+    GatewayService._lru_tracker(trackers, ("Y", 125.0, ("new",)),
+                                ModalTracker, cap=64)
+    assert active in trackers and ("X", 125.0, ("s0",)) not in trackers
+    assert len(trackers) == 64
