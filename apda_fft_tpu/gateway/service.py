@@ -35,7 +35,7 @@ from apda_fft_tpu.gateway.egress import FtpSink, HttpSink, InfluxSink
 from apda_fft_tpu.gateway.history import HistoryLog
 from apda_fft_tpu.gateway.telemetry import device_status_report
 from apda_fft_tpu.gateway.transport import Transport
-from apda_fft_tpu.io import packets
+from apda_fft_tpu.io import native, packets
 from apda_fft_tpu.io.halffloat import decode_payload, format_samples
 from apda_fft_tpu.io.logfile import (
     append_marker,
@@ -256,9 +256,16 @@ class GatewayService:
 
     def _append_stream_samples(self, payload: bytes, offset: int, addr: str,
                                first_value: float) -> None:
-        values = decode_payload(payload[offset:], first_value)
         if addr in self.open_file and os.path.exists(self.open_file[addr]):
-            append_sample_values(self.open_file[addr], values)
+            raw = payload[offset:]
+            # Fused native ingest (decode + "%8.6f;" render + append in one
+            # call); the Python two-step is the parity-tested fallback.
+            if native.append_half_payload(
+                self.open_file[addr], raw, first_value
+            ) is None:
+                append_sample_values(
+                    self.open_file[addr], decode_payload(raw, first_value)
+                )
         else:
             self.history(f"\t[WARN] write attempted on closed file for sensor {addr}\n")
 

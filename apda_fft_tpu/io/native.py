@@ -66,6 +66,11 @@ def load() -> ctypes.CDLL | None:
                 ctypes.c_char_p, ctypes.c_long,
                 ctypes.POINTER(ctypes.c_double), ctypes.c_long,
             ]
+            lib.apda_append_half_payload.restype = ctypes.c_long
+            lib.apda_append_half_payload.argtypes = [
+                ctypes.c_char_p, ctypes.c_long, ctypes.c_double,
+                ctypes.c_char_p,
+            ]
             _lib = lib
         except Exception:  # noqa: BLE001 - fall back to NumPy implementations
             _load_failed = True
@@ -104,6 +109,28 @@ def format_samples(values: np.ndarray) -> str:
     if used < 0:
         return "".join(s + ";" for s in halffloat.format_samples(values))
     return buf.raw[:used].decode("ascii")
+
+
+def append_half_payload(path: str | os.PathLike, raw: bytes,
+                        first_value: float = 0.0) -> int | None:
+    """Fused per-packet ingest: decode + "%8.6f;" render + file append in one
+    native call (the gateway's packet hot path).
+
+    Returns the number of samples appended, or ``None`` when the native
+    library is unavailable or formatting failed with the file untouched —
+    the caller then runs the Python two-step path. An I/O failure AFTER the
+    file was opened raises ``OSError`` (a fallback re-append could duplicate
+    partially-written samples), matching a failed Python ``write``.
+    """
+    lib = load()
+    if lib is None:
+        return None
+    n = lib.apda_append_half_payload(
+        bytes(raw), len(raw), first_value, os.fspath(path).encode()
+    )
+    if n == -2:
+        raise OSError(f"native sample append failed mid-write on {path}")
+    return None if n < 0 else n
 
 
 def parse_samples(text: str) -> np.ndarray:

@@ -18,6 +18,105 @@
 #include <cstdlib>
 #include <cstring>
 
+// One binary16 word with the reference quirks (truncated subnormal scale,
+// +inf regardless of sign bit) - shared by the decode and fused-append paths.
+static inline double decode_half_word(uint16_t w) {
+  const int exp = (w >> 10) & 0x1F;
+  const double sign = (w & 0x8000) ? -1.0 : 1.0;
+  const double mant = (double)(w & 0x03FF) / 1024.0;
+  if (exp == 31) return (mant != 0.0) ? NAN : INFINITY;  // +inf even if signed
+  if (exp == 0) return (mant != 0.0) ? sign * 0.00006103515 * mant : 0.0;
+  return sign * ldexp(1.0 + mant, exp - 15);
+}
+
+// Fast exact "%8.6f" formatter.
+//
+// glibc's snprintf("%8.6f") measures ~790 ns/value on this host (the
+// arbitrary-precision decimal path) and dominated the fused ingest call.
+// This renders the correctly-rounded 6-decimal fixed representation of a
+// finite double exactly - same output as snprintf/Python format - using
+// unsigned __int128 integer arithmetic, falling back to snprintf outside
+// its range (|v| >= 2^63/1e6, non-finite, deep subnormals).
+//
+// Exactness: a finite double is m * 2^e (m < 2^53 integer).  The 6-decimal
+// value is round_half_even(m * 10^6 * 2^e).  m * 10^6 < 2^73 fits __int128
+// exactly; for e <= 0 the quotient/remainder by 2^-e gives the exact
+// integer part and an exact tie comparison (2r vs 2^-e), for e > 0 the
+// product is exact while it fits.  Ties round to even, matching IEEE-754
+// correctly-rounded conversions (glibc and CPython both implement this).
+//
+// Returns bytes written (no NUL), or -1 if the fast path does not apply.
+static long format_fixed6_fast(double v, char* out, long cap) {
+  if (!std::isfinite(v)) return -1;
+  const double a = std::fabs(v);
+  if (a >= 9.2e12) return -1;  // v * 1e6 near 2^63: snprintf handles it
+  if (cap < 32) return -1;     // max len: sign + 13 digits + '.' + 6 + ';'
+
+  int e;
+  const double frac = std::frexp(a, &e);  // a = frac * 2^e, frac in [0.5, 1)
+  // m = frac * 2^53 exactly (53-bit significand, integer for normals;
+  // subnormals also exact: frexp renormalizes them).
+  const uint64_t m = (uint64_t)std::ldexp(frac, 53);
+  const int e2 = e - 53;  // a = m * 2^e2
+  unsigned __int128 scaled = (unsigned __int128)m * 1000000u;
+  uint64_t ip;  // rounded integer value of a * 1e6
+  if (e2 >= 0) {
+    if (e2 > 50) return -1;  // cannot happen with a < 9.2e12, be safe
+    ip = (uint64_t)(scaled << e2);
+  } else {
+    const int s = -e2;
+    if (s >= 120) {
+      // a < 2^-47-ish: far below 5e-7, rounds to 0.000000
+      ip = 0;
+    } else {
+      const unsigned __int128 q = scaled >> s;
+      const unsigned __int128 r = scaled - (q << s);
+      const unsigned __int128 half = (unsigned __int128)1 << (s - 1);
+      ip = (uint64_t)q;
+      if (r > half || (r == half && (ip & 1))) ++ip;  // ties to even
+    }
+  }
+  const uint64_t whole = ip / 1000000u;
+  const uint64_t fracd = ip % 1000000u;
+  char* p = out;
+  if (std::signbit(v)) *p++ = '-';
+  // whole part (up to 13 digits)
+  char tmp[20];
+  int nt = 0;
+  uint64_t w = whole;
+  do {
+    tmp[nt++] = (char)('0' + (w % 10));
+    w /= 10;
+  } while (w);
+  while (nt) *p++ = tmp[--nt];
+  *p++ = '.';
+  // exactly 6 fraction digits
+  p[5] = (char)('0' + fracd % 10u);
+  p[4] = (char)('0' + (fracd / 10u) % 10u);
+  p[3] = (char)('0' + (fracd / 100u) % 10u);
+  p[2] = (char)('0' + (fracd / 1000u) % 10u);
+  p[1] = (char)('0' + (fracd / 10000u) % 10u);
+  p[0] = (char)('0' + (fracd / 100000u) % 10u);
+  p += 6;
+  // "%8.6f" width: every finite rendering is >= 8 chars ("0.000000"), so
+  // no padding is ever emitted on this path.
+  return (long)(p - out);
+}
+
+// One "%8.6f;" token: fast path, else snprintf.  Returns bytes written or
+// -1 on overflow (mirrors apda_format_samples' contract).
+static long format_token(double v, char* out, long cap) {
+  long k = format_fixed6_fast(v, out, cap);
+  if (k >= 0) {
+    if (k + 1 > cap) return -1;
+    out[k] = ';';
+    return k + 1;
+  }
+  const int w = snprintf(out, (size_t)cap, "%8.6f;", v);
+  if (w < 0 || (long)w >= cap) return -1;
+  return w;
+}
+
 extern "C" {
 
 // Decode big-endian binary16 byte pairs to float64, adding `first`.
@@ -26,18 +125,7 @@ long apda_decode_half(const uint8_t* buf, long n_bytes, double first, double* ou
   const long n = n_bytes / 2;
   for (long i = 0; i < n; ++i) {
     const uint16_t w = (uint16_t)((buf[2 * i] << 8) | buf[2 * i + 1]);
-    const int exp = (w >> 10) & 0x1F;
-    const double sign = (w & 0x8000) ? -1.0 : 1.0;
-    const double mant = (double)(w & 0x03FF) / 1024.0;
-    double v;
-    if (exp == 31) {
-      v = (mant != 0.0) ? NAN : INFINITY;  // +inf even when sign bit set
-    } else if (exp == 0) {
-      v = (mant != 0.0) ? sign * 0.00006103515 * mant : 0.0;
-    } else {
-      v = sign * ldexp(1.0 + mant, exp - 15);
-    }
-    out[i] = v + first;
+    out[i] = decode_half_word(w) + first;
   }
   return n;
 }
@@ -50,11 +138,55 @@ long apda_decode_half(const uint8_t* buf, long n_bytes, double first, double* ou
 long apda_format_samples(const double* vals, long n, char* out, long cap) {
   long used = 0;
   for (long i = 0; i < n; ++i) {
-    const int w = snprintf(out + used, (size_t)(cap - used), "%8.6f;", vals[i]);
-    if (w < 0 || (long)w >= cap - used) return -1;
+    const long w = format_token(vals[i], out + used, cap - used);
+    if (w < 0) return -1;
     used += w;
   }
   return used;
+}
+
+// Fused per-packet ingest: decode a binary16 payload (+first), render the
+// "%8.6f;" token stream, and append it to the log file in ONE call - the
+// gateway's packet hot path (reference GT_FFT_v5.py:172-184 did this one
+// interpreted value at a time; the split native decode/format calls still
+// paid two ctypes crossings and a NumPy round trip per packet).
+//
+// The whole token stream is formatted into a heap buffer BEFORE the file is
+// opened, so every formatting failure is reported with the file untouched:
+//   >= 0 : samples appended
+//   -1   : formatting failed / allocation failed, file untouched (caller may
+//          safely fall back to the Python two-step path)
+//   -2   : I/O failure after opening (caller must NOT retry-append: bytes may
+//          have been partially written, exactly like a failed Python write)
+long apda_append_half_payload(const uint8_t* buf, long n_bytes, double first,
+                              const char* path) {
+  const long n = n_bytes / 2;
+  // "%8.6f;" of a binary16-derived value + baseline is short, but the
+  // baseline is attacker/file-controlled in principle; size generously and
+  // overflow-check per token like apda_format_samples.
+  const long cap = 64 * n + 16;
+  char* out = (char*)malloc((size_t)cap);
+  if (!out) return -1;
+  long used = 0;
+  for (long i = 0; i < n; ++i) {
+    const uint16_t w = (uint16_t)((buf[2 * i] << 8) | buf[2 * i + 1]);
+    const double v = decode_half_word(w) + first;
+    const long k = format_token(v, out + used, cap - used);
+    if (k < 0) {
+      free(out);
+      return -1;
+    }
+    used += k;
+  }
+  FILE* f = fopen(path, "a");
+  if (!f) {
+    free(out);
+    return -1;
+  }
+  const size_t wrote = fwrite(out, 1, (size_t)used, f);
+  free(out);
+  if (fclose(f) != 0 || wrote != (size_t)used) return -2;
+  return n;
 }
 
 // Parse a ';'-separated sample region (log-file rows 4+): numeric tokens

@@ -107,3 +107,77 @@ def test_format_samples_truncation_falls_back():
         got = native.format_samples(vals)
         want = "".join(s + ";" for s in halffloat.format_samples(vals))
         assert got == want
+
+
+def test_append_half_payload_parity(lib, tmp_path):
+    """The fused decode+format+append call writes byte-identical content to
+    the Python two-step path, over the full word space incl. specials."""
+    words = np.arange(65536, dtype=np.uint32).astype(np.uint16)
+    raw = words.astype(">u2").tobytes()
+    for first in (0.0, 0.1234567):
+        fused = tmp_path / f"fused_{first}.log"
+        twostep = tmp_path / f"twostep_{first}.log"
+        header = "hdr;\nS;\nsummary;\nbase;\n"
+        fused.write_text(header)
+        twostep.write_text(header)
+        n = native.append_half_payload(fused, raw, first)
+        assert n == 65536
+        from apda_fft_tpu.io.logfile import append_sample_values
+
+        append_sample_values(twostep, halffloat.decode_payload(raw, first))
+        assert fused.read_bytes() == twostep.read_bytes()
+
+
+def test_append_half_payload_appends_and_trailing_odd_byte(lib, tmp_path):
+    p = tmp_path / "acq.log"
+    p.write_text("existing;")
+    vals = np.array([0.5, -1.25])
+    raw = halffloat.encode_halves(vals) + b"\x7f"  # odd trailing byte dropped
+    assert native.append_half_payload(p, raw, 0.25) == 2
+    assert p.read_text() == "existing;0.750000;-1.000000;"
+    # A second call appends after the first (no truncation).
+    assert native.append_half_payload(p, halffloat.encode_halves([2.0]), 0.0) == 1
+    assert p.read_text().endswith("-1.000000;2.000000;")
+
+
+def test_append_half_payload_unavailable_returns_none(tmp_path, monkeypatch):
+    monkeypatch.setattr(native, "load", lambda: None)
+    assert native.append_half_payload(tmp_path / "x.log", b"\x3c\x00") is None
+    assert not (tmp_path / "x.log").exists()
+
+
+def test_gateway_stream_uses_fused_ingest_with_exact_file(tmp_path):
+    """End-to-end: a simululated acquisition produces the same log file with
+    the native fused path as with the Python fallback."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from tests.test_gateway import make_service
+    from apda_fft_tpu.gateway.transport import SensorSimulator
+
+    rng = np.random.default_rng(5)
+    rec = rng.standard_normal(1024).astype(np.float32)
+
+    def run(subdir, force_fallback):
+        d = tmp_path / subdir
+        d.mkdir()
+        svc, transport, _, _ = make_service(d)
+        svc._analyze_files = lambda *a, **k: None
+        if force_fallback:
+            import unittest.mock as mock
+
+            ctx = mock.patch.object(native, "append_half_payload",
+                                    lambda *a, **k: None)
+        else:
+            import contextlib
+
+            ctx = contextlib.nullcontext()
+        with ctx:
+            SensorSimulator("0013a20041e7ffff", fs=125.0, axis="X",
+                            chunk=100).stream_acquisition(transport, rec)
+            svc.drain()
+        logs = sorted(d.glob("**/*_Xaxis_*.log"))
+        assert len(logs) == 1
+        return logs[0].read_bytes()
+
+    assert run("native", False) == run("fallback", True)
