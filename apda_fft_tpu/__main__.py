@@ -329,12 +329,14 @@ def cmd_fdd(args) -> int:
         [np.asarray(rec.samples[:t], np.float32) for _, rec in loaded]
     )
     try:
-        res = fdd(records, fs, args.window, args.hop, k=args.top, efdd=args.efdd)
+        res = fdd(records, fs, args.window, args.hop, k=args.top,
+                  efdd=args.efdd, harmonics=args.harmonics)
     except ValueError as exc:
         print(f"fdd failed: {exc}", file=sys.stderr)
         return 1
 
     n = int(res.count)
+    hmask = res.harmonic_mask()
     modes = []
     for i in range(n):
         shape = [
@@ -349,6 +351,9 @@ def cmd_fdd(args) -> int:
         }
         if args.efdd and np.isfinite(res.damping_efdd[i]):
             mode["damping_efdd_pct"] = round(float(res.damping_efdd[i]), 3)
+        if args.harmonics and np.isfinite(res.kurtosis[i]):
+            mode["kurtosis"] = round(float(res.kurtosis[i]), 3)
+            mode["harmonic"] = bool(hmask[i])
         modes.append(mode)
     if args.json:
         print(json.dumps({
@@ -367,6 +372,10 @@ def cmd_fdd(args) -> int:
                     f"s2/s1={m['sv_ratio']:.3f}  shape=[{comps}]")
             if "damping_efdd_pct" in m:
                 line += f"  efdd={m['damping_efdd_pct']:.3f}%"
+            if "kurtosis" in m:
+                line += f"  kurt={m['kurtosis']:.2f}"
+                if m["harmonic"]:
+                    line += "  HARMONIC"
             print(line)
     return 0
 
@@ -438,8 +447,20 @@ def cmd_ssi(args) -> int:
         )
         print(f"# wrote {args.out}", file=sys.stderr)
 
+    kap = None
+    if args.harmonics and res.modes:
+        from apda_fft_tpu.models.modal import harmonic_indicator
+
+        try:
+            kap = harmonic_indicator(
+                records, fs, [m.freq for m in res.modes],
+                window=min(1024, int(2 ** np.floor(np.log2(t)))),
+            )
+        except ValueError as exc:
+            print(f"# harmonic check skipped: {exc}", file=sys.stderr)
+
     modes = []
-    for m in res.modes:
+    for j, m in enumerate(res.modes):
         modes.append({
             "freq": round(m.freq, 4),
             "damping_pct": round(m.damping, 3),
@@ -452,6 +473,9 @@ def cmd_ssi(args) -> int:
                 for c in m.shape
             ],
         })
+        if kap is not None and np.isfinite(kap[j]):
+            modes[-1]["kurtosis"] = round(float(kap[j]), 3)
+            modes[-1]["harmonic"] = bool(kap[j] < 2.2)
     if args.json:
         print(json.dumps({
             "files": [p for p, _ in loaded], "fs": fs,
@@ -467,10 +491,15 @@ def cmd_ssi(args) -> int:
             comps = "  ".join(
                 f"{c['re']:+.3f}{c['im']:+.3f}j" for c in m["shape"]
             )
-            print(f"  f={m['freq']:9.4f} Hz (±{m['freq_std']:.4f})  "
-                  f"damping={m['damping_pct']:.3f}% (±{m['damping_std_pct']:.3f})  "
-                  f"stable over {m['n_orders']} orders  mpc={m['mpc']:.3f}  "
-                  f"shape=[{comps}]")
+            line = (f"  f={m['freq']:9.4f} Hz (±{m['freq_std']:.4f})  "
+                    f"damping={m['damping_pct']:.3f}% (±{m['damping_std_pct']:.3f})  "
+                    f"stable over {m['n_orders']} orders  mpc={m['mpc']:.3f}  "
+                    f"shape=[{comps}]")
+            if "kurtosis" in m:
+                line += f"  kurt={m['kurtosis']:.2f}"
+                if m["harmonic"]:
+                    line += "  HARMONIC"
+            print(line)
     return 0
 
 
@@ -625,6 +654,9 @@ def main(argv=None) -> int:
                     help="max modes reported")
     fd.add_argument("--efdd", action="store_true",
                     help="enhanced-FDD damping (autocorrelation log decrement)")
+    fd.add_argument("--harmonics", action="store_true",
+                    help="narrowband-kurtosis harmonic check per mode "
+                         "(~1.5 = machinery harmonic, ~3 = structural mode)")
     fd.add_argument("--json", action="store_true")
     fd.set_defaults(fn=cmd_fdd)
 
@@ -642,6 +674,9 @@ def main(argv=None) -> int:
                     help="also save the stabilization diagram (per-pole "
                          "order/freq/damping/stable columns), Hankel "
                          "singular values, and mode table to this .npz")
+    ss.add_argument("--harmonics", action="store_true",
+                    help="narrowband-kurtosis harmonic check per mode "
+                         "(~1.5 = machinery harmonic, ~3 = structural mode)")
     ss.add_argument("--json", action="store_true")
     ss.set_defaults(fn=cmd_ssi)
 

@@ -92,6 +92,11 @@ class GatewayConfig:
     ssi_report: bool = False
     #: SSI Hankel block rows; correlation horizon = 2*block_rows/fs seconds
     ssi_block_rows: int = 20
+    #: narrowband-kurtosis harmonic check on reported FDD/SSI modes:
+    #: machinery harmonics (kurtosis ~1.5, vs ~3 for stochastic structural
+    #: response) get a HARMONIC tag in the report lines - the classic OMA
+    #: false-mode source on instrumented structures with HVAC/generators
+    harmonic_check: bool = False
     #: sustained-damping alert threshold for tracked SSI modes, as a
     #: RELATIVE increase vs the track's birth damping (0.5 = +50%): rising
     #: modal damping is the classic early cracking/loosening indicator,
@@ -190,6 +195,7 @@ class GatewayConfig:
                 fdd_mac_alert=fdd_mac_alert,
                 ssi_report=bool(gw.get("ssi_report", False)),
                 ssi_block_rows=ssi_block_rows,
+                harmonic_check=bool(gw.get("harmonic_check", False)),
                 ssi_damping_alert=ssi_damping_alert,
             )
         except GatewayConfigError:

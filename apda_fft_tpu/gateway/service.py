@@ -744,10 +744,12 @@ class GatewayService:
         try:
             from apda_fft_tpu.models.modal import fdd
 
-            res = fdd(records, fs, window, efdd=True)
+            res = fdd(records, fs, window, efdd=True,
+                      harmonics=self.config.harmonic_check)
         except Exception as exc:  # noqa: BLE001 - report-only path
             self.history(f"\t[WARN] FDD failed for axis {axis}: {exc}\n")
             return
+        hmask = res.harmonic_mask()
         n = int(res.count)
         self.history(
             f"\t[FDD] {axis}: {len(addrs)} sensors "
@@ -763,6 +765,10 @@ class GatewayService:
                     f"s2/s1={res.sv_ratio[i]:.3f} shape=[{comps}]")
             if np.isfinite(res.damping_efdd[i]):
                 line += f" efdd={res.damping_efdd[i]:.3f}%"
+            if self.config.harmonic_check and np.isfinite(res.kurtosis[i]):
+                line += f" kurt={res.kurtosis[i]:.2f}"
+                if hmask[i]:
+                    line += " HARMONIC"
             self.history(line + "\n")
         if self.config.fdd_mac_alert > 0:
             # Tracker keyed by the sensor ROSTER, not just (axis, fs):
@@ -819,14 +825,30 @@ class GatewayService:
             f"({', '.join(addrs)}), block rows {i_rows}, "
             f"{res.count} stabilized mode(s)\n"
         )
-        for m in res.modes:
+        kap = None
+        if self.config.harmonic_check and res.modes:
+            try:
+                from apda_fft_tpu.models.modal import harmonic_indicator
+
+                kap = harmonic_indicator(
+                    records, fs, [m.freq for m in res.modes],
+                    window=min(1024, 2 ** int(np.log2(records.shape[-1]))),
+                )
+            except Exception as exc:  # noqa: BLE001 - report-only path
+                self.history(f"\t[WARN] SSI harmonic check failed: {exc}\n")
+        for j, m in enumerate(res.modes):
             comps = " ".join(
                 f"{c.real:+.3f}{c.imag:+.3f}j" for c in m.shape
             )
-            self.history(
+            line = (
                 f"\t[SSI]   f={m.freq:.4f} Hz damping={m.damping:.3f}% "
-                f"orders={m.n_orders} mpc={m.mpc:.3f} shape=[{comps}]\n"
+                f"orders={m.n_orders} mpc={m.mpc:.3f} shape=[{comps}]"
             )
+            if kap is not None and np.isfinite(kap[j]):
+                line += f" kurt={kap[j]:.2f}"
+                if kap[j] < 2.2:
+                    line += " HARMONIC"
+            self.history(line + "\n")
         if self.config.ssi_damping_alert > 0:
             # Damping-trend tracking on SSI poles (roster-keyed like the
             # FDD shape trackers): sustained damping rise vs the track's

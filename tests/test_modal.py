@@ -707,3 +707,145 @@ def test_lru_tracker_never_evicts_active_roster():
                                 ModalTracker, cap=64)
     assert active in trackers and ("X", 125.0, ("s0",)) not in trackers
     assert len(trackers) == 64
+
+
+# ------------------------------------------------------ harmonic indicator
+
+
+def _mode_plus_harmonic(fs=200.0, t_sec=300.0, f_mode=9.3, f_harm=25.37,
+                        seed=0, harm_shape=(1.0, 0.9), mode_shape=(1.0, 0.6)):
+    rng = np.random.default_rng(seed)
+    x = _modal_records(np.array([mode_shape]), [f_mode], [0.02], fs, t_sec,
+                       seed=seed, sensor_noise=0.0)
+    t = np.arange(x.shape[-1]) / fs
+    harm = np.sin(2 * np.pi * f_harm * t + 0.3)
+    x = x / x.std() + 0.8 * np.asarray(harm_shape)[:, None] * harm[None, :]
+    x += 0.05 * rng.standard_normal(x.shape)
+    return x.astype(np.float32)
+
+
+def test_harmonic_indicator_separates_sine_from_mode():
+    from apda_fft_tpu.models.modal import harmonic_indicator
+
+    fs = 200.0
+    x = _mode_plus_harmonic(fs=fs)
+    kap = harmonic_indicator(x, fs, [9.3, 25.37, 60.0], window=1024)
+    assert kap[0] > 2.5, f"structural mode read {kap[0]} (expected ~3)"
+    assert kap[1] < 2.0, f"harmonic read {kap[1]} (expected ~1.5)"
+    # Noise-only band is Gaussian too - near 3, never harmonic-like.
+    assert kap[2] > 2.5
+    # Out-of-band / DC / non-finite frequencies return NaN, never crash.
+    # DC, Nyquist-and-above, and non-finite queries return NaN; an in-band
+    # noise-only frequency stays finite.
+    kap2 = harmonic_indicator(x, fs, [0.0, fs / 2, fs, np.nan, 80.0],
+                              window=1024)
+    assert np.isnan(kap2[:4]).all() and np.isfinite(kap2[4])
+    # Single-channel [T] input works.
+    k1 = harmonic_indicator(x[0], fs, [25.37], window=1024)
+    assert k1[0] < 2.0
+
+
+def test_harmonic_indicator_energy_weights_node_sensor():
+    """A sensor at a node of the harmonic carries only noise (kurtosis ~3);
+    energy weighting keeps the array answer harmonic-like."""
+    from apda_fft_tpu.models.modal import harmonic_indicator
+
+    fs = 200.0
+    x = _mode_plus_harmonic(fs=fs, harm_shape=(1.0, 0.0))
+    kap = harmonic_indicator(x, fs, [25.37], window=1024)
+    assert kap[0] < 2.0, kap
+
+
+def test_harmonic_indicator_validation():
+    from apda_fft_tpu.models.modal import harmonic_indicator
+
+    x = np.random.default_rng(0).standard_normal((2, 4096)).astype(np.float32)
+    with pytest.raises(ValueError, match=r"\[S, T\]"):
+        harmonic_indicator(np.zeros((2, 2, 64), np.float32), 100.0, [5.0])
+    with pytest.raises(ValueError, match="too short"):
+        harmonic_indicator(x[:, :100], 100.0, [5.0], window=1024)
+    with pytest.raises(ValueError, match="rel_bandwidth"):
+        harmonic_indicator(x, 100.0, [5.0], rel_bandwidth=0.7)
+    with pytest.raises(ValueError, match="window"):
+        harmonic_indicator(x, 100.0, [5.0], window=4)
+
+
+def test_fdd_harmonics_flags_machinery_line():
+    fs = 200.0
+    x = _mode_plus_harmonic(fs=fs)
+    res = fdd(x, fs, window=1024, harmonics=True)
+    n = int(res.count)
+    assert n >= 2
+    freqs = res.freq[:n]
+    mask = res.harmonic_mask()
+    i_mode = int(np.argmin(np.abs(freqs - 9.3)))
+    i_harm = int(np.argmin(np.abs(freqs - 25.37)))
+    assert not mask[i_mode] and mask[i_harm], (freqs, res.kurtosis, mask)
+    assert np.isfinite(res.kurtosis[:n]).all()
+    assert np.isnan(res.kurtosis[n:]).all()
+    # harmonics=False keeps the field NaN and the mask empty.
+    res0 = fdd(x, fs, window=1024)
+    assert np.isnan(res0.kurtosis).all() and not res0.harmonic_mask().any()
+
+
+def test_fddresult_harmonic_mask_backward_compat():
+    """Old-style FDDResult construction (no kurtosis field) never flags."""
+    from apda_fft_tpu.models.modal import FDDResult
+
+    r = FDDResult(
+        count=np.int32(1), idx=np.array([3]), freq=np.array([1.0]),
+        damping=np.array([0.5]), sv_ratio=np.array([0.1]),
+        shape_re=np.zeros((1, 2)), shape_im=np.zeros((1, 2)),
+        freqs=np.zeros(8), sv1=np.zeros(8), sv2=np.zeros(8),
+        damping_efdd=np.array([np.nan]),
+    )
+    assert r.kurtosis is None
+    assert not r.harmonic_mask().any()
+
+
+def test_cli_fdd_harmonics(tmp_path, capsys):
+    from apda_fft_tpu.__main__ import main
+
+    fs = 200.0
+    x = _mode_plus_harmonic(fs=fs, t_sec=120.0)
+    from tests.test_ssi import _write_acq_files
+
+    paths = _write_acq_files(tmp_path, x, fs)
+    import json
+
+    assert main(["fdd", *paths, "--window", "1024", "--harmonics",
+                 "--json"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    by_f = {round(m["freq"]): m for m in out["modes"]}
+    assert by_f[9]["harmonic"] is False and by_f[9]["kurtosis"] > 2.5
+    assert by_f[25]["harmonic"] is True and by_f[25]["kurtosis"] < 2.0
+    # Text mode tags the harmonic.
+    assert main(["fdd", *paths, "--window", "1024", "--harmonics"]) == 0
+    txt = capsys.readouterr().out
+    assert "HARMONIC" in txt and "kurt=" in txt
+
+
+def test_gateway_harmonic_check_tags_report(tmp_path):
+    from apda_fft_tpu.gateway.transport import SensorSimulator
+    from tests.test_gateway import make_service
+
+    fs = 125.0
+    x = _mode_plus_harmonic(fs=fs, t_sec=60.0, f_mode=9.3, f_harm=22.17)
+    svc, transport, _, _ = make_service(
+        tmp_path,
+        gateway_extra={"fdd_report": True, "fdd_window": 1024,
+                       "fdd_min_sensors": 2, "harmonic_check": True},
+    )
+    macs = ["0013a20041e7f901", "0013a20041e7f902"]
+    for mac, rec in zip(macs, x):
+        SensorSimulator(mac, fs=fs, axis="X",
+                        chunk=100).stream_acquisition(transport, rec)
+    SensorSimulator(macs[0]).heartbeat(transport)
+    svc.drain()
+    history = open(svc.config.logger_file).read()
+    fdd_lines = [ln for ln in history.splitlines() if "[FDD]   f=" in ln]
+    assert fdd_lines, history
+    harm = [ln for ln in fdd_lines if "HARMONIC" in ln]
+    clean = [ln for ln in fdd_lines if "HARMONIC" not in ln]
+    assert any("f=22." in ln for ln in harm), fdd_lines
+    assert any("f=9." in ln and "kurt=" in ln for ln in clean), fdd_lines

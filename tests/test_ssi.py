@@ -641,3 +641,34 @@ def test_ssi_validation_errors():
         ssi(x, FS, mpc_min=1.5)
     with pytest.raises(ValueError, match="S, T"):
         ssi(np.zeros(4000, np.float32), FS)
+
+
+def test_cli_ssi_harmonics(tmp_path, capsys):
+    import json
+
+    from apda_fft_tpu.__main__ import main
+
+    fs = 128.0
+    shapes = np.array([[0.5, 1.0, -0.8]])
+    x = _modal_records(shapes, [14.0], [0.015], fs, t_sec=240.0, seed=6,
+                       sensor_noise=0.0)
+    # Machinery harmonic with slight frequency wander (a mathematically
+    # pure sine has a zero-damping pole that fails SSI's damping
+    # stabilization - real rotating machinery always wanders a little).
+    rng = np.random.default_rng(7)
+    n = x.shape[-1]
+    t = np.arange(n) / fs
+    phase = 2 * np.pi * 31.83 * t + 0.02 * np.cumsum(rng.standard_normal(n))
+    x = (x / x.std()
+         + 0.8 * np.array([1.0, 0.9, 1.1])[:, None]
+         * np.sin(phase)[None, :]).astype(np.float32)
+    paths = _write_acq_files(tmp_path, x, fs)
+    assert main(["ssi", *paths, "--block-rows", "30", "--harmonics",
+                 "--json"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    by_f = {round(m["freq"]): m for m in out["modes"]}
+    assert 14 in by_f and 32 in by_f, sorted(by_f)
+    assert by_f[14]["harmonic"] is False and by_f[14]["kurtosis"] > 2.5
+    assert by_f[32]["harmonic"] is True and by_f[32]["kurtosis"] < 2.0
+    assert main(["ssi", *paths, "--block-rows", "30", "--harmonics"]) == 0
+    assert "HARMONIC" in capsys.readouterr().out
