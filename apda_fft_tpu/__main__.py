@@ -39,6 +39,43 @@ def _load(paths):
     return loaded
 
 
+def _fuse_rates(loaded, allow_decimate: bool):
+    """One time base for multi-sensor analysis: ``(fs, samples_list, err)``.
+
+    Equal rates pass through.  With ``allow_decimate`` a faster channel is
+    anti-alias decimated (``ops/resample.py``) onto the slowest rate when
+    the ratio is integer - the hardware ODR grid is dyadic
+    (``protocol_decoder.py:5-8``), so deployed mixes always divide evenly;
+    anything else returns a clear error string.
+    """
+    rates = {rec.fs for _, rec in loaded}
+    if len(rates) == 1:
+        return (loaded[0][1].fs,
+                [np.asarray(rec.samples, np.float64) for _, rec in loaded],
+                None)
+    if not allow_decimate:
+        return None, None, (
+            f"sampling rates differ across files: {sorted(rates)} "
+            "(pass --decimate to fuse onto the slowest rate)"
+        )
+    from apda_fft_tpu.ops.resample import decimate, decimation_factor
+
+    fs = min(rates)
+    recs = []
+    for path, rec in loaded:
+        q = decimation_factor(rec.fs, fs)
+        if q is None:
+            return None, None, (
+                f"{path}: fs={rec.fs} is not an integer multiple of the "
+                f"base rate {fs} - cannot decimate"
+            )
+        try:
+            recs.append(decimate(np.asarray(rec.samples, np.float64), q))
+        except ValueError as exc:
+            return None, None, f"{path}: {exc}"
+    return fs, recs, None
+
+
 def _format_peaks(rp, mode: str, refine: bool) -> list[dict]:
     """Per-record peak dicts with the host-float64 exact frequency finisher.
 
@@ -250,19 +287,20 @@ def cmd_coherence(args) -> int:
     if len(loaded) != 2:
         print("coherence needs two analyzable files", file=sys.stderr)
         return 1
-    (path_x, rec_x), (path_y, rec_y) = loaded
-    if rec_x.fs != rec_y.fs:
-        print(f"sampling rates differ: {rec_x.fs} vs {rec_y.fs}", file=sys.stderr)
+    fs, samples, err = _fuse_rates(loaded, args.decimate)
+    if err:
+        print(err, file=sys.stderr)
         return 1
-    x = np.asarray(rec_x.samples, np.float32)
-    y = np.asarray(rec_y.samples, np.float32)
+    path_x, path_y = loaded[0][0], loaded[1][0]
+    x = np.asarray(samples[0], np.float32)
+    y = np.asarray(samples[1], np.float32)
     t = min(len(x), len(y))
     if t < 2 * args.window:
         print(f"need >= 2 overlapping segments ({t} common samples < "
               f"2*window={2 * args.window})", file=sys.stderr)
         return 1
     x, y = x[:t], y[:t]
-    freqs, cxy, phase = coherence_with_phase(x, y, rec_x.fs, args.window, args.hop)
+    freqs, cxy, phase = coherence_with_phase(x, y, fs, args.window, args.hop)
     freqs, cxy, phase = np.asarray(freqs), np.asarray(cxy), np.asarray(phase)
 
     # Coherent peaks: local maxima of coherence above the threshold.
@@ -276,7 +314,7 @@ def cmd_coherence(args) -> int:
     rows.sort()
     if args.json:
         print(json.dumps({
-            "file_x": path_x, "file_y": path_y, "fs": rec_x.fs,
+            "file_x": path_x, "file_y": path_y, "fs": fs,
             "window": args.window, "threshold": args.threshold,
             "coherent_peaks": [
                 {"freq": float(freqs[i]), "coherence": float(cxy[i]),
@@ -284,7 +322,7 @@ def cmd_coherence(args) -> int:
             ],
         }))
     else:
-        print(f"{path_x} vs {path_y} (fs={rec_x.fs} Hz, window={args.window}):")
+        print(f"{path_x} vs {path_y} (fs={fs} Hz, window={args.window}):")
         if not rows:
             print(f"  no coherent bands above {args.threshold}")
         for i in rows:
@@ -308,12 +346,11 @@ def cmd_fdd(args) -> int:
     if len(loaded) < 1:
         print("no analyzable files", file=sys.stderr)
         return 1
-    rates = {rec.fs for _, rec in loaded}
-    if len(rates) != 1:
-        print(f"sampling rates differ across files: {sorted(rates)}", file=sys.stderr)
+    fs, samples, err = _fuse_rates(loaded, args.decimate)
+    if err:
+        print(err, file=sys.stderr)
         return 1
-    fs = loaded[0][1].fs
-    t = min(len(rec.samples) for _, rec in loaded)
+    t = min(len(s) for s in samples)
     from apda_fft_tpu.models.modal import fdd_segments
 
     if args.hop is not None and args.hop < 1:
@@ -325,9 +362,7 @@ def cmd_fdd(args) -> int:
               f"window={args.window}, hop={args.hop or args.window // 2}",
               file=sys.stderr)
         return 1
-    records = np.stack(
-        [np.asarray(rec.samples[:t], np.float32) for _, rec in loaded]
-    )
+    records = np.stack([s[:t] for s in samples]).astype(np.float32)
     try:
         res = fdd(records, fs, args.window, args.hop, k=args.top,
                   efdd=args.efdd, harmonics=args.harmonics)
@@ -396,19 +431,16 @@ def cmd_ssi(args) -> int:
     if len(loaded) < 1:
         print("no analyzable files", file=sys.stderr)
         return 1
-    rates = {rec.fs for _, rec in loaded}
-    if len(rates) != 1:
-        print(f"sampling rates differ across files: {sorted(rates)}", file=sys.stderr)
+    fs, samples, err = _fuse_rates(loaded, args.decimate)
+    if err:
+        print(err, file=sys.stderr)
         return 1
-    fs = loaded[0][1].fs
-    t = min(len(rec.samples) for _, rec in loaded)
+    t = min(len(s) for s in samples)
     if t < 8 * args.block_rows:
         print(f"records too short: {t} common samples for --block-rows "
               f"{args.block_rows} (need >= {8 * args.block_rows})", file=sys.stderr)
         return 1
-    records = np.stack(
-        [np.asarray(rec.samples[:t], np.float32) for _, rec in loaded]
-    )
+    records = np.stack([s[:t] for s in samples]).astype(np.float32)
     max_order = (args.block_rows - 1) * records.shape[0]
     orders = range(2, min(max_order, args.max_order) + 1, 2)
     if not len(orders):
@@ -640,6 +672,9 @@ def main(argv=None) -> int:
                     help="minimum coherence for a reported band")
     co.add_argument("--top", type=int, default=8,
                     help="max coherent peaks reported")
+    co.add_argument("--decimate", action="store_true",
+                    help="anti-alias decimate the faster channel onto the "
+                         "slower rate (integer ratios only)")
     co.add_argument("--json", action="store_true")
     co.set_defaults(fn=cmd_coherence)
 
@@ -657,6 +692,9 @@ def main(argv=None) -> int:
     fd.add_argument("--harmonics", action="store_true",
                     help="narrowband-kurtosis harmonic check per mode "
                          "(~1.5 = machinery harmonic, ~3 = structural mode)")
+    fd.add_argument("--decimate", action="store_true",
+                    help="anti-alias decimate faster channels onto the "
+                         "slowest rate (integer ratios only)")
     fd.add_argument("--json", action="store_true")
     fd.set_defaults(fn=cmd_fdd)
 
@@ -677,6 +715,9 @@ def main(argv=None) -> int:
     ss.add_argument("--harmonics", action="store_true",
                     help="narrowband-kurtosis harmonic check per mode "
                          "(~1.5 = machinery harmonic, ~3 = structural mode)")
+    ss.add_argument("--decimate", action="store_true",
+                    help="anti-alias decimate faster channels onto the "
+                         "slowest rate (integer ratios only)")
     ss.add_argument("--json", action="store_true")
     ss.set_defaults(fn=cmd_ssi)
 

@@ -1,0 +1,127 @@
+"""Anti-aliased decimation (ops/resample.py): scipy parity, alias
+rejection, time alignment, mixed-rate FDD fusion, CLI --decimate."""
+
+import numpy as np
+import pytest
+
+from apda_fft_tpu.ops.resample import (
+    decimate,
+    decimation_factor,
+    design_decimation_taps,
+)
+from apda_fft_tpu.utils.synthetic import modal_records as _modal_records
+
+scipy_signal = pytest.importorskip("scipy.signal")
+
+
+def test_decimate_matches_scipy_resample_poly():
+    rng = np.random.default_rng(0)
+    for q, t in [(2, 4096), (4, 10000), (5, 12345), (3, 1001)]:
+        x = rng.standard_normal((3, t))
+        taps = design_decimation_taps(q)
+        ref = scipy_signal.resample_poly(x, 1, q, axis=-1, window=taps)
+        got = decimate(x, q)
+        assert got.shape == ref.shape
+        err = np.abs(got - ref).max() / np.abs(ref).max()
+        assert err < 3e-6, (q, t, err)
+
+
+def test_decimate_rejects_aliases_keeps_passband():
+    fs, q, t_n = 500.0, 4, 50000
+    t = np.arange(t_n) / fs
+    hi = np.sin(2 * np.pi * 0.45 * fs * t)  # above the new 62.5 Hz Nyquist
+    lo = np.sin(2 * np.pi * 20.0 * t + 0.7)
+    y = decimate(hi + lo, q)
+    t2 = np.arange(len(y)) / (fs / q)
+    # Away from the zero-padded edges the decimated signal IS the passband
+    # tone: the 225 Hz component must not fold onto 25 Hz.
+    resid = (y - np.sin(2 * np.pi * 20.0 * t2 + 0.7))[100:-100]
+    assert np.abs(resid).max() < 5e-3, np.abs(resid).max()
+
+
+def test_decimate_identity_and_validation():
+    x = np.random.default_rng(1).standard_normal((2, 256))
+    np.testing.assert_array_equal(decimate(x, 1), x)
+    with pytest.raises(ValueError, match=">= 1"):
+        decimate(x, 0)
+    with pytest.raises(ValueError, match="too short"):
+        decimate(x[:, :4], 8)
+    with pytest.raises(ValueError, match="ntaps_per_phase"):
+        design_decimation_taps(2, ntaps_per_phase=1)
+    with pytest.raises(ValueError, match="cutoff_rel"):
+        design_decimation_taps(2, cutoff_rel=1.5)
+
+
+def test_decimation_factor():
+    assert decimation_factor(250.0, 62.5) == 4
+    assert decimation_factor(125.0, 125.0) == 1
+    assert decimation_factor(100.0, 30.0) is None  # non-integer ratio
+    assert decimation_factor(62.5, 125.0) is None  # upsampling
+    assert decimation_factor(125.0, 0.0) is None
+
+
+def test_mixed_rate_fdd_fusion_recovers_shape():
+    """A 2x-rate sensor decimated onto the base rate joins the CSD with the
+    correct mode-shape component - the mixed-ODR array capability."""
+    from apda_fft_tpu.models.modal import fdd
+
+    fs = 125.0
+    shapes = np.array([[0.5, 1.0, -0.8]])
+    x = _modal_records(shapes, [9.3], [0.015], fs * 2, 240.0, seed=3)
+    # Sensor 0 stays fast (250 Hz); sensors 1-2 are born at 125 Hz by
+    # ideal 2x subsampling of the same continuous truth (band-limited
+    # well below 62.5 Hz, so plain subsampling is exact here).
+    fast = x[0]
+    slow = x[1:, ::2]
+    fused = np.vstack([decimate(fast, 2)[: slow.shape[1]],
+                       slow[:, : slow.shape[1]]]).astype(np.float32)
+    res = fdd(fused, fs, window=1024)
+    n = int(res.count)
+    assert n >= 1
+    i = int(np.argmin(np.abs(res.freq[:n] - 9.3)))
+    assert abs(res.freq[i] - 9.3) < 0.2
+    shape = np.abs(res.shapes()[i])
+    shape /= shape.max()
+    want = np.abs(shapes[0]) / np.abs(shapes[0]).max()
+    np.testing.assert_allclose(shape, want, atol=0.08)
+
+
+def _write_mixed_rate_files(tmp_path, recs, rates):
+    from tests.test_ssi import _write_acq_files
+
+    paths = []
+    for j, (rec, fs) in enumerate(zip(recs, rates)):
+        sub = tmp_path / f"s{j}"
+        sub.mkdir()
+        paths.extend(_write_acq_files(sub, rec[None, :], fs))
+    return paths
+
+
+def test_cli_fdd_decimate_mixed_rates(tmp_path, capsys):
+    import json
+
+    from apda_fft_tpu.__main__ import main
+
+    fs = 125.0
+    shapes = np.array([[0.6, 1.0]])
+    x = _modal_records(shapes, [9.3], [0.015], fs * 2, 180.0, seed=4)
+    paths = _write_mixed_rate_files(
+        tmp_path, [x[0], x[1, ::2]], [fs * 2, fs]
+    )
+    # Without --decimate mixed rates stay an error (unchanged contract).
+    assert main(["fdd", *paths, "--window", "1024"]) == 1
+    assert "differ" in capsys.readouterr().err
+    assert main(["fdd", *paths, "--window", "1024", "--decimate",
+                 "--json"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["fs"] == fs
+    assert any(abs(m["freq"] - 9.3) < 0.2 for m in out["modes"])
+
+    # Non-integer ratios still refuse, with a clear message.
+    bad_dir = tmp_path / "bad"
+    bad_dir.mkdir()
+    bad = _write_mixed_rate_files(
+        bad_dir, [x[0][:3000], x[1][:3000]], [100.0, 30.0]
+    )
+    assert main(["fdd", *bad, "--window", "256", "--decimate"]) == 1
+    assert "integer" in capsys.readouterr().err
