@@ -29,11 +29,20 @@ _load_failed = False
 
 def _build() -> None:
     os.makedirs(_BUILD_DIR, exist_ok=True)
-    subprocess.run(
-        ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB_PATH, _SRC],
-        check=True,
-        capture_output=True,
-    )
+    # Build to a temp name + atomic rename: writing the .so in place would
+    # truncate the inode a concurrently running process may have mapped
+    # (executing pages of a truncated mapping segfaults that process).
+    tmp = _LIB_PATH + f".tmp.{os.getpid()}"
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],
+            check=True,
+            capture_output=True,
+        )
+        os.replace(tmp, _LIB_PATH)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def load() -> ctypes.CDLL | None:
