@@ -92,6 +92,11 @@ class GatewayConfig:
     ssi_report: bool = False
     #: SSI Hankel block rows; correlation horizon = 2*block_rows/fs seconds
     ssi_block_rows: int = 20
+    #: fuse pending same-axis modal groups recorded at different ODRs onto
+    #: the slowest rate (anti-aliased decimation, ops/resample.py) so a
+    #: mixed-rate array still yields ONE cross-sensor FDD/SSI report;
+    #: non-integer rate ratios keep their separate groups
+    modal_decimate: bool = False
     #: narrowband-kurtosis harmonic check on reported FDD/SSI modes:
     #: machinery harmonics (kurtosis ~1.5, vs ~3 for stochastic structural
     #: response) get a HARMONIC tag in the report lines - the classic OMA
@@ -196,6 +201,7 @@ class GatewayConfig:
                 ssi_report=bool(gw.get("ssi_report", False)),
                 ssi_block_rows=ssi_block_rows,
                 harmonic_check=bool(gw.get("harmonic_check", False)),
+                modal_decimate=bool(gw.get("modal_decimate", False)),
                 ssi_damping_alert=ssi_damping_alert,
             )
         except GatewayConfigError:

@@ -690,6 +690,8 @@ class GatewayService:
         newest are dropped (a stale record left pending from an earlier
         epoch must not be mixed into a later acquisition's CSD).
         """
+        if self.config.modal_decimate:
+            self._decimate_merge_pending()
         for (axis, fs), by_addr in sorted(self._fdd_pending.items()):
             # Drop stale entries first so they can neither satisfy the
             # sensor minimum nor pollute the CSD.
@@ -729,6 +731,52 @@ class GatewayService:
             # drift state): the trackers' birth baselines must survive a
             # process restart.
             self._save_modal_state()
+
+    def _decimate_merge_pending(self) -> None:
+        """Fuse pending same-axis modal groups across ODRs (modal_decimate).
+
+        A mixed-rate array (the ODR grid is dyadic, so deployed mixes
+        divide evenly) would otherwise split into per-rate groups that
+        each miss ``fdd_min_sensors``; faster groups are anti-alias
+        decimated (``ops/resample.py`` - time-aligned with natively slow
+        channels by construction) and merged onto the axis's slowest
+        rate.  Non-integer ratios keep their separate groups; a sensor
+        already present at the base rate is never overwritten.
+        """
+        from apda_fft_tpu.ops.resample import decimate, decimation_factor
+
+        by_axis: dict[str, list[float]] = {}
+        for axis, fs in self._fdd_pending:
+            by_axis.setdefault(axis, []).append(fs)
+        for axis, rates in by_axis.items():
+            if len(rates) < 2:
+                continue
+            fs_base = min(rates)
+            for fs in sorted(r for r in rates if r != fs_base):
+                q = decimation_factor(fs, fs_base)
+                if q is None:
+                    continue  # non-integer ratio: stays its own group
+                src = self._fdd_pending.pop((axis, fs))
+                self._fdd_pending_age.pop((axis, fs), None)
+                dst = self._fdd_pending.setdefault((axis, fs_base), {})
+                for addr, (samples, ts) in src.items():
+                    if addr in dst:
+                        continue
+                    try:
+                        dec = decimate(
+                            np.asarray(samples, np.float64), q
+                        ).astype(np.float32)
+                    except ValueError as exc:
+                        self.history(
+                            f"\t[WARN] cannot decimate {axis} record from "
+                            f"{addr} ({fs} -> {fs_base} Hz): {exc}\n"
+                        )
+                        continue
+                    dst[addr] = (dec, ts)
+                    self.history(
+                        f"\t[FDD] decimated {axis} record from {addr} "
+                        f"{fs:g} -> {fs_base:g} Hz for the array report\n"
+                    )
 
     def _fdd_run(self, axis: str, fs: float, addrs: list,
                  records: np.ndarray) -> None:

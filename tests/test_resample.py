@@ -125,3 +125,72 @@ def test_cli_fdd_decimate_mixed_rates(tmp_path, capsys):
     )
     assert main(["fdd", *bad, "--window", "256", "--decimate"]) == 1
     assert "integer" in capsys.readouterr().err
+
+
+def test_gateway_modal_decimate_fuses_mixed_odr_array(tmp_path):
+    """Two 125 Hz sensors + one 250 Hz sensor: with modal_decimate the
+    sync-boundary FDD report covers all three on the 125 Hz time base."""
+    from apda_fft_tpu.gateway.transport import SensorSimulator
+    from tests.test_gateway import make_service
+
+    fs = 125.0
+    shapes = np.array([[0.5, 1.0, -0.8]])
+    # One continuous truth at 250 Hz; sensors 0-1 sample it at 125 Hz
+    # (every 2nd sample), sensor 2 natively at 250 Hz.
+    x = _modal_records(shapes, [9.3], [0.015], fs * 2, 60.0, seed=11)
+    svc, transport, _, _ = make_service(
+        tmp_path,
+        gateway_extra={"fdd_report": True, "fdd_window": 1024,
+                       "fdd_min_sensors": 3, "modal_decimate": True},
+    )
+    macs = [f"0013a20041e7fa0{i}" for i in range(3)]
+    for mac, rec, rate in ((macs[0], x[0, ::2], fs), (macs[1], x[1, ::2], fs),
+                           (macs[2], x[2], fs * 2)):
+        SensorSimulator(mac, fs=rate, axis="X",
+                        chunk=100).stream_acquisition(transport, rec)
+    SensorSimulator(macs[0]).heartbeat(transport)
+    svc.drain()
+    history = open(svc.config.logger_file).read()
+    assert f"decimated X record from {macs[2]} 250 -> 125 Hz" in history
+    assert "[FDD] X: 3 sensors" in history, history
+    mode_lines = [ln for ln in history.splitlines() if "[FDD]   f=9." in ln]
+    assert mode_lines, history
+    # Shape has three components (all sensors fused).
+    assert mode_lines[0].count("j") == 3, mode_lines[0]
+    assert "Error in main loop" not in history
+
+
+def test_gateway_modal_decimate_noninteger_ratio_stays_split(tmp_path):
+    """A non-integer rate ratio must not be force-fused; groups stay
+    separate and each reports (or stays pending) on its own."""
+    from tests.test_gateway import make_service
+
+    svc, _, _, _ = make_service(
+        tmp_path,
+        gateway_extra={"fdd_report": True, "fdd_window": 256,
+                       "fdd_min_sensors": 2, "modal_decimate": True},
+    )
+    rng = np.random.default_rng(0)
+    from datetime import datetime
+
+    ts = datetime(2026, 8, 18, 10, 0, 0)
+    svc._fdd_pending[("X", 125.0)] = {
+        "aaaa": (rng.standard_normal(2048).astype(np.float32), ts),
+        "bbbb": (rng.standard_normal(2048).astype(np.float32), ts),
+    }
+    svc._fdd_pending[("X", 31.25)] = {
+        "cccc": (rng.standard_normal(2048).astype(np.float32), ts),
+    }
+    svc._decimate_merge_pending()
+    # 125/31.25 = 4 -> the faster group merges ONTO the slowest rate.
+    assert ("X", 125.0) not in svc._fdd_pending
+    assert set(svc._fdd_pending[("X", 31.25)]) == {"aaaa", "bbbb", "cccc"}
+    # Now a truly non-integer pair.
+    svc._fdd_pending[("Y", 100.0)] = {
+        "aaaa": (rng.standard_normal(2048).astype(np.float32), ts),
+    }
+    svc._fdd_pending[("Y", 62.5)] = {
+        "bbbb": (rng.standard_normal(2048).astype(np.float32), ts),
+    }
+    svc._decimate_merge_pending()
+    assert ("Y", 100.0) in svc._fdd_pending and ("Y", 62.5) in svc._fdd_pending
