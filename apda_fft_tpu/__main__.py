@@ -39,38 +39,57 @@ def _load(paths):
     return loaded
 
 
-def _fuse_rates(loaded, allow_decimate: bool):
+def _fuse_rates(loaded, allow_decimate: bool, allow_resample: bool = False):
     """One time base for multi-sensor analysis: ``(fs, samples_list, err)``.
 
     Equal rates pass through.  With ``allow_decimate`` a faster channel is
     anti-alias decimated (``ops/resample.py``) onto the slowest rate when
     the ratio is integer - the hardware ODR grid is dyadic
-    (``protocol_decoder.py:5-8``), so deployed mixes always divide evenly;
-    anything else returns a clear error string.
+    (``protocol_decoder.py:5-8``), so deployed mixes always divide evenly.
+    ``allow_resample`` additionally covers rational ratios (e.g. a 100 Hz
+    guest channel against the 62.5 Hz grid) via polyphase up/down
+    resampling onto the slowest rate.  Anything else returns a clear
+    error string.
     """
     rates = {rec.fs for _, rec in loaded}
     if len(rates) == 1:
         return (loaded[0][1].fs,
                 [np.asarray(rec.samples, np.float64) for _, rec in loaded],
                 None)
-    if not allow_decimate:
+    if not (allow_decimate or allow_resample):
         return None, None, (
             f"sampling rates differ across files: {sorted(rates)} "
             "(pass --decimate to fuse onto the slowest rate)"
         )
-    from apda_fft_tpu.ops.resample import decimate, decimation_factor
+    from apda_fft_tpu.ops.resample import (
+        decimate,
+        decimation_factor,
+        rational_factors,
+        resample_rational,
+    )
 
     fs = min(rates)
     recs = []
     for path, rec in loaded:
+        x = np.asarray(rec.samples, np.float64)
         q = decimation_factor(rec.fs, fs)
-        if q is None:
+        try:
+            if q is not None:
+                recs.append(decimate(x, q))
+                continue
+            if allow_resample:
+                ud = rational_factors(rec.fs, fs)
+                if ud is not None:
+                    recs.append(resample_rational(x, *ud))
+                    continue
+                return None, None, (
+                    f"{path}: fs={rec.fs} has no small rational ratio to "
+                    f"the base rate {fs} - cannot resample"
+                )
             return None, None, (
                 f"{path}: fs={rec.fs} is not an integer multiple of the "
-                f"base rate {fs} - cannot decimate"
+                f"base rate {fs} - cannot decimate (try --resample)"
             )
-        try:
-            recs.append(decimate(np.asarray(rec.samples, np.float64), q))
         except ValueError as exc:
             return None, None, f"{path}: {exc}"
     return fs, recs, None
@@ -287,7 +306,7 @@ def cmd_coherence(args) -> int:
     if len(loaded) != 2:
         print("coherence needs two analyzable files", file=sys.stderr)
         return 1
-    fs, samples, err = _fuse_rates(loaded, args.decimate)
+    fs, samples, err = _fuse_rates(loaded, args.decimate, args.resample)
     if err:
         print(err, file=sys.stderr)
         return 1
@@ -346,7 +365,7 @@ def cmd_fdd(args) -> int:
     if len(loaded) < 1:
         print("no analyzable files", file=sys.stderr)
         return 1
-    fs, samples, err = _fuse_rates(loaded, args.decimate)
+    fs, samples, err = _fuse_rates(loaded, args.decimate, args.resample)
     if err:
         print(err, file=sys.stderr)
         return 1
@@ -431,7 +450,7 @@ def cmd_ssi(args) -> int:
     if len(loaded) < 1:
         print("no analyzable files", file=sys.stderr)
         return 1
-    fs, samples, err = _fuse_rates(loaded, args.decimate)
+    fs, samples, err = _fuse_rates(loaded, args.decimate, args.resample)
     if err:
         print(err, file=sys.stderr)
         return 1
@@ -675,6 +694,9 @@ def main(argv=None) -> int:
     co.add_argument("--decimate", action="store_true",
                     help="anti-alias decimate the faster channel onto the "
                          "slower rate (integer ratios only)")
+    co.add_argument("--resample", action="store_true",
+                    help="like --decimate but also fuses rational rate "
+                         "ratios via polyphase up/down resampling")
     co.add_argument("--json", action="store_true")
     co.set_defaults(fn=cmd_coherence)
 
@@ -695,6 +717,9 @@ def main(argv=None) -> int:
     fd.add_argument("--decimate", action="store_true",
                     help="anti-alias decimate faster channels onto the "
                          "slowest rate (integer ratios only)")
+    fd.add_argument("--resample", action="store_true",
+                    help="like --decimate but also fuses rational rate "
+                         "ratios via polyphase up/down resampling")
     fd.add_argument("--json", action="store_true")
     fd.set_defaults(fn=cmd_fdd)
 
@@ -718,6 +743,9 @@ def main(argv=None) -> int:
     ss.add_argument("--decimate", action="store_true",
                     help="anti-alias decimate faster channels onto the "
                          "slowest rate (integer ratios only)")
+    ss.add_argument("--resample", action="store_true",
+                    help="like --decimate but also fuses rational rate "
+                         "ratios via polyphase up/down resampling")
     ss.add_argument("--json", action="store_true")
     ss.set_defaults(fn=cmd_ssi)
 

@@ -194,3 +194,62 @@ def test_gateway_modal_decimate_noninteger_ratio_stays_split(tmp_path):
     }
     svc._decimate_merge_pending()
     assert ("Y", 100.0) in svc._fdd_pending and ("Y", 62.5) in svc._fdd_pending
+
+
+def test_resample_rational_matches_scipy():
+    from apda_fft_tpu.ops.resample import _rational_taps, resample_rational
+
+    rng = np.random.default_rng(2)
+    for up, down, t in [(5, 8, 10000), (2, 3, 4096), (3, 2, 5000),
+                        (4, 1, 2048)]:
+        x = rng.standard_normal((2, t))
+        taps = _rational_taps(up, down, 12, 0.8)
+        ref = scipy_signal.resample_poly(x, up, down, axis=-1, window=taps / up)
+        got = resample_rational(x, up, down)
+        assert got.shape == ref.shape
+        err = np.abs(got - ref).max() / np.abs(ref).max()
+        assert err < 3e-6, (up, down, err)
+    # Common-factor reduction and identity.
+    x = rng.standard_normal(3000)
+    np.testing.assert_allclose(resample_rational(x, 4, 8),
+                               resample_rational(x, 1, 2), atol=0)
+    np.testing.assert_array_equal(resample_rational(x, 3, 3), x)
+    with pytest.raises(ValueError, match=">= 1"):
+        resample_rational(x, 0, 2)
+    with pytest.raises(ValueError, match="too short"):
+        resample_rational(x[:4], 1, 8)
+
+
+def test_rational_factors():
+    from apda_fft_tpu.ops.resample import rational_factors
+
+    assert rational_factors(100.0, 62.5) == (5, 8)
+    assert rational_factors(62.5, 100.0) == (8, 5)
+    assert rational_factors(250.0, 125.0) == (1, 2)
+    assert rational_factors(100.0, 100.0) == (1, 1)
+    assert rational_factors(100.0, 0.0) is None
+    assert rational_factors(np.pi * 100, 100.0) is None  # irrational
+
+
+def test_cli_fdd_resample_rational_rates(tmp_path, capsys):
+    import json
+
+    from apda_fft_tpu.__main__ import main
+
+    # 100 Hz guest sensor against a 75 Hz base: --decimate refuses
+    # (non-integer), --resample fuses via (3, 4).  Truth generated at
+    # 300 Hz so both rates subsample it exactly.
+    fs_slow, fs_fast = 75.0, 100.0
+    t_sec = 200.0
+    x = _modal_records(np.array([[0.6, 1.0]]), [9.3], [0.015], 300.0,
+                       t_sec, seed=8)
+    paths = _write_mixed_rate_files(
+        tmp_path, [x[0, ::4], x[1, ::3]], [fs_slow, fs_fast]
+    )
+    assert main(["fdd", *paths, "--window", "512", "--decimate"]) == 1
+    assert "--resample" in capsys.readouterr().err
+    assert main(["fdd", *paths, "--window", "512", "--resample",
+                 "--json"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["fs"] == fs_slow
+    assert any(abs(m["freq"] - 9.3) < 0.3 for m in out["modes"]), out["modes"]
