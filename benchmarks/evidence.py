@@ -128,6 +128,19 @@ def collect(fuzz_cases: int = 150, configs=(1, 2, 3, 4, 5), backend: str = "matm
         ok = False
     print(f"# soak: {json.dumps(evidence['soak'])}", file=sys.stderr, flush=True)
 
+    # 7) Host ingest throughput: the fused native codec path must be live
+    #    (a silent fallback to the pure-Python codec fails the floor).
+    try:
+        from benchmarks.ingest_bench import run_ingest
+
+        ing = run_ingest()
+        evidence["ingest"] = ing
+        ok &= bool(ing.get("ok"))
+    except Exception as exc:  # noqa: BLE001
+        evidence["ingest"] = {"metric": "gateway_ingest_host", "error": str(exc)}
+        ok = False
+    print(f"# ingest: {json.dumps(evidence['ingest'])}", file=sys.stderr, flush=True)
+
     evidence["ok"] = bool(ok)
     return evidence
 
