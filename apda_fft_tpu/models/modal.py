@@ -359,8 +359,9 @@ def harmonic_indicator(
     n_fft = fft_ops.next_pow2(window)
     h = n_fft // 2
     df = fs / n_fft
-    k_idx = np.rint(freqs_hz / df).astype(np.int32)
-    n_bins = np.maximum(min_bins, np.rint(rel_bandwidth * freqs_hz / df)).astype(
+    f_safe = np.where(np.isfinite(freqs_hz), freqs_hz, 0.0)
+    k_idx = np.rint(f_safe / df).astype(np.int32)
+    n_bins = np.maximum(min_bins, np.rint(rel_bandwidth * f_safe / df)).astype(
         np.int32
     )
     valid = (k_idx > 0) & (k_idx < h) & np.isfinite(freqs_hz)
