@@ -253,3 +253,29 @@ def test_cli_fdd_resample_rational_rates(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["fs"] == fs_slow
     assert any(abs(m["freq"] - 9.3) < 0.3 for m in out["modes"]), out["modes"]
+
+
+def test_gateway_config_new_keys(tmp_path):
+    import json
+
+    from apda_fft_tpu.gateway.config import GatewayConfig
+
+    cfg = {
+        "gateway": {
+            "logger_file": str(tmp_path / "history.log"),
+            "device_file": str(tmp_path / "devices.txt"),
+            "config_file": str(tmp_path / "config.txt"),
+            "harmonic_check": True,
+            "modal_decimate": True,
+        }
+    }
+    p = tmp_path / "gw_config.json"
+    p.write_text(json.dumps(cfg))
+    c = GatewayConfig.load(p)
+    assert c.harmonic_check is True and c.modal_decimate is True
+    # Defaults are off = reference parity.
+    cfg["gateway"].pop("harmonic_check")
+    cfg["gateway"].pop("modal_decimate")
+    p.write_text(json.dumps(cfg))
+    c = GatewayConfig.load(p)
+    assert c.harmonic_check is False and c.modal_decimate is False
