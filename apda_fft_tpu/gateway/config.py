@@ -92,6 +92,12 @@ class GatewayConfig:
     ssi_report: bool = False
     #: SSI Hankel block rows; correlation horizon = 2*block_rows/fs seconds
     ssi_block_rows: int = 20
+    #: temperature-compensate drift alerts: fit each track's baseline
+    #: freq-vs-temperature slope (acquisition summaries carry the sensor
+    #: temperature) and alert on the thermal-model residual, so daily and
+    #: seasonal swings neither fake stiffness loss nor mask it; tracks
+    #: without an identifiable model fall back to raw drift
+    drift_temp_compensate: bool = False
     #: fuse pending same-axis modal groups recorded at different ODRs onto
     #: the slowest rate (anti-aliased decimation, ops/resample.py) so a
     #: mixed-rate array still yields ONE cross-sensor FDD/SSI report;
@@ -202,6 +208,9 @@ class GatewayConfig:
                 ssi_block_rows=ssi_block_rows,
                 harmonic_check=bool(gw.get("harmonic_check", False)),
                 modal_decimate=bool(gw.get("modal_decimate", False)),
+                drift_temp_compensate=bool(
+                    gw.get("drift_temp_compensate", False)
+                ),
                 ssi_damping_alert=ssi_damping_alert,
             )
         except GatewayConfigError:

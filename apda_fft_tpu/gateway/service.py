@@ -604,7 +604,8 @@ class GatewayService:
         else:
             per_record = analyze_records(records, analyze=self.pipeline, on_bucket=grab)
         for i, ((addr, path, rec), rp) in enumerate(zip(loaded, per_record)):
-            self._store_result(addr, rec.axis, rp, bucket_metrics.get(i, {}))
+            self._store_result(addr, rec.axis, rp, bucket_metrics.get(i, {}),
+                               temperature=rec.temperature)
             if path.endswith("_shock.log") and rp.count:
                 self._shock_ringdown(addr, rec.axis, records[i][0], rec.fs)
         if self.config.fdd_report or self.config.ssi_report:
@@ -1052,7 +1053,8 @@ class GatewayService:
             except OSError:
                 pass
 
-    def _store_result(self, addr, axis, rp, metrics) -> None:
+    def _store_result(self, addr, axis, rp, metrics,
+                      temperature: float | None = None) -> None:
         """Fill the per-axis peak dict (reference fft_dict shape, :648-659)."""
         entry = {
             "peak_freq": -1, "max_mag": -1,
@@ -1071,9 +1073,10 @@ class GatewayService:
             entry["peak_freq"] = entry["peak_freq_1"]
             entry["max_mag"] = entry["max_mag_1"]
         self.fft_results.setdefault(addr, {})[axis] = entry
-        self._track_drift(addr, axis, rp, entry, rp.count)
+        self._track_drift(addr, axis, rp, entry, rp.count, temperature)
 
-    def _track_drift(self, addr: str, axis: str, rp, entry: dict, count: int) -> None:
+    def _track_drift(self, addr: str, axis: str, rp, entry: dict, count: int,
+                     temperature: float | None = None) -> None:
         rel = self.config.drift_alert_rel
         if rel <= 0:
             return
@@ -1088,19 +1091,24 @@ class GatewayService:
                 if getattr(rp.result, "refined_freq", None) is not None else 0.0
             freqs.append(refined if refined > 0 else entry[f"peak_freq_{s + 1}"])
         mags = [entry[f"max_mag_{s + 1}"] for s in range(count)]
-        tracker.update_freqs(freqs, mags)
+        tracker.update_freqs(freqs, mags, temp=temperature)
         tracker.prune_archive(min_length=2)  # drop 1-epoch noise births
         if len(tracker._archive) > self._DRIFT_TRACK_KEEP:
             tracker._archive = tracker._archive[-self._DRIFT_TRACK_KEEP:]
         self._drift_state_dirty = True
-        for tr in tracker.alerts(rel_drift=rel, min_length=5):
+        compensate = self.config.drift_temp_compensate
+        for tr in tracker.alerts(rel_drift=rel, min_length=5,
+                                 compensate_temperature=compensate):
             key = (addr, axis, tr.track_id)
             if key in self._alerted:
                 continue
             self._alerted.add(key)
+            comp = tr.compensated_drift_relative() if compensate else None
+            drift = comp if comp is not None else tr.sustained_drift_relative()
+            qual = " (temp-adjusted)" if comp is not None else ""
             self.history(
                 f"\t[ALERT] {addr} {axis}-axis: mode near {tr.mean_freq:.3f} Hz "
-                f"drifted {tr.sustained_drift_relative() * 100:+.2f}% over "
+                f"drifted {drift * 100:+.2f}%{qual} over "
                 f"{max(tr.observed, len(tr))} acquisitions "
                 f"({tr.freqs[0]:.4f} -> {tr.freqs[-1]:.4f} Hz)\n"
             )

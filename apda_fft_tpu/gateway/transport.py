@@ -134,6 +134,7 @@ class SensorSimulator:
         range_g: str = "2g",
         chunk: int = 120,
         seed: int = 0,
+        temperature: float = 22.0,
     ):
         self.addr = addr
         self.fs = fs
@@ -141,6 +142,9 @@ class SensorSimulator:
         self.range_g = range_g
         self.chunk = chunk  # samples per radio packet
         self.rng = np.random.default_rng(seed)
+        #: reported in the 0xD1 means slot 0 (acquisition summary row);
+        #: mutable so multi-epoch scenarios can simulate weather
+        self.temperature = temperature
 
     def heartbeat(self, transport: LoopbackTransport, **kw) -> None:
         transport.push(packets.encode_sync_request(**kw), self.addr)
@@ -181,6 +185,7 @@ class SensorSimulator:
                 axis=self.axis,
                 range_g=self.range_g,
                 baselines=tuple(base3),
+                means=(self.temperature, 0.01, 0.01, 0.98),
                 now=now,
             ),
             self.addr,

@@ -37,6 +37,9 @@ class Track:
     mags: list = dataclasses.field(default_factory=list)
     missed: int = 0  # consecutive epochs without a match
     observed: int = 0  # total observations ever (>= len() once capped)
+    #: per-observation sensor temperature (deg C; NaN when unknown) - the
+    #: environmental covariate for temperature-compensated drift
+    temps: list = dataclasses.field(default_factory=list)
 
     @property
     def last_freq(self) -> float:
@@ -66,6 +69,65 @@ class Track:
         k = max(1, min(k, len(self.freqs) // 2 or 1))
         start = float(np.median(self.freqs[:k]))
         end = float(np.median(self.freqs[-k:]))
+        return (end - start) / start if start else 0.0
+
+    #: identifiability guards for :meth:`temperature_model`
+    TEMP_MODEL_MIN_OBS = 8
+    TEMP_MODEL_MIN_SPAN_C = 2.0
+
+    def temperature_model(self):
+        """Baseline linear model ``freq ~ a + b * temp``; None if unfit.
+
+        Modal frequencies move with temperature (stiffness of asphalt,
+        bearings, cables - the classic environmental confounder: on the
+        Z24 benchmark the daily thermal swing moves eigenfrequencies more
+        than early structural damage does).  The slope is fitted on the
+        BASELINE portion of the track - the first half of the
+        observations, at least :attr:`TEMP_MODEL_MIN_OBS` - never on the
+        whole history, so a late damage drift cannot be absorbed into the
+        "environmental" model it is supposed to be separated from.
+        Returns ``(intercept_hz, slope_hz_per_c)`` or ``None`` when there
+        are too few finite temperatures or their span is below
+        :attr:`TEMP_MODEL_MIN_SPAN_C` (slope unidentifiable).
+        """
+        n = len(self.freqs)
+        if len(self.temps) != n or n < self.TEMP_MODEL_MIN_OBS:
+            return None
+        base = max(self.TEMP_MODEL_MIN_OBS, n // 2)
+        t = np.asarray(self.temps[:base], np.float64)
+        f = np.asarray(self.freqs[:base], np.float64)
+        fin = np.isfinite(t) & np.isfinite(f)
+        if fin.sum() < self.TEMP_MODEL_MIN_OBS:
+            return None
+        t, f = t[fin], f[fin]
+        if t.max() - t.min() < self.TEMP_MODEL_MIN_SPAN_C:
+            return None
+        slope, intercept = np.polyfit(t, f, 1)
+        return float(intercept), float(slope)
+
+    def compensated_drift_relative(self, k: int = 3):
+        """Temperature-adjusted :meth:`sustained_drift_relative`.
+
+        Removes the baseline-fitted thermal component before comparing the
+        recent median against the early median, so a cold snap does not
+        read as stiffness loss (and a warm spell does not mask one).
+        Returns ``None`` when no temperature model is identifiable -
+        callers fall back to the raw drift.
+        """
+        model = self.temperature_model()
+        if model is None:
+            return None
+        _, slope = model
+        n = len(self.freqs)
+        k = max(1, min(k, n // 2 or 1))
+        t = np.asarray(self.temps, np.float64)
+        f = np.asarray(self.freqs, np.float64)
+        # Residual vs the thermal model, anchored at the track's mean temp
+        # (only differences matter for drift).
+        t_ref = np.nanmean(t)
+        resid = f - slope * (np.where(np.isfinite(t), t, t_ref) - t_ref)
+        start = float(np.median(resid[:k]))
+        end = float(np.median(resid[-k:]))
         return (end - start) / start if start else 0.0
 
     def to_dict(self) -> dict:
@@ -163,10 +225,17 @@ class PeakTracker:
         freqs: Iterable[float],
         mags: Iterable[float] | None = None,
         t=None,
+        temp: float | None = None,
     ) -> list[Track]:
-        """Match one epoch's peak frequencies; returns tracks matched/born."""
+        """Match one epoch's peak frequencies; returns tracks matched/born.
+
+        ``temp`` is the epoch's sensor temperature (deg C) when known -
+        recorded per observation so :meth:`Track.temperature_model` can
+        separate thermal frequency swings from structural drift.
+        """
         t = self._epoch if t is None else t
         self._epoch += 1
+        temp_v = float(temp) if temp is not None else float("nan")
         fl_all = [float(f) for f in freqs]
         ml_all = (
             [float(m) for m in mags] if mags is not None else [0.0] * len(fl_all)
@@ -191,6 +260,7 @@ class PeakTracker:
                     head, tail = 8, self.ARCHIVE_OBS_KEEP - 8
                     cut = slice(head, len(tr.freqs) - tail)
                     del tr.times[cut], tr.freqs[cut], tr.mags[cut]
+                    del tr.temps[cut]
                 self._archive.append(tr)
         self._tracks = still_live
         active = self._tracks
@@ -203,11 +273,13 @@ class PeakTracker:
             tr.times.append(t)
             tr.freqs.append(fl[ni])
             tr.mags.append(ml[ni])
+            tr.temps.append(temp_v)
             tr.missed = 0
             tr.observed += 1
             if self.history_cap and len(tr.freqs) > self.history_cap:
                 cut = slice(keep_head, keep_head + 1)
                 del tr.times[cut], tr.freqs[cut], tr.mags[cut]
+                del tr.temps[cut]
             matched_tracks.append(tr)
             matched_new.add(ni)
         for tr in active:
@@ -215,7 +287,8 @@ class PeakTracker:
                 tr.missed += 1
         for ni, f in enumerate(fl):
             if ni not in matched_new:
-                tr = Track(self._next_id, [t], [f], [ml[ni]], observed=1)
+                tr = Track(self._next_id, [t], [f], [ml[ni]], observed=1,
+                           temps=[temp_v])
                 self._next_id += 1
                 self._tracks.append(tr)
                 matched_tracks.append(tr)
@@ -249,7 +322,8 @@ class PeakTracker:
             reverse=True,
         )
 
-    def alerts(self, rel_drift: float = 0.02, min_length: int = 5) -> list[Track]:
+    def alerts(self, rel_drift: float = 0.02, min_length: int = 5,
+               compensate_temperature: bool = False) -> list[Track]:
         """LIVE tracks whose sustained relative drift exceeds ``rel_drift``.
 
         The SHM "so what": a sustained downward modal-frequency shift is
@@ -258,12 +332,28 @@ class PeakTracker:
         drift metric is median-vs-median (:meth:`Track.
         sustained_drift_relative`) so one noisy epoch cannot fake it, and
         retired tracks - which can't receive new data - are not re-scanned.
+
+        With ``compensate_temperature`` the drift is measured on the
+        residual of each track's baseline thermal model
+        (:meth:`Track.compensated_drift_relative`) whenever one is
+        identifiable - the daily/seasonal temperature swing moves modal
+        frequencies more than early damage does, so raw-drift alerting in
+        the field either cries wolf every cold snap or needs a threshold
+        too loose to catch damage.  Tracks without an identifiable model
+        fall back to the raw metric.
         """
+
+        def metric(tr: Track) -> float:
+            if compensate_temperature:
+                comp = tr.compensated_drift_relative()
+                if comp is not None:
+                    return comp
+            return tr.sustained_drift_relative()
+
         return [
             tr
             for tr in self._tracks
-            if len(tr) >= min_length
-            and abs(tr.sustained_drift_relative()) >= rel_drift
+            if len(tr) >= min_length and abs(metric(tr)) >= rel_drift
         ]
 
     def to_dict(self) -> dict:
@@ -288,6 +378,10 @@ class PeakTracker:
                 "mags": [float(m) for m in tr.mags],
                 "missed": tr.missed,
                 "observed": tr.observed,
+                # Omitted when all-unknown: keeps pre-temperature state
+                # files byte-stable and small.
+                **({"temps": [float(v) for v in tr.temps]}
+                   if any(v == v for v in tr.temps) else {}),
             }
 
         return {
@@ -320,6 +414,9 @@ class PeakTracker:
             )
             tr.missed = int(s.get("missed", 0))
             tr.observed = int(s.get("observed", len(tr.freqs)))
+            temps = s.get("temps")
+            tr.temps = ([float(v) for v in temps] if temps
+                        else [float("nan")] * len(tr.freqs))
             return tr
 
         self._tracks = [mk(s) for s in d.get("tracks", [])]
