@@ -625,7 +625,8 @@ def cmd_track(args) -> int:
             refined = float(rp.result.refined_freq[rp.row, slot])
             freqs.append(refined if refined > 0 else rp.exact_freq(slot, args.mode))
             mags.append(float(rp.result.mag[rp.row, slot]))
-        tracker.update_freqs(freqs, mags, t=ts.timestamp() if ts else None)
+        tracker.update_freqs(freqs, mags, t=ts.timestamp() if ts else None,
+                             temp=rec.temperature)
 
     rc = 0
     for key, tracker in sorted(trackers.items()):
@@ -634,9 +635,15 @@ def cmd_track(args) -> int:
             print(f"  track {tr.track_id}: {len(tr)} acquisitions, "
                   f"mean {tr.mean_freq:.3f} Hz, "
                   f"drift {tr.sustained_drift_relative() * 100:+.2f}%")
-        for tr in tracker.alerts(rel_drift=args.rel_drift, min_length=args.min_epochs):
+        for tr in tracker.alerts(rel_drift=args.rel_drift,
+                                 min_length=args.min_epochs,
+                                 compensate_temperature=args.temp_compensate):
+            comp = (tr.compensated_drift_relative()
+                    if args.temp_compensate else None)
+            drift = comp if comp is not None else tr.sustained_drift_relative()
+            qual = " (temp-adjusted)" if comp is not None else ""
             print(f"  ALERT: mode near {tr.mean_freq:.3f} Hz drifted "
-                  f"{tr.sustained_drift_relative() * 100:+.2f}% "
+                  f"{drift * 100:+.2f}%{qual} "
                   f"({tr.freqs[0]:.4f} -> {tr.freqs[-1]:.4f} Hz)")
             rc = 2
     return rc
@@ -764,6 +771,10 @@ def main(argv=None) -> int:
                          "(noise-robust tracking)")
     tr.add_argument("--window", type=int, default=1024,
                     help="Welch segment length (with --welch)")
+    tr.add_argument("--temp-compensate", action="store_true",
+                    help="alert on the temperature-model residual (the "
+                         "acquisition files carry the sensor temperature); "
+                         "tracks without an identifiable model use raw drift")
     tr.set_defaults(fn=cmd_track)
 
     ps = sub.add_parser("psd", help="Welch power spectral density (units^2/Hz)")

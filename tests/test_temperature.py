@@ -190,3 +190,35 @@ def test_gateway_temp_compensation_end_to_end(tmp_path):
     assert "[ALERT]" not in hist_comp, hist_comp
     hist_raw = run("raw", False)
     assert "[ALERT]" in hist_raw and "drifted" in hist_raw
+
+
+def test_cli_track_temp_compensate(tmp_path, capsys):
+    """The track CLI reads temperatures from the files; --temp-compensate
+    suppresses the cold-snap false alarm the raw run raises (exit 2)."""
+    from apda_fft_tpu.__main__ import main
+    from apda_fft_tpu.io import logfile
+
+    fs = 125.0
+    rng = np.random.default_rng(0)
+    temps = [20, 26, 22, 28, 24, 16, 12, 18, 14, 16, 2, 2, 2]
+    paths = []
+    for i, temp in enumerate(temps):
+        freq = F0 * (1.0 + 0.0008 * (temp - 20.0))
+        t = np.arange(4096) / fs
+        x = np.sin(2 * np.pi * freq * t) + 0.005 * rng.standard_normal(4096)
+        p = tmp_path / f"0013a20041e7fc01_Xaxis_16_08_2026_10_{i:02d}_00.log"
+        logfile.write_acquisition_header(
+            p, "10:00:00", "2g", "125 Hz", "X axis", "Synced",
+            means=[f"{temp:8.6f}", "0.01", "0.01", "0.98"], humidity=50.0,
+            baselines=(0.0, 0.0, 0.0),
+        )
+        logfile.append_samples(p, [f"{v:8.6f}" for v in x])
+        paths.append(str(p))
+
+    assert main(["track", *paths, "--rel-drift", "0.008"]) == 2
+    out_raw = capsys.readouterr().out
+    assert "ALERT" in out_raw
+    assert main(["track", *paths, "--rel-drift", "0.008",
+                 "--temp-compensate"]) == 0
+    out_comp = capsys.readouterr().out
+    assert "ALERT" not in out_comp
