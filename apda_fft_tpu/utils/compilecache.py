@@ -39,3 +39,21 @@ def enable_compilation_cache(cache_dir: str, min_compile_time_secs: float = 1.0)
         pass
     _enabled_dir = cache_dir
     return cache_dir
+
+
+def disable_compilation_cache() -> None:
+    """Turn the persistent cache back off (tests, special deployments).
+
+    A long-lived process that enabled the cache keeps writing an entry for
+    EVERY subsequent compile; callers that only wanted it temporarily (the
+    unit test, a diagnostic session) must revert, or the global config
+    leaks into unrelated work for the life of the process.
+    """
+    global _enabled_dir
+    if _enabled_dir is None:
+        return
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", None)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _enabled_dir = None

@@ -48,6 +48,7 @@ def run_soak(
     sink_fail_rate: float = 0.25,
     workdir: str | None = None,
     async_uploads: bool = False,
+    full_features: bool = False,
 ) -> dict:
     from apda_fft_tpu.gateway.config import GatewayConfig
     from apda_fft_tpu.gateway.egress import FtpSink, HttpSink
@@ -60,7 +61,7 @@ def run_soak(
     os.makedirs(data_dir, exist_ok=True)
     cfg_path = os.path.join(workdir, "gw.json")
     with open(cfg_path, "w") as fh:
-        json.dump({"gateway": {
+        gw_cfg = {
             "logger_file": data_dir + "history.log",
             "device_file": data_dir + "devices.txt",
             "config_file": os.path.join(workdir, "config.txt"),
@@ -69,7 +70,23 @@ def run_soak(
             "analysis": analysis,
             "welch_window": 512,
             "analyze_shock": True,
-        }}, fh)
+        }
+        if full_features:
+            # Everything on at once: the whole beyond-reference monitoring
+            # surface must coexist under faulted traffic.
+            gw_cfg.update({
+                "drift_alert_rel": 0.02,
+                "drift_temp_compensate": True,
+                "fdd_report": True,
+                "fdd_window": 256,
+                "fdd_min_sensors": 2,
+                "ssi_report": True,
+                "ssi_block_rows": 12,
+                "ssi_damping_alert": 0.8,
+                "harmonic_check": True,
+                "modal_decimate": True,
+            })
+        json.dump({"gateway": gw_cfg}, fh)
     open(os.path.join(workdir, "config.txt"), "w").close()
 
     healthy = {"on": False}  # sinks fail intermittently until the last epoch
@@ -102,12 +119,19 @@ def run_soak(
     for epoch in range(epochs):
         for i, mac in enumerate(macs):
             axis = "XYZ"[i % 3]
-            sim = SensorSimulator(mac, fs=250.0, axis=axis, chunk=200,
-                                  seed=seed * 1000 + epoch * 100 + i)
+            # Full-features mode mixes ODRs (dyadic grid) so modal_decimate
+            # has real cross-rate groups to fuse, and reports a daily
+            # temperature swing for the compensated drift path.
+            fs_i = 125.0 if (full_features and i % 2) else 250.0
+            temp_i = 20.0 + 8.0 * np.sin(2 * np.pi * epoch / max(epochs, 1)) \
+                + float(rng.normal(0, 0.5))
+            sim = SensorSimulator(mac, fs=fs_i, axis=axis, chunk=200,
+                                  seed=seed * 1000 + epoch * 100 + i,
+                                  temperature=temp_i)
             n = int(rng.choice([1000, 2048, 4000]))
-            t = np.arange(n) / 250.0
+            t = np.arange(n) / fs_i
             x = (np.sin(2 * np.pi * 12.3 * t)
-                 + 0.5 * np.sin(2 * np.pi * 47.7 * t)
+                 + 0.5 * np.sin(2 * np.pi * (47.7 if fs_i > 200 else 31.4) * t)
                  + 0.3 * rng.standard_normal(n))
             total_pkts = 1 + max(1, -(-(n - 200) // 200))
             kind = rng.random()
@@ -171,6 +195,13 @@ def run_soak(
             json.load(open(drift_path))
         except Exception:  # noqa: BLE001
             drift_ok = False
+    modal_ok = True
+    modal_path = os.path.join(data_dir, "modal_tracks.json")
+    if os.path.exists(modal_path):
+        try:
+            json.load(open(modal_path))
+        except Exception:  # noqa: BLE001
+            modal_ok = False
 
     result = {
         "metric": "gateway_fault_soak",
@@ -186,14 +217,23 @@ def run_soak(
         "open_mid_acquisition": len(still_open),
         "undrained_queues": len(leftover_queues),
         "drift_state_valid": drift_ok,
+        "modal_state_valid": modal_ok,
+        "full_features": full_features,
+        "fdd_lines": history.count("[FDD]"),
+        "ssi_lines": history.count("[SSI]"),
+        "loop_errors": history.count("Error in main loop"),
     }
     faults = counts["dropped"] + counts["truncated"]
     result["ok"] = (
         result["critical_lines"] == 0
+        and result["loop_errors"] == 0
         and result["stranded_files"] == 0
         and result["undrained_queues"] == 0
         and drift_ok
+        and modal_ok
         and (faults == 0 or result["anomalous_closures"] > 0)
+        and (not full_features or (result["fdd_lines"] > 0
+                                   and result["ssi_lines"] > 0))
     )
     return result
 
@@ -205,9 +245,14 @@ def main() -> None:
     ap.add_argument("--analysis", default="epoch", choices=["epoch", "welch"])
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--async-uploads", action="store_true")
+    ap.add_argument("--full-features", action="store_true",
+                    help="enable the whole monitoring surface (FDD/SSI "
+                         "reports, harmonic check, mixed-ODR fusion, "
+                         "temperature-compensated drift) during the soak")
     args = ap.parse_args()
     result = run_soak(args.sensors, args.epochs, args.analysis, args.seed,
-                      async_uploads=args.async_uploads)
+                      async_uploads=args.async_uploads,
+                      full_features=args.full_features)
     print(json.dumps(result))
     raise SystemExit(0 if result["ok"] else 1)
 

@@ -130,7 +130,12 @@ def test_benchmark_suite_configs_smoke(monkeypatch):
 
 
 def test_compilation_cache_opt_in(tmp_path):
-    """enable_compilation_cache populates the dir and is idempotent."""
+    """enable_compilation_cache populates the dir, is idempotent, and can be
+    reverted.  The disable in the finally-block is load-bearing for the
+    SUITE, not just hygiene: left enabled (with min_compile_time 0), every
+    later compile of every later test writes a serialized executable into
+    this test's tmp dir — hundreds of cache writes that once segfaulted the
+    run inside jax's put_executable_and_time near the 90% mark."""
     import jax
     import jax.numpy as jnp
 
@@ -138,14 +143,22 @@ def test_compilation_cache_opt_in(tmp_path):
 
     # reset module state for the test (process-global otherwise)
     compilecache._enabled_dir = None
-    d = compilecache.enable_compilation_cache(str(tmp_path / "xla_cache"),
-                                              min_compile_time_secs=0.0)
-    assert compilecache.enable_compilation_cache("/elsewhere") == d  # idempotent
-    # force a fresh compile so something can be persisted
-    x = jnp.arange(1024, dtype=jnp.float32).reshape(32, 32)
-    jax.block_until_ready(jax.jit(lambda a: (a @ a.T).sum() * 3.14159)(x))
-    import os
-    assert os.path.isdir(d)
+    try:
+        d = compilecache.enable_compilation_cache(str(tmp_path / "xla_cache"),
+                                                  min_compile_time_secs=0.0)
+        assert compilecache.enable_compilation_cache("/elsewhere") == d
+        # force a fresh compile so something can be persisted
+        x = jnp.arange(1024, dtype=jnp.float32).reshape(32, 32)
+        jax.block_until_ready(jax.jit(lambda a: (a @ a.T).sum() * 3.14159)(x))
+        import os
+        assert os.path.isdir(d)
+    finally:
+        compilecache.disable_compilation_cache()
+    assert compilecache._enabled_dir is None
+    # Re-enabling after a disable works (fresh deployment cycle).
+    d2 = compilecache.enable_compilation_cache(str(tmp_path / "xla_cache2"))
+    compilecache.disable_compilation_cache()
+    assert d2.endswith("xla_cache2")
 
 
 def test_connect_watchdog_stall_reexecs(monkeypatch):
