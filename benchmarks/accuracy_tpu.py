@@ -24,11 +24,18 @@ Exit code 1 if any normwise entry exceeds 1e-6.
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# Repo root importable regardless of invocation cwd (parity with the other
+# benchmark entry points).
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 from apda_fft_tpu.ops.fft import (
     fft_matmul_real,
@@ -101,7 +108,11 @@ def measure(seed: int = 42) -> list[dict]:
 
 
 def main(argv) -> int:
-    out_path = argv[1] if len(argv) > 1 else None
+    # Accept both `accuracy_tpu.py PATH` and `accuracy_tpu.py --out PATH`
+    # (the other benchmark entry points use --out; a literal "--out" file
+    # in the repo root is how we learned positional-only was a trap).
+    args = [a for a in argv[1:] if a != "--out"]
+    out_path = args[0] if args else None
     dev = jax.devices()[0]
     print(f"# device: {dev.device_kind} ({dev.platform})")
     rows = measure()
