@@ -56,6 +56,11 @@ def run_soak(
     from apda_fft_tpu.gateway.transport import LoopbackTransport, SensorSimulator
 
     rng = np.random.default_rng(seed)
+    # Separate stream for the temperature jitter: drawing it from `rng`
+    # would shift the traffic-mix sequence for existing seeds (and it did -
+    # seed 1's truncations moved into the final epoch, where no follow-up
+    # stream exists to raise the anomalous-closure line).
+    temp_rng = np.random.default_rng(seed + 990_001)
     workdir = workdir or tempfile.mkdtemp(prefix="apda_soak_")
     data_dir = os.path.join(workdir, "SHM_Data") + os.sep
     os.makedirs(data_dir, exist_ok=True)
@@ -124,7 +129,7 @@ def run_soak(
             # temperature swing for the compensated drift path.
             fs_i = 125.0 if (full_features and i % 2) else 250.0
             temp_i = 20.0 + 8.0 * np.sin(2 * np.pi * epoch / max(epochs, 1)) \
-                + float(rng.normal(0, 0.5))
+                + float(temp_rng.normal(0, 0.5))
             sim = SensorSimulator(mac, fs=fs_i, axis=axis, chunk=200,
                                   seed=seed * 1000 + epoch * 100 + i,
                                   temperature=temp_i)
