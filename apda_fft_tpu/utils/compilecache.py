@@ -56,4 +56,14 @@ def disable_compilation_cache() -> None:
 
     jax.config.update("jax_compilation_cache_dir", None)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # The config alone is NOT enough: jax's compilation_cache module
+    # initializes its cache object at most once, capturing the directory -
+    # later compiles keep serializing/compressing/writing through the
+    # retained object regardless of the config.  Drop it explicitly.
+    try:
+        from jax._src import compilation_cache as _cc
+
+        _cc.reset_cache()
+    except Exception:  # noqa: BLE001 - private API; config-off still limits writes
+        pass
     _enabled_dir = None
