@@ -46,8 +46,15 @@ def _build() -> None:
 
 
 def load() -> ctypes.CDLL | None:
-    """The native library, building it on first call; None if unavailable."""
+    """The native library, building it on first call; None if unavailable.
+
+    ``APDA_NO_NATIVE=1`` forces the NumPy/Python fallbacks everywhere -
+    the diagnostic/bisection knob for separating native-code faults from
+    the rest of the process.
+    """
     global _lib, _load_failed
+    if os.environ.get("APDA_NO_NATIVE") == "1":
+        return None
     with _lock:
         if _lib is not None or _load_failed:
             return _lib
