@@ -46,6 +46,11 @@ MAX_DAMPING = 0.07
 EXCLUSION_RATIO = 0.05
 MIN_PROM_RATIO = 0.10
 
+#: Budgets up to this size run the greedy finalize as a per-candidate Python
+#: unroll; larger budgets use the slot-wise k-round form (identical decisions,
+#: see prominence_finalize).  Patchable in tests to force either form.
+_UNROLL_MAX = 8
+
 
 class ProminencePeaks(NamedTuple):
     """Top-k peaks for one window (fixed k slots, ``count`` of them valid)."""
@@ -394,16 +399,72 @@ def prominence_finalize(cid, is_cand, cmag, proms, bins, fs, n_fft: int, k: int,
         },
     )
     m_slots = cid.shape[-1]
-    if m_slots <= 16:
-        # Small budgets (the dynamic default's common case): unroll the
-        # greedy loop in Python - indices become static, XLA fuses the whole
+    if m_slots <= _UNROLL_MAX:
+        # Tiny budgets (the clean-signal steady state): unroll the greedy
+        # loop in Python - indices become static, XLA fuses the whole
         # acceptance chain instead of emitting a serialized while-loop.
         state = init
         for i in range(m_slots):
             state = body(i, state)
         count, consumed, acc = state
     else:
-        count, consumed, acc = jax.lax.fori_loop(0, m_slots, body, init)
+        # Slot-wise reformulation: k rounds instead of m_slots.  The greedy
+        # walk's rejection test for a candidate depends ONLY on the set of
+        # peaks accepted so far, and every candidate visited between the
+        # (s-1)-th and s-th acceptance sees exactly the first s-1 accepted
+        # peaks - so accepted[s] is the FIRST candidate after accepted[s-1]
+        # that is valid and not shoulder-rejected against accepted[0..s-1].
+        # Identical decisions (same formulas, same visit order, argmax's
+        # first-index tie rule = the walk's first-qualifying candidate), but
+        # the sequential chain is k=4 rounds of [M]-vector ops instead of M
+        # rounds of scalar updates: at the two-tier big pass (M=128) this
+        # replaces a 128-iteration fori_loop whose per-iteration dispatch
+        # dominated the pass (property-equivalence: tests/test_peaks_match.py
+        # ::test_finalize_slot_equals_candidate_walk; measured in
+        # docs/DESIGN.md "Slot-wise greedy finalize").
+        cand_pos = jnp.arange(m_slots, dtype=jnp.int32)
+        safe_mag_v = jnp.where(mag_r > 0, mag_r, 1.0)
+        prom_ratio_v = jnp.where(mag_r > 0, proms / safe_mag_v, 0.0)
+        shoulder_ok = prom_ratio_v < jnp.asarray(MIN_PROM_RATIO, dtype)
+
+        prev_pos = jnp.asarray(-1, jnp.int32)
+        count = jnp.asarray(0, jnp.int32)
+        acc = init[2]
+        filled = []
+        for s in range(k):
+            near = jnp.zeros((m_slots,), bool)
+            for s2 in range(s):
+                f2 = acc["freq"][s2]
+                rel = jnp.abs(freq_r - f2) / jnp.where(f2 != 0, f2, 1.0)
+                near = near | (filled[s2] & (rel < jnp.asarray(EXCLUSION_RATIO, dtype)))
+            eligible = (cand_pos > prev_pos) & valid & ~(near & shoulder_ok)
+            found = jnp.any(eligible)
+            # First eligible candidate, extracted with one-hot masked
+            # reductions: a dynamic index (vec[j]) would lower to a gather
+            # per field under vmap, measured ~0.5 ms/epoch of pure gather
+            # overhead at B=2048.
+            j = jnp.argmax(eligible).astype(jnp.int32)
+            onehot = cand_pos == j
+
+            def at_j(vec):
+                return jnp.sum(jnp.where(onehot, vec, jnp.zeros_like(vec)))
+
+            write = jnp.zeros((k,), bool).at[s].set(found)
+            acc = {
+                "idx": jnp.where(write, at_j(cid), acc["idx"]),
+                "freq": jnp.where(write, at_j(freq_r), acc["freq"]),
+                "mag": jnp.where(write, at_j(mag_r), acc["mag"]),
+                "prom": jnp.where(write, at_j(proms), acc["prom"]),
+                "damp": jnp.where(write, at_j(damp_r), acc["damp"]),
+                "q": jnp.where(write, at_j(q_r), acc["q"]),
+            }
+            filled.append(found)
+            prev_pos = jnp.where(found, j, jnp.asarray(m_slots, jnp.int32))
+            count = count + found.astype(jnp.int32)
+        # Walk completed: the k-th acceptance sits at prev_pos, and the
+        # reference breaks right after it (consumed = prev_pos + 1).  The
+        # incomplete case is overwritten by n_candidates below either way.
+        consumed = prev_pos + 1
 
     if n_candidates is None:
         n_candidates = jnp.asarray(0, jnp.int32)

@@ -227,3 +227,40 @@ def test_n_required_is_the_smallest_exact_budget():
             trunc = analyze_epoch(x[None], fs, mode="flexible",
                                   max_candidates=nreq - 1, lowlat="never")
             assert int(trunc.n_required[0]) > nreq - 1
+
+
+def test_finalize_slot_equals_candidate_walk(monkeypatch):
+    """The slot-wise greedy finalize (k rounds) is decision-identical to the
+    per-candidate walk (M rounds) on adversarial spectra: rounding-tie-heavy
+    magnitudes, near-zero magnitudes (the ratio-0 shoulder path), and
+    non-dyadic rates.  Exactness argument in ``prominence_finalize``: the
+    shoulder-rejection test depends only on the already-accepted set, which is
+    identical for every candidate visited between two acceptances.
+    """
+    import jax
+
+    from apda_fft_tpu.ops import peaks_prominence as pp
+
+    rng = np.random.default_rng(7)
+    b, h, m = 192, 256, 32
+    mags = np.abs(rng.standard_normal((b, h))).astype(np.float32)
+    mags[: b // 3] = np.round(mags[: b // 3], 3)  # many 4-dp rounding ties
+    mags[b // 3 : 2 * b // 3] *= 1e-5  # magnitudes that round to 0 at 4 dp
+    mags[:, 0] = 0.0
+    fs = rng.choice([500.0, 100.0, 99.7, 256.0], size=(b,)).astype(np.float32)
+
+    def run(m_arr, f_arr):
+        return jax.jit(
+            jax.vmap(
+                lambda mm, ff: pp.prominence_peaks(mm, ff, 2 * h, max_candidates=m)
+            )
+        )(m_arr, f_arr)
+
+    assert m > pp._UNROLL_MAX  # default path below is the slot form
+    res_slot = run(jnp.asarray(mags), jnp.asarray(fs))
+    monkeypatch.setattr(pp, "_UNROLL_MAX", 10**9)  # force the candidate walk
+    res_walk = run(jnp.asarray(mags), jnp.asarray(fs))
+    for name, a, c in zip(res_slot._fields, res_slot, res_walk):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(c), err_msg=f"field {name}"
+        )
