@@ -65,14 +65,19 @@ class ResolutionPeaks(NamedTuple):
     n_candidates: jnp.ndarray  # [] int32: initial local maxima above threshold
 
 
-def _width_half_magnitude(m: jnp.ndarray, iota: jnp.ndarray, j: jnp.ndarray) -> jnp.ndarray:
+def _width_half_magnitude(
+    m: jnp.ndarray, iota: jnp.ndarray, j: jnp.ndarray, peak_val: jnp.ndarray
+) -> jnp.ndarray:
     """Reference ``width_half_magnitude`` (``get_peak_resolution.py:30-44``).
 
     Nearest index at or below ``0.707*m[j]`` on each side; left defaults to 0,
-    right to H (one past the end), width = right - left.
+    right to H (one past the end), width = right - left.  ``peak_val`` must be
+    ``m[j]``, passed in so the caller's reduction supplies it without a
+    per-round gather (a scalar ``jnp.take`` lowers to a scalarized [B] gather
+    under vmap - see docs/DESIGN.md "Gather-free candidate extraction").
     """
     h = m.shape[-1]
-    half = jnp.asarray(0.707, m.dtype) * jnp.take(m, j)
+    half = jnp.asarray(0.707, m.dtype) * peak_val
     at_or_below = m <= half
     left = jnp.max(jnp.where((iota <= j) & at_or_below, iota, 0))
     right = jnp.min(jnp.where((iota >= j) & at_or_below, iota, h))
@@ -160,9 +165,12 @@ def resolution_peaks(
         found = jnp.any(eligible)
         score = jnp.where(eligible, m, -jnp.inf)
         j = jnp.argmax(score).astype(jnp.int32)
-        peak_val = jnp.take(m, j)
+        # m[j] without a gather: score[j] is the maximum, and equals m[j]
+        # exactly whenever a candidate exists (``found``); when none does,
+        # every consumer below is gated on ``found`` so -inf is inert.
+        peak_val = jnp.max(score)
 
-        w_new = _width_half_magnitude(m, iota, j)
+        w_new = _width_half_magnitude(m, iota, j, peak_val)
         # The reference recomputes each accepted peak's width on the current
         # (partially-zeroed) magnitudes - but that value is *identically 0*:
         # every accepted bin s was zeroed by its own round's wipe
@@ -189,7 +197,11 @@ def resolution_peaks(
         if half_corr is not None:
             # Non-dyadic fs: the float64 reference's rounding at the exact-half
             # boundaries (j % 50 == 25) is supplied by the host-side table.
-            corr = jnp.take(half_corr, j // 50, mode="clip").astype(jnp.int32)
+            q = jnp.minimum(j // 50, half_corr.shape[-1] - 1)
+            onehot_q = jnp.arange(half_corr.shape[-1]) == q
+            corr = jnp.sum(
+                jnp.where(onehot_q, half_corr, jnp.zeros_like(half_corr))
+            ).astype(jnp.int32)
             nd = jnp.where(j % 50 == 25, nd + corr, nd)
         start = jnp.maximum(0, j - nd)
         end = jnp.minimum(h, j + nd + 1)
