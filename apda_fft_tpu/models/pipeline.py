@@ -155,9 +155,18 @@ def refine_subbin(mags: jnp.ndarray, idx: jnp.ndarray, ds: jnp.ndarray) -> jnp.n
     """
     h = mags.shape[-1]
     safe = jnp.clip(idx, 1, h - 2)
-    m0 = jnp.take(mags, safe - 1)
-    m1 = jnp.take(mags, safe)
-    m2 = jnp.take(mags, safe + 1)
+    # One-hot masked reductions instead of three jnp.take: a k-element
+    # gather from [H] lowers to scalarized element access per window under
+    # vmap (docs/DESIGN.md "Gather-free candidate extraction"); clip keeps
+    # safe-1/safe+1 in range so each mask hits exactly one bin (exact sum).
+    iota = jnp.arange(h)
+    zeros = jnp.zeros_like(mags)
+
+    def pick(offset):
+        hit = iota[None, :] == (safe[:, None] + offset)
+        return jnp.sum(jnp.where(hit, mags[None, :], zeros[None, :]), axis=-1)
+
+    m0, m1, m2 = pick(-1), pick(0), pick(1)
     denom = m0 - 2.0 * m1 + m2
     delta = jnp.where(jnp.abs(denom) > 1e-30, 0.5 * (m0 - m2) / denom, 0.0)
     delta = jnp.clip(delta, -0.5, 0.5)
