@@ -192,41 +192,92 @@ def fft_matmul_real(
     n = x.shape[-1]
     if not is_pow2(n):
         raise ValueError(f"four-step FFT requires power-of-two length, got {n}")
-    dtype = x.dtype.name
     n_out = n // 2 if half and n >= 2 else n
 
-    if n <= _DIRECT_DFT_MAX:
-        c, s = _dft_tables(n, dtype)
-        c = jnp.asarray(c[:n_out])
-        s = jnp.asarray(s[:n_out])
-        re = jnp.einsum("kn,...n->...k", c, x, precision=precision)
-        im = jnp.einsum("kn,...n->...k", s, x, precision=precision)
-        return re, im
-
-    n1, n2 = split_pow2(n)
-    n2_out = n_out // n1  # k = k1 + N1*k2 < n_out  <=>  k2 < n2_out
-    c1, s1 = (jnp.asarray(t) for t in _dft_tables(n1, dtype))
-    c2, s2 = (jnp.asarray(t[:, :n2_out]) for t in _dft_tables(n2, dtype))
-    tc, ts = (jnp.asarray(t) for t in _twiddle_tables(n1, n2, dtype))
-
-    a = x.reshape(*x.shape[:-1], n1, n2)  # a[..., m1, m2]
-    # Step 1: DFT over m1 (real input -> two real matmuls).
-    br = jnp.einsum("kn,...nm->...km", c1, a, precision=precision)
-    bi = jnp.einsum("kn,...nm->...km", s1, a, precision=precision)
-    # Step 2: twiddle W_N^{k1*m2}.
-    cr = br * tc - bi * ts
-    ci = br * ts + bi * tc
-    # Step 3: DFT over m2 (complex x complex -> four real matmuls).
-    dr = jnp.einsum("...km,mj->...kj", cr, c2, precision=precision) - jnp.einsum(
-        "...km,mj->...kj", ci, s2, precision=precision
-    )
-    di = jnp.einsum("...km,mj->...kj", cr, s2, precision=precision) + jnp.einsum(
-        "...km,mj->...kj", ci, c2, precision=precision
-    )
+    pre = _fourstep_pretranspose(x, n_out, precision)
+    if pre is None:  # direct-DFT path, already in final bin order
+        return _direct_dft_real(x, n_out, precision)
+    dr, di = pre
     # Step 4: output index k = k1 + N1*k2 -> transpose (k1,k2) -> (k2,k1) and flatten.
     re = jnp.swapaxes(dr, -1, -2).reshape(*x.shape[:-1], n_out)
     im = jnp.swapaxes(di, -1, -2).reshape(*x.shape[:-1], n_out)
     return re, im
+
+
+def _direct_dft_real(x: jnp.ndarray, n_out: int, precision):
+    """First ``n_out`` DFT bins of real ``x`` by one direct table matmul."""
+    n = x.shape[-1]
+    c, s = _dft_tables(n, x.dtype.name)
+    c = jnp.asarray(c[:n_out])
+    s = jnp.asarray(s[:n_out])
+    re = jnp.einsum("kn,...n->...k", c, x, precision=precision)
+    im = jnp.einsum("kn,...n->...k", s, x, precision=precision)
+    return re, im
+
+
+def split_lanes(n: int) -> tuple[int, int]:
+    """Factor ``n = n1*n2`` with the lane (minor) factor ``n1 >= 128``.
+
+    The four-step below views ``x`` as ``[..., n2, n1]`` (a free reshape) so
+    every intermediate keeps ``n1`` on the lane dimension.  TPU f32 tiles are
+    (8, 128): a minor dim below 128 leaves lanes idle in every matmul and
+    elementwise op, which is exactly what made the sqrt(N)-balanced split
+    slower for N <= 8192 (measured on TPU v5e, B*N = 8M: 1.23x faster at
+    N=1024, 1.21x at 2048, 1.13x at 4096, 1.27x at 8192, parity at >= 16384
+    where the balanced split is already lane-full - docs/DESIGN.md "Lane-full
+    four-step").  Above 16384 this returns the balanced split: growing n1
+    further doubles step-1 MACs for no lane benefit.
+    """
+    log = n.bit_length() - 1
+    l1 = max(7, (log + 1) // 2)
+    return 1 << l1, n >> l1
+
+
+def _fourstep_pretranspose(x: jnp.ndarray, n_out: int, precision):
+    """Steps 1-3 of the four-step: (dr, di) in ``[..., n2(k2), k1_out]``.
+
+    Lane-full factorization (:func:`split_lanes`): with ``n = m1 + n1*m2``
+    and ``k = k2 + n2*k1``,
+
+        X[k2 + n2*k1] = sum_m1 W_n1^{m1*k1} [ W_N^{m1*k2}
+                          sum_m2 a[..., m2, m1] W_n2^{m2*k2} ]
+
+    where ``a = x.reshape(..., n2, n1)`` is a free view.  Both contractions
+    run in MXU-natural layout (inner: m2 on the sublane dim; outer: m1 on
+    the lane dim with K = n1 >= 128), the twiddle is elementwise in the
+    produced layout, and the cos/sin tables of the outer DFT are stacked
+    into one ``[n1, 2*k1_out]`` operand so step 3 is two matmuls, not four.
+    ``k < n_out  <=>  k1 < n_out/n2`` (k1 is the slow output digit).
+
+    Returns None for sizes served by the direct-DFT path.  Callers needing
+    spectra apply the step-4 transpose themselves; the magnitude front end
+    computes |.| FIRST and transposes one array instead of two.
+    """
+    n = x.shape[-1]
+    if n <= _DIRECT_DFT_MAX:
+        return None
+    dtype = x.dtype.name
+    n1, n2 = split_lanes(n)
+    k1_out = n_out // n2  # k = k2 + n2*k1 < n_out  <=>  k1 < k1_out
+    c2, s2 = (jnp.asarray(t) for t in _dft_tables(n2, dtype))
+    # Twiddle W_N^{k2*m1}, shape [n2, n1] (the [first, second] outer product).
+    tc, ts = (jnp.asarray(t) for t in _twiddle_tables(n2, n1, dtype))
+    c1, s1 = (t[:, :k1_out] for t in _dft_tables(n1, dtype))
+    c1s1 = jnp.asarray(np.concatenate([c1, s1], axis=1))
+
+    a = x.reshape(*x.shape[:-1], n2, n1)  # a[..., m2, m1]
+    # Step 1: DFT over m2 (real input -> two real matmuls, m2 on sublanes).
+    br = jnp.einsum("km,...mn->...kn", c2, a, precision=precision)
+    bi = jnp.einsum("km,...mn->...kn", s2, a, precision=precision)
+    # Step 2: twiddle W_N^{k2*m1}.
+    cr = br * tc - bi * ts
+    ci = br * ts + bi * tc
+    # Step 3: DFT over m1 (complex x complex; stacked [cos | sin] tables).
+    p = jnp.einsum("...km,mj->...kj", cr, c1s1, precision=precision)
+    q = jnp.einsum("...km,mj->...kj", ci, c1s1, precision=precision)
+    dr = p[..., :k1_out] - q[..., k1_out:]
+    di = p[..., k1_out:] + q[..., :k1_out]
+    return dr, di
 
 
 def rfft_packed_matmul(
@@ -371,8 +422,16 @@ def halfspec_magnitudes(
         spec = jnp.fft.rfft(x)[..., : n // 2]
         mags = jnp.abs(spec).astype(x.dtype)
     elif backend == "matmul":
-        re, im = fft_matmul_real(x, half=True, precision=ep)
-        mags = jnp.sqrt(re[..., : n // 2] ** 2 + im[..., : n // 2] ** 2)
+        pre = _fourstep_pretranspose(x, n // 2, ep)
+        if pre is None:
+            re, im = _direct_dft_real(x, n // 2, ep)
+            mags = jnp.sqrt(re**2 + im**2)
+        else:
+            # |.| before the step-4 transpose: one array through the layout
+            # pass instead of two (see _fourstep_pretranspose).
+            dr, di = pre
+            dm = jnp.sqrt(dr**2 + di**2)
+            mags = jnp.swapaxes(dm, -1, -2).reshape(*x.shape[:-1], n // 2)
     elif backend == "pallas":
         from apda_fft_tpu.ops.fft_pallas import halfspec_magnitudes_pallas
 
