@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import threading
 from typing import Any
 
@@ -95,6 +96,32 @@ def last_dynamic_stats() -> dict:
 
 
 _DYNAMIC_FLOOR = 2
+
+#: Budget at or above which the flexible detect stage routes to the fused
+#: select+scan Pallas kernel on TPU (ops/detector_pallas.py).  Measured on
+#: v5e (B=2048, H=2048): @12 0.760 -> 0.661 ms, straggler tier @128/128w
+#: 0.535 -> 0.356 ms, @2 a wash - tiny clean-signal budgets stay on the XLA
+#: unroll.  Set APDA_FUSED_DETECTOR=0 to pin the XLA path (bisection knob).
+_FUSED_DETECTOR_MIN_BUDGET = 8
+
+
+def _route_fused_detector(h: int, budget: int, selection: str) -> bool:
+    """Route a flat flexible-detect pass to the fused Pallas kernel?
+
+    Requires: real TPU backend (the kernel interprets elsewhere - correct but
+    slow), lane-aligned spectrum (H % 128), a budget past the measured
+    crossover, and NOT the SPMD selection (pallas_call has no partitioning
+    rule; mesh paths keep the partitionable XLA ops).  Decisions are
+    bit-identical either way (hardware-checked at M=2/12/128 plus the parity
+    and fuzz gates), so routing is purely a performance choice.
+    """
+    return (
+        budget >= _FUSED_DETECTOR_MIN_BUDGET
+        and h % 128 == 0
+        and selection != "auto_spmd"
+        and os.environ.get("APDA_FUSED_DETECTOR", "1") != "0"
+        and jax.default_backend() == "tpu"
+    )
 
 
 def _pow2_at_least(n: int) -> int:
@@ -358,6 +385,12 @@ def _flex_detect(
     """
 
     def flat_detect(m_b, f_b, budget: int):
+        if _route_fused_detector(m_b.shape[-1], budget, selection):
+            from apda_fft_tpu.ops.detector_pallas import prominence_peaks_fused_pallas
+
+            return prominence_peaks_fused_pallas(
+                m_b, f_b, n_fft, k=k, max_candidates=budget
+            )
         return jax.vmap(
             lambda m, f: prominence_peaks(
                 m, f, n_fft, k=k, max_candidates=budget, selection=selection

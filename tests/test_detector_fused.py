@@ -117,6 +117,59 @@ def test_fused_rejects_unaligned_h():
         prominence_select_scan_pallas(mags, 8, interpret=True)
 
 
+def test_pipeline_routing_predicate(monkeypatch):
+    from apda_fft_tpu.models import pipeline
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert pipeline._route_fused_detector(2048, 12, "auto")
+    assert not pipeline._route_fused_detector(2048, 2, "auto")  # below crossover
+    assert not pipeline._route_fused_detector(100, 12, "auto")  # lane-unaligned
+    assert not pipeline._route_fused_detector(2048, 12, "auto_spmd")  # mesh path
+    monkeypatch.setenv("APDA_FUSED_DETECTOR", "0")
+    assert not pipeline._route_fused_detector(2048, 12, "auto")
+    monkeypatch.delenv("APDA_FUSED_DETECTOR")
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert not pipeline._route_fused_detector(2048, 12, "auto")
+
+
+@pytest.mark.parametrize("budget", [12, (8, 16, 3)])
+def test_flex_detect_routes_fused_and_matches_staged(monkeypatch, budget):
+    """The detect stage with the fused route forced (interpret mode on CPU)
+    decides identically to the staged XLA path, for the flat budget and the
+    two-tier split.  A spy asserts the kernel actually ran (the stage is
+    tested eagerly: under analyze_epoch's jit the routing decision is baked
+    into the cached program, so a cache hit would make this vacuous)."""
+    from apda_fft_tpu.models import pipeline
+    from apda_fft_tpu.ops import detector_pallas
+
+    h = 256
+    mags = _spectra(12, h, seed=5, kind="modal")
+    fs_flat = jnp.full((12,), 500.0, jnp.float32)
+    staged = pipeline._flex_detect(
+        mags, fs_flat, n_fft=2 * h, k=4, max_candidates=budget
+    )
+
+    calls = []
+    real = detector_pallas.prominence_peaks_fused_pallas
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(detector_pallas, "prominence_peaks_fused_pallas", spy)
+    monkeypatch.setattr(pipeline, "_route_fused_detector", lambda h_, b_, s_: True)
+    routed = pipeline._flex_detect(
+        mags, fs_flat, n_fft=2 * h, k=4, max_candidates=budget
+    )
+    assert calls
+    for name in staged._fields:
+        a, b = np.asarray(getattr(staged, name)), np.asarray(getattr(routed, name))
+        if a.dtype.kind in "iub":
+            np.testing.assert_array_equal(a, b, err_msg=name)
+        else:
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6, err_msg=name)
+
+
 def test_fused_flat_spectrum_has_no_candidates():
     mags = _spectra(6, 128, seed=3, kind="flat")
     cid, is_cand, cmag, proms, bins, std, n_cand = prominence_select_scan_pallas(
