@@ -213,6 +213,12 @@ def _fused_kernel(mags_ref, cid_ref, cand_ref, cmag_ref, prom_ref, bins_ref,
         (iota >= 1) & (iota <= h - 2) & (x > xm1) & (x > xp1) & (x > thr)
     )
     n_cand = jnp.sum(cand_mask.astype(jnp.int32), axis=-1, keepdims=True)
+    # Live round count: past the tile-wide max candidate count every select
+    # round is exhausted for every row and every scan round works on the
+    # exhausted-slot configuration (cid 0, magnitude x[:, 0]) - those rounds
+    # collapse to the post-loop fills below, bit-identically.  The big win is
+    # the two-tier straggler pass: budget 128 vs ~85 actual candidates.
+    n_live = jnp.minimum(jnp.max(n_cand), m)
 
     # Selection score: the reference sorts on the STORED 4-dp-rounded
     # magnitude with ascending-index tie-break (peaks_prominence.
@@ -238,17 +244,17 @@ def _fused_kernel(mags_ref, cid_ref, cand_ref, cmag_ref, prom_ref, bins_ref,
         work = jnp.where(onehot, -inf, work)
         return work, cid, cand, cmag
 
+    # Exhausted select rounds (every row's work array already all -inf) write
+    # cid 0 / cand 0 / cmag x[:, 0] into their slot; seeding cmag with
+    # x[:, 0] makes the skipped rounds no-ops.
     _, cid, cand, cmag = jax.lax.fori_loop(
-        0, m, select_body,
+        0, n_live, select_body,
         (score, jnp.zeros((tb, m), jnp.int32), jnp.zeros((tb, m), jnp.int32),
-         zeros_m),
+         zeros_m + x[:, :1]),
     )
 
-    def scan_body(s, carry):
-        prom_acc, bins_acc = carry
-        slot = slot_iota == s
-        j = jnp.sum(jnp.where(slot, cid, 0), axis=-1, keepdims=True)
-        peak = jnp.sum(jnp.where(slot, cmag, 0.0), axis=-1, keepdims=True)
+    def scan_at(j, peak):
+        """(prominence, width_bins) [tb, 1] for per-row peak (j, peak)."""
         left = iota < j
         right = iota > j
         blocker = x > peak
@@ -281,14 +287,27 @@ def _fused_kernel(mags_ref, cid_ref, cand_ref, cmag_ref, prom_ref, bins_ref,
             jnp.where(stop & (iota >= j), iota, h - 1), axis=-1, keepdims=True
         )
         bins = jnp.maximum(right_idx - left_idx, 1)
+        return prom, bins
 
+    def scan_body(s, carry):
+        prom_acc, bins_acc = carry
+        slot = slot_iota == s
+        j = jnp.sum(jnp.where(slot, cid, 0), axis=-1, keepdims=True)
+        peak = jnp.sum(jnp.where(slot, cmag, 0.0), axis=-1, keepdims=True)
+        prom, bins = scan_at(j, peak)
         prom_acc = jnp.where(slot, prom, prom_acc)
         bins_acc = jnp.where(slot, bins, bins_acc)
         return prom_acc, bins_acc
 
     prom, bins = jax.lax.fori_loop(
-        0, m, scan_body, (zeros_m, jnp.ones((tb, m), jnp.int32))
+        0, n_live, scan_body, (zeros_m, jnp.ones((tb, m), jnp.int32))
     )
+    # Slots past n_live all hold the exhausted configuration; one shared
+    # scan replaces their (m - n_live) identical rounds.
+    prom0, bins0 = scan_at(jnp.zeros((tb, 1), jnp.int32), x[:, :1])
+    fill = slot_iota >= n_live
+    prom = jnp.where(fill, prom0, prom)
+    bins = jnp.where(fill, bins0, bins)
 
     cid_ref[...] = cid
     cand_ref[...] = cand
