@@ -28,6 +28,11 @@ def fake_tpu(monkeypatch):
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(L, "analyze_window_lowlat", counting_kernel)
+    # The faked backend would also engage the fused-detector route, whose
+    # kernel would then run un-interpreted on CPU; pin it off - these tests
+    # cover the LOWLAT routing decisions (test_detector_fused.py covers the
+    # fused route with its own interpret-mode spy).
+    monkeypatch.setenv("APDA_FUSED_DETECTOR", "0")
     saved_budget, saved_hwm = dict(P._dynamic_budget), dict(P._dynamic_budget_hwm)
     P._dynamic_budget.clear()
     P._dynamic_budget_hwm.clear()
