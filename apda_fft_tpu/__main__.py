@@ -650,8 +650,29 @@ def cmd_track(args) -> int:
 
 
 def main(argv=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    # The gateway daemon (the reference's primary entry point,
+    # ``python GT_FFT_v5.py``) has its own argument parser in
+    # ``apda_fft_tpu.gateway.__main__``; forward to it verbatim so
+    # ``python -m apda_fft_tpu gateway --simulate`` works alongside
+    # ``python -m apda_fft_tpu.gateway --simulate``.  The subparser stub
+    # below only provides --help discoverability.
+    if argv and argv[0] == "gateway":
+        from apda_fft_tpu.gateway.__main__ import main as gateway_main
+
+        gateway_main(argv[1:])
+        return 0
+
     ap = argparse.ArgumentParser(prog="apda_fft_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
+
+    gw = sub.add_parser(
+        "gateway",
+        help="run the gateway daemon (real XBee hardware, or --simulate); "
+             "see 'gateway --help' for its options",
+    )
+    gw.set_defaults(fn=None)
 
     a = sub.add_parser("analyze", help="batch-analyze acquisition log files")
     a.add_argument("files", nargs="+")

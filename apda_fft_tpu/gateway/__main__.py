@@ -91,7 +91,7 @@ def _simulate(n_sensors: int, workdir: str | None, analysis: str = "epoch") -> N
     print(open(config.logger_file).read())
 
 
-def main() -> None:
+def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="apda_fft_tpu.gateway")
     ap.add_argument("--config", default="/etc/config/scripts/gw_config.json")
     ap.add_argument("--simulate", action="store_true")
@@ -99,7 +99,7 @@ def main() -> None:
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--analysis", default="epoch", choices=["epoch", "welch"],
                     help="simulation acquisition analysis strategy")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     if args.simulate:
         _simulate(args.sensors, args.workdir, args.analysis)

@@ -159,3 +159,18 @@ def test_gateway_simulate_smoke(tmp_path, capsys):
     assert "processed" in out and "2 sensors" in out
     assert "Peaks: X f1:" in out and "Peaks: Y f1:" in out
     assert "[FTP:sim] would upload" in out
+
+
+def test_top_level_gateway_passthrough(monkeypatch):
+    """`python -m apda_fft_tpu gateway ...` forwards verbatim to the daemon
+    CLI (the reference's primary entry, ``python GT_FFT_v5.py``)."""
+    import apda_fft_tpu.__main__ as top
+    import apda_fft_tpu.gateway.__main__ as gw
+
+    calls = []
+    monkeypatch.setattr(gw, "main", lambda argv=None: calls.append(argv))
+    assert top.main(["gateway", "--simulate", "--sensors", "3"]) == 0
+    assert calls == [["--simulate", "--sensors", "3"]]
+    # and the subcommand is listed in --help (discoverability stub)
+    with pytest.raises(SystemExit):
+        top.main(["--help"])
