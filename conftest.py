@@ -19,3 +19,27 @@ import jax  # noqa: E402
 # the env var, so pin the platform explicitly after import as well.
 jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_enable_x64", True)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_xla_cpu_accumulation():
+    """Free compiled executables between test modules.
+
+    Full-suite runs (~570 tests in one process) deterministically SIGSEGV
+    inside XLA:CPU's backend_compile_and_load at a late big compile
+    (tests/test_two_tier.py), while every <=75% subset passes and the same
+    compile succeeds solo - an upstream jaxlib 0.9.0 codegen crash triggered
+    only by a process's accumulated compiled-program state (not stack size:
+    reproduced unchanged under ulimit -s 512MB; not RSS: ~128 GB free; not
+    compile COUNT: 600 synthetic distinct compiles + the same big program
+    pass - docs/ROUND3.md "Suite-scale native crash").  Dropping cached
+    executables at module boundaries keeps the live-program set far below
+    the crash threshold at the cost of cross-module recompiles.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
