@@ -585,6 +585,86 @@ def cmd_oracle_check(args) -> int:
     return 1 if mismatches else 0
 
 
+def cmd_doctor(args) -> int:
+    """Deployment diagnostics: device, native codec, numerics sanity.
+
+    The operational analog of the reference's runtime self-checks
+    (``GT_FFT_v5.py:663-676`` self-profiles every FFT because the deployed
+    gateway had no other way to see its own health): one command that
+    verifies the stack a production gateway depends on - accelerator
+    visibility, the native ingest codec, the persistent compile cache, and
+    a numerical end-to-end check of the FFT + detector against known
+    ground truth.  Exit 0 iff every check passes.
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from apda_fft_tpu import analyze_epoch
+    from apda_fft_tpu.io import native
+    from apda_fft_tpu.ops import fft as fft_ops
+    from apda_fft_tpu.utils import compilecache
+
+    checks: list[tuple[str, bool, str]] = []
+
+    devices = jax.devices()
+    platform = devices[0].platform if devices else "none"
+    checks.append(("device", bool(devices),
+                   f"{len(devices)}x {platform} ({devices[0] if devices else 'none'})"))
+    checks.append(("x64", True, f"enabled={jax.config.jax_enable_x64}"))
+
+    if os.environ.get("APDA_NO_NATIVE") == "1":
+        checks.append(("native_codec", True, "disabled via APDA_NO_NATIVE=1 "
+                                             "(NumPy fallbacks active)"))
+    else:
+        lib = native.load()
+        checks.append(("native_codec", True,
+                       "loaded" if lib is not None else
+                       "unavailable - NumPy fallbacks active (slower ingest)"))
+
+    cache_dir = compilecache.enabled_dir()
+    checks.append(("compile_cache", True,
+                   cache_dir or "not enabled (opt-in: gateway "
+                                "compilation_cache_dir / enable_compilation_cache)"))
+
+    # Numerics: N=256 magnitude spectrum vs numpy float64 on this device.
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4, 256)).astype(np.float32)
+    mags = np.asarray(fft_ops.halfspec_magnitudes(
+        jnp.asarray(x - x.mean(-1, keepdims=True)), backend="matmul"))
+    xc = x.astype(np.float64) - x.astype(np.float64).mean(-1, keepdims=True)
+    want = np.abs(np.fft.fft(xc, axis=-1))[:, :128]
+    want[:, 0] = 0
+    err = float(np.linalg.norm(mags - want) / np.linalg.norm(want))
+    checks.append(("fft_accuracy", err <= 1e-6, f"normwise err {err:.2e} (<= 1e-6)"))
+
+    # Detector end to end: two on-bin tones at fs=512/N=1024 -> exactly 2
+    # peaks at 16.0 and 64.0 Hz in both modes.
+    fs = 512.0
+    t = np.arange(1024) / fs
+    tone = (np.sin(2 * np.pi * 16.0 * t) + 0.5 * np.sin(2 * np.pi * 64.0 * t))
+    for mode in ("flexible", "rigid"):
+        res = analyze_epoch(tone[None].astype(np.float32), fs, mode=mode,
+                            max_candidates=8)
+        got = sorted(np.asarray(res.freq[0])[: int(res.count[0])].tolist())
+        ok = got == [16.0, 64.0]
+        checks.append((f"detector_{mode}", ok, f"peaks {got} (want [16.0, 64.0])"))
+
+    failed = [c for c in checks if not c[1]]
+    if args.json:
+        print(json.dumps({
+            "ok": not failed,
+            "checks": [{"name": n, "ok": ok, "detail": d} for n, ok, d in checks],
+        }))
+    else:
+        for name, ok, detail in checks:
+            print(f"[{'ok' if ok else 'FAIL'}] {name}: {detail}")
+        print("all checks passed" if not failed else
+              f"{len(failed)} check(s) FAILED")
+    return 1 if failed else 0
+
+
 def cmd_track(args) -> int:
     """Track modal peaks across a time-series of acquisition files."""
     import os as _os
@@ -780,6 +860,11 @@ def main(argv=None) -> int:
     o = sub.add_parser("oracle-check", help="validate device decisions vs float64 oracle")
     o.add_argument("files", nargs="+")
     o.set_defaults(fn=cmd_oracle_check)
+
+    dc = sub.add_parser("doctor", help="deployment diagnostics: device, native "
+                                       "codec, cache, numerics sanity")
+    dc.add_argument("--json", action="store_true")
+    dc.set_defaults(fn=cmd_doctor)
 
     tr = sub.add_parser("track", help="track modal drift across acquisition files")
     tr.add_argument("files", nargs="+")

@@ -67,3 +67,8 @@ def disable_compilation_cache() -> None:
     except Exception:  # noqa: BLE001 - private API; config-off still limits writes
         pass
     _enabled_dir = None
+
+
+def enabled_dir() -> str | None:
+    """The cache directory in effect, or None when the cache is disabled."""
+    return _enabled_dir

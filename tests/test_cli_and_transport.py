@@ -161,6 +161,29 @@ def test_gateway_simulate_smoke(tmp_path, capsys):
     assert "[FTP:sim] would upload" in out
 
 
+def test_doctor_all_green(capsys):
+    """doctor --json: every check passes on a healthy install (CPU here)."""
+    from apda_fft_tpu.__main__ import main
+
+    assert main(["doctor", "--json"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["ok"] is True
+    names = {c["name"] for c in rep["checks"]}
+    assert {"device", "native_codec", "fft_accuracy",
+            "detector_flexible", "detector_rigid"} <= names
+    assert all(c["ok"] for c in rep["checks"])
+
+
+def test_doctor_respects_no_native(capsys, monkeypatch):
+    monkeypatch.setenv("APDA_NO_NATIVE", "1")
+    from apda_fft_tpu.__main__ import main
+
+    assert main(["doctor", "--json"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    native = next(c for c in rep["checks"] if c["name"] == "native_codec")
+    assert "APDA_NO_NATIVE" in native["detail"]
+
+
 def test_top_level_gateway_passthrough(monkeypatch):
     """`python -m apda_fft_tpu gateway ...` forwards verbatim to the daemon
     CLI (the reference's primary entry, ``python GT_FFT_v5.py``)."""
