@@ -52,6 +52,14 @@ def collect(fuzz_cases: int = 150, configs=(1, 2, 3, 4, 5), backend: str = "matm
     print(f"# fuzz: routed {fuzz['routed_vs_batched']}, oracle {fuzz['vs_oracle']}",
           file=sys.stderr, flush=True)
 
+    # 2b) Adaptive-mode leg (BASELINE config 2's per-window prominence ->
+    #     resolution fallback): the composed oracle must agree end to end.
+    fuzz_a = run_fuzz(max(fuzz_cases // 2, 25), modes=("adaptive",))
+    evidence["fuzz_adaptive"] = fuzz_a
+    ok &= bool(fuzz_a.get("ok"))
+    print(f"# fuzz adaptive: routed {fuzz_a['routed_vs_batched']}, "
+          f"oracle {fuzz_a['vs_oracle']}", file=sys.stderr, flush=True)
+
     # 3) The five BASELINE configs (device-time speedups + pipelined wall
     #    numbers, dispatch_ms attached - run_all's honesty qualifiers).
     cfgs = []

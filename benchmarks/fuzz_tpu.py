@@ -30,7 +30,7 @@ if _ROOT not in sys.path:
 N_CASES = int(os.environ.get("APDA_FUZZ_CASES", "150"))
 
 
-def run_fuzz(n_cases: int = N_CASES) -> dict:
+def run_fuzz(n_cases: int = N_CASES, modes: tuple = ("rigid", "flexible")) -> dict:
     import numpy as np
 
     import jax
@@ -48,7 +48,7 @@ def run_fuzz(n_cases: int = N_CASES) -> dict:
     for case in range(n_cases):
         n = sizes[case % len(sizes)]
         fs = fss[rng.integers(0, len(fss))]
-        mode = ("rigid", "flexible")[case % 2]
+        mode = modes[case % len(modes)]
         kind = case % 3
         if kind == 0:
             x = modal_signal(n, fs, seed=int(rng.integers(0, 10000)))
@@ -82,6 +82,7 @@ def run_fuzz(n_cases: int = N_CASES) -> dict:
 
     return {
         "metric": "e2e_fuzz_tpu",
+        "modes": list(modes),
         "cases": n_cases,
         "routed_vs_batched": f"{n_cases - len(mismatches)}/{n_cases}",
         "vs_oracle": f"{n_cases - len(oracle_misses)}/{n_cases}",

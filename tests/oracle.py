@@ -199,8 +199,17 @@ def oracle_resolution_peaks(spec: np.ndarray, fs: float, k: int = 5) -> list[dic
 
 
 def oracle_analyze(samples, fs: float, mode: str = "flexible"):
-    """Full reference pipeline for one window: spectrum + chosen detector."""
+    """Full reference pipeline for one window: spectrum + chosen detector.
+
+    ``adaptive`` composes the pipeline's per-window fallback (BASELINE
+    config 2, ``models/pipeline.py _detect_from_mags``): the prominence
+    detector's result when it accepts at least one peak, else the
+    resolution detector's.
+    """
     spec = oracle_spectrum(samples)
     if mode == "flexible":
         return oracle_prominence_peaks(spec, fs)
+    if mode == "adaptive":
+        flex = oracle_prominence_peaks(spec, fs)
+        return flex if flex else oracle_resolution_peaks(spec, fs)
     return oracle_resolution_peaks(spec, fs)

@@ -264,3 +264,30 @@ def test_finalize_slot_equals_candidate_walk(monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(a), np.asarray(c), err_msg=f"field {name}"
         )
+
+
+def test_adaptive_decisions_match_composed_oracle():
+    """Adaptive mode (BASELINE config 2) vs the composed float64 oracle:
+    prominence decisions where it accepts, resolution fallback where it
+    rejects everything - per window, exact index agreement."""
+    fs = 500.0
+    n = 1024
+    rng = np.random.default_rng(77)
+    t = np.arange(n) / fs
+    windows = [
+        modal_signal(n, fs, seed=20),                       # flex succeeds
+        np.sin(2 * np.pi * (3 * fs / n) * t) * 5.0,  # low-bin tone: damping
+        # 1/(2*3) = 16.7% > 7% band -> prominence rejects, resolution keeps
+        modal_signal(n, fs, seed=21),
+        rng.standard_normal(n) * 0.5,                       # noise
+    ]
+    fell_back = 0
+    for x in windows:
+        x = np.asarray(x, np.float32)
+        ref = oracle_analyze(x, fs, mode="adaptive")
+        flex_ref = oracle_analyze(x, fs, mode="flexible")
+        fell_back += 0 if flex_ref else 1
+        res = analyze_epoch(x[None, :], fs, mode="adaptive", lowlat="never")
+        got = [int(i) for i in np.asarray(res.idx[0])[: int(res.count[0])]]
+        assert got == [p["idx"] for p in ref]
+    assert fell_back >= 1, "corpus no longer exercises the fallback branch"
