@@ -211,5 +211,10 @@ def oracle_analyze(samples, fs: float, mode: str = "flexible"):
         return oracle_prominence_peaks(spec, fs)
     if mode == "adaptive":
         flex = oracle_prominence_peaks(spec, fs)
-        return flex if flex else oracle_resolution_peaks(spec, fs)
+        if flex:
+            return flex
+        # The pipeline's adaptive fallback runs in the prominence result's
+        # k=4 slots; the resolution walk is greedy (accept order = slot
+        # order), so its k=5 list truncated to 4 IS the k=4 run.
+        return oracle_resolution_peaks(spec, fs)[:4]
     return oracle_resolution_peaks(spec, fs)
