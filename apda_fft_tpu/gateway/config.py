@@ -113,6 +113,14 @@ class GatewayConfig:
     #: modal damping is the classic early cracking/loosening indicator,
     #: and SSI pole damping is reliable enough to trend; 0 disables
     ssi_damping_alert: float = 0.0
+    #: optional HTTP endpoint for [ALERT] events (drift, FDD shape change,
+    #: SSI damping rise): each alert POSTs one JSON event; failures queue
+    #: and retry at the next sync, so a flaky link cannot lose an alert
+    #: that matters.  Empty = history-log only (the reference had no alert
+    #: surface at all).
+    alert_webhook_url: str = ""
+    #: webhook POST timeout in seconds
+    alert_webhook_timeout: float = 10.0
 
     @classmethod
     def load(cls, config_path: str | os.PathLike) -> "GatewayConfig":
@@ -212,6 +220,8 @@ class GatewayConfig:
                     gw.get("drift_temp_compensate", False)
                 ),
                 ssi_damping_alert=ssi_damping_alert,
+                alert_webhook_url=str(gw.get("alert_webhook_url", "")),
+                alert_webhook_timeout=float(gw.get("alert_webhook_timeout", 10.0)),
             )
         except GatewayConfigError:
             raise

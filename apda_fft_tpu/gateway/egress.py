@@ -240,3 +240,66 @@ class InfluxSink:
             return f"OK: {filename} ({len(rec.samples)} samples)"
         except Exception as exc:  # noqa: BLE001
             return f"error: {exc}"
+
+
+class AlertWebhook:
+    """Push [ALERT] events to an HTTP endpoint, queue-and-retry on failure.
+
+    Beyond-reference operational surface: the reference's only "alert" is a
+    line in history.log on the gateway's own filesystem
+    (``GT_FFT_v5.py:810-837``) - invisible until someone logs in.  Damage
+    indicators (drift, mode-shape change, damping rise) are exactly the
+    events a monitoring deployment must push.  Same failure philosophy as
+    the file queues: a failed POST keeps the event pending and retries at
+    the next sync boundary (``GatewayService._on_sync``), so a flaky uplink
+    delays an alert rather than losing it.  ``opener`` is injected for
+    tests (urlopen-like).
+    """
+
+    def __init__(self, url: str, opener=None, timeout: float = 10.0,
+                 max_pending: int = 256):
+        self.url = url
+        self.timeout = timeout
+        self.max_pending = max_pending
+        self.pending: list[dict] = []
+        self._open = opener or urllib.request.urlopen
+
+    def notify(self, event: dict, log) -> None:
+        """Queue one alert event and attempt delivery immediately."""
+        self.pending.append(event)
+        if len(self.pending) > self.max_pending:
+            # Drop oldest (they are also in history.log); alerts are rare,
+            # so hitting this cap means the endpoint has been down for ages.
+            del self.pending[: len(self.pending) - self.max_pending]
+        self.flush(log)
+
+    def flush(self, log) -> int:
+        """Deliver pending events in order; stop at the first failure.
+
+        Returns the number delivered.  In-order delivery matters: a
+        shape-change alert arriving before the drift alert that preceded
+        it would misrepresent the damage timeline.
+        """
+        sent = 0
+        while self.pending:
+            event = self.pending[0]
+            try:
+                req = urllib.request.Request(
+                    url=self.url,
+                    data=json.dumps(event).encode("utf-8"),
+                    headers={"Content-Type": "application/json"},
+                    method="POST",
+                )
+                with self._open(req, timeout=self.timeout) as response:
+                    if response.status != 200:
+                        log(f"\t[AlertWebhook][WARN] HTTP {response.status}; "
+                            f"{len(self.pending)} alert(s) pending\n")
+                        break
+            except Exception as exc:  # noqa: BLE001 - keep pending, retry at sync
+                log(f"\t[AlertWebhook][WARN] {exc}; "
+                    f"{len(self.pending)} alert(s) pending\n")
+                break
+            self.pending.pop(0)
+            sent += 1
+            log(f"\t[AlertWebhook] delivered {event.get('kind')} alert\n")
+        return sent

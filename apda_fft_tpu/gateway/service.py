@@ -61,6 +61,7 @@ class GatewayService:
         influx_sink: InfluxSink | None = None,
         async_uploads: bool = False,
         upload_timeout: float = 120.0,
+        alert_webhook=None,
     ):
         self.config = config
         self.transport = transport
@@ -82,6 +83,16 @@ class GatewayService:
 
         self.ftp_sink = ftp_sink or FtpSink(config.ftp, config.data_dir)
         self.http_sink = http_sink or HttpSink(config.fastapi_url)
+        # Push surface for damage alerts (drift / shape change / damping
+        # rise): the history line stays authoritative; the webhook queues
+        # and retries at sync like every other egress (gateway/egress.py).
+        self.alert_webhook = alert_webhook
+        if alert_webhook is None and config.alert_webhook_url:
+            from apda_fft_tpu.gateway.egress import AlertWebhook
+
+            self.alert_webhook = AlertWebhook(
+                config.alert_webhook_url, timeout=config.alert_webhook_timeout
+            )
         self.influx_sink = influx_sink
         if influx_sink is None and config.influx_url:
             self.influx_sink = InfluxSink(config.influx_url, config.influx_token, config.data_dir)
@@ -458,6 +469,11 @@ class GatewayService:
         device_status = device_status_report(info)
         config_status = self._send_config(addr)
 
+        # Alert webhook retry rides the same sync boundary as the file
+        # queues: anything a flaky endpoint left pending goes out now.
+        if self.alert_webhook is not None and self.alert_webhook.pending:
+            self.alert_webhook.flush(self.history)
+
         # Batch boundary: run any pending epoch analysis before reporting.
         if self.pending_analysis:
             batch, self.pending_analysis = self.pending_analysis, []
@@ -506,6 +522,18 @@ class GatewayService:
             f"\t{device_status.strip()}\n\t{peaks_text}\t{metrics}\t{config_status.strip()}\n"
         )
         self.fft_results.pop(addr, None)
+
+    def _alert(self, kind: str, message: str, **fields) -> None:
+        """One damage alert: history line (authoritative) + webhook push."""
+        self.history(message)
+        if self.alert_webhook is not None:
+            event = {
+                "ts": self.clock().isoformat(),
+                "kind": kind,
+                "message": message.strip(),
+                **fields,
+            }
+            self.alert_webhook.notify(event, self.history)
 
     def _cleanup_files(self, addr: str) -> None:
         """Delete this sensor's files no longer pending anywhere (:346-355)."""
@@ -837,10 +865,14 @@ class GatewayService:
                     if tr.alerted:
                         continue
                     tr.alerted = True
-                    self.history(
+                    self._alert(
+                        "fdd_shape",
                         f"\t[ALERT] FDD mode-shape change: {axis} "
                         f"f={tr.last_freq:.4f} Hz MAC={tr.sustained_mac():.3f} "
-                        f"vs baseline (track {tr.track_id})\n"
+                        f"vs baseline (track {tr.track_id})\n",
+                        axis=axis, freq=round(float(tr.last_freq), 4),
+                        mac=round(float(tr.sustained_mac()), 3),
+                        track=tr.track_id,
                     )
             except Exception as exc:  # noqa: BLE001 - report-only path
                 self.history(f"\t[WARN] FDD tracking failed: {exc}\n")
@@ -917,12 +949,17 @@ class GatewayService:
                     if tr.damping_alerted:
                         continue
                     tr.damping_alerted = True
-                    self.history(
+                    self._alert(
+                        "ssi_damping",
                         f"\t[ALERT] SSI damping increase: {axis} "
                         f"f={tr.last_freq:.4f} Hz "
                         f"damping {tr.birth_damping:.3f}% -> "
                         f"{tr.sustained_damping():.3f}% "
-                        f"(track {tr.track_id})\n"
+                        f"(track {tr.track_id})\n",
+                        axis=axis, freq=round(float(tr.last_freq), 4),
+                        damping_birth_pct=round(float(tr.birth_damping), 3),
+                        damping_now_pct=round(float(tr.sustained_damping()), 3),
+                        track=tr.track_id,
                     )
             except Exception as exc:  # noqa: BLE001 - report-only path
                 self.history(f"\t[WARN] SSI tracking failed: {exc}\n")
@@ -1106,11 +1143,16 @@ class GatewayService:
             comp = tr.compensated_drift_relative() if compensate else None
             drift = comp if comp is not None else tr.sustained_drift_relative()
             qual = " (temp-adjusted)" if comp is not None else ""
-            self.history(
+            self._alert(
+                "drift",
                 f"\t[ALERT] {addr} {axis}-axis: mode near {tr.mean_freq:.3f} Hz "
                 f"drifted {drift * 100:+.2f}%{qual} over "
                 f"{max(tr.observed, len(tr))} acquisitions "
-                f"({tr.freqs[0]:.4f} -> {tr.freqs[-1]:.4f} Hz)\n"
+                f"({tr.freqs[0]:.4f} -> {tr.freqs[-1]:.4f} Hz)\n",
+                addr=addr, axis=axis,
+                freq=round(float(tr.mean_freq), 4),
+                drift_pct=round(float(drift * 100), 2),
+                temp_compensated=qual != "",
             )
             # An alert is the state worth surviving a crash: flush now so
             # the dedup marker and the track behind it are durable.

@@ -1037,3 +1037,74 @@ def test_async_stop_cleans_uploaded_files(tmp_path):
     left = [f for f in os.listdir(svc2.config.data_dir)
             if f.startswith(MAC) and f.endswith(".log")]
     assert left == []
+
+
+def test_alert_webhook_queue_and_inorder_retry():
+    """AlertWebhook: failed POSTs keep events pending; flush retries in order."""
+    from apda_fft_tpu.gateway.egress import AlertWebhook
+
+    posted, fail = [], [True]
+
+    def opener(req, timeout=None):
+        if fail[0]:
+            raise OSError("endpoint down")
+        posted.append(json.loads(req.data.decode()))
+        return FakeResponse(200)
+
+    hook = AlertWebhook("http://alerts.example/hook", opener=opener)
+    logs = []
+    hook.notify({"kind": "drift", "seq": 1}, logs.append)
+    hook.notify({"kind": "ssi_damping", "seq": 2}, logs.append)
+    assert posted == [] and len(hook.pending) == 2
+    assert any("pending" in s for s in logs)
+
+    fail[0] = False
+    assert hook.flush(logs.append) == 2
+    assert [p["seq"] for p in posted] == [1, 2]  # in-order delivery
+    assert hook.pending == []
+
+
+def test_gateway_drift_alert_pushes_webhook_and_retries_at_sync(tmp_path):
+    """A drift [ALERT] POSTs one structured event; a down endpoint delays
+    delivery to the next sync rather than losing it."""
+    from apda_fft_tpu.gateway.egress import AlertWebhook
+
+    svc, transport, _, _ = make_service(
+        tmp_path, gateway_extra={"alert_webhook_url": "http://alerts.example/hook"})
+    assert svc.alert_webhook is not None  # constructed from config
+
+    posted, fail = [], [True]
+
+    def opener(req, timeout=None):
+        if fail[0]:
+            raise OSError("endpoint down")
+        posted.append(json.loads(req.data.decode()))
+        return FakeResponse(200)
+
+    svc.alert_webhook = AlertWebhook("http://alerts.example/hook", opener=opener)
+
+    class FakeRP:
+        def __init__(self, freqs, mags):
+            self._f, self._m = freqs, mags
+            self.count = len(freqs)
+            self.row = 0
+            self.result = type("R", (), {"mag": np.asarray([mags])})()
+
+        def exact_freq(self, slot, mode):
+            return self._f[slot]
+
+    for e in range(8):
+        f1 = 25.0 * (1 - 0.01 * e)
+        svc._store_result(MAC, "X", FakeRP([f1, 47.7], [9.0, 5.0]), {})
+    # Endpoint down: alert written to history, event pending, nothing lost.
+    assert open(svc.config.logger_file).read().count("[ALERT]") == 1
+    assert posted == [] and len(svc.alert_webhook.pending) == 1
+
+    # Endpoint back up: the next sensor sync flushes the pending alert.
+    fail[0] = False
+    SensorSimulator(MAC, fs=500.0, axis="X").heartbeat(transport)
+    svc.drain()
+    assert len(posted) == 1 and svc.alert_webhook.pending == []
+    ev = posted[0]
+    assert ev["kind"] == "drift" and ev["addr"] == MAC and ev["axis"] == "X"
+    assert ev["drift_pct"] < 0 and "[ALERT]" in ev["message"] and ev["ts"]
