@@ -433,6 +433,18 @@ class GatewayService:
             self._flush_influx(addr)
             uploaded = self._flush_ftp(addr)
             self._prune(self.ftp_queue, addr, uploaded)
+            if self.alert_webhook is not None:
+                # A shock event IS the sensor's own alarm (threshold
+                # exceeded on-device; the reference's one immediate-upload
+                # path, GT_FFT_v5.py:514-554) - push it like the other
+                # damage indicators.  History keeps the reference wording,
+                # so this adds no [ALERT] line.
+                self.alert_webhook.notify(
+                    {"ts": t.isoformat(), "kind": "shock", "addr": addr,
+                     "sensor_time": header.time, "file": name,
+                     "message": f"shock event from {addr} at {header.time}"},
+                    self.history,
+                )
             if self.config.analyze_shock:
                 # Beyond-reference: a shock transient is free-decay
                 # ring-down - prime modal/damping data the reference only

@@ -1108,3 +1108,26 @@ def test_gateway_drift_alert_pushes_webhook_and_retries_at_sync(tmp_path):
     ev = posted[0]
     assert ev["kind"] == "drift" and ev["addr"] == MAC and ev["axis"] == "X"
     assert ev["drift_pct"] < 0 and "[ALERT]" in ev["message"] and ev["ts"]
+
+
+def test_shock_event_pushes_webhook(tmp_path):
+    """A 0xC1 shock (the sensor's own alarm) POSTs one webhook event."""
+    from apda_fft_tpu.gateway.egress import AlertWebhook
+
+    svc, transport, _, _ = make_service(tmp_path)
+    posted = []
+
+    def opener(req, timeout=None):
+        posted.append(json.loads(req.data.decode()))
+        return FakeResponse(200)
+
+    svc.alert_webhook = AlertWebhook("http://alerts.example/hook", opener=opener)
+    SensorSimulator(MAC, fs=500.0, axis="X").shock_event(
+        transport, np.sin(np.arange(200) * 0.3))
+    svc.drain()
+    assert len(posted) == 1
+    ev = posted[0]
+    assert ev["kind"] == "shock" and ev["addr"] == MAC
+    assert ev["file"].endswith("_shock.log")
+    # no [ALERT] history line for shocks (reference wording preserved)
+    assert "[ALERT]" not in open(svc.config.logger_file).read()
