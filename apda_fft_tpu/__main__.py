@@ -292,6 +292,68 @@ def cmd_psd(args) -> int:
     return 0 if out else 1
 
 
+def cmd_srs(args) -> int:
+    """Shock Response Spectrum of transient records (damage potential).
+
+    The standard characterization of a 0xC1 shock event: each record drives
+    a bank of Q=10 single-degree-of-freedom oscillators (1/6-octave natural
+    frequencies) and the maximax absolute response is reported per
+    oscillator, with the pseudo-velocity damage proxy.  The reference
+    uploads shock records raw and never analyzes them
+    (``GT_FFT_v5.py:514-554``).
+    """
+    from apda_fft_tpu.ops.srs import shock_response_spectrum
+
+    loaded = _load(args.files)
+    if not loaded:
+        print("no analyzable files", file=sys.stderr)
+        return 1
+
+    out = {}
+    for path, rec in loaded:
+        samples = np.asarray(rec.samples, np.float32)
+        if len(samples) < 3:
+            print(f"# skipping {path}: {len(samples)} samples < 3",
+                  file=sys.stderr)
+            continue
+        f_max = args.fmax if args.fmax > 0 else rec.fs / 4.0
+        f_min = args.fmin if args.fmin > 0 else rec.fs / 100.0
+        if not f_min < f_max < rec.fs / 2:
+            print(f"# skipping {path}: bank ({f_min}, {f_max}) Hz invalid "
+                  f"for fs={rec.fs}", file=sys.stderr)
+            continue
+        res = shock_response_spectrum(
+            samples, rec.fs, q=args.q, f_min=f_min, f_max=f_max,
+            points_per_octave=args.per_octave,
+            residual=not args.no_residual,
+        )
+        pv = res.pseudo_velocity
+        out[path] = {"freqs": res.freqs, "maximax": res.maximax,
+                     "positive": res.positive, "negative": res.negative,
+                     "pseudo_velocity": pv}
+        f_pk, a_pk = res.peak()
+        if args.json:
+            print(json.dumps({
+                "file": path, "fs": rec.fs, "axis": rec.axis,
+                "q": args.q, "bank": len(res.freqs),
+                "peak_freq": f_pk, "peak_maximax": a_pk,
+                "peak_pseudo_velocity": float(np.max(pv)),
+                "srs": [{"freq": float(res.freqs[i]),
+                         "maximax": float(res.maximax[i]),
+                         "pv": float(pv[i])}
+                        for i in range(len(res.freqs))],
+            }))
+        else:
+            print(f"{path} (fs={rec.fs} Hz, axis={rec.axis}, Q={args.q}): "
+                  f"peak {a_pk:.4f} @ {f_pk:.2f} Hz")
+            for i in range(len(res.freqs)):
+                print(f"  fn={res.freqs[i]:9.3f} Hz  maximax="
+                      f"{res.maximax[i]:.5f}  pv={pv[i]:.6f}")
+    if args.out and out:
+        _save_npz(args.out, out)
+    return 0 if out else 1
+
+
 def cmd_coherence(args) -> int:
     """Two-sensor magnitude-squared coherence report.
 
@@ -896,6 +958,24 @@ def main(argv=None) -> int:
                     help="also save freqs/psd arrays to this .npz file")
     ps.add_argument("--json", action="store_true")
     ps.set_defaults(fn=cmd_psd)
+
+    sr = sub.add_parser("srs", help="shock response spectrum of transient "
+                        "records (maximax SDOF bank, damage potential)")
+    sr.add_argument("files", nargs="+")
+    sr.add_argument("--q", type=float, default=10.0,
+                    help="oscillator quality factor (default 10)")
+    sr.add_argument("--per-octave", type=int, default=6,
+                    help="bank points per octave (default 6)")
+    sr.add_argument("--fmin", type=float, default=0.0,
+                    help="lowest natural frequency (default fs/100)")
+    sr.add_argument("--fmax", type=float, default=0.0,
+                    help="highest natural frequency (default fs/4)")
+    sr.add_argument("--no-residual", action="store_true",
+                    help="exclude the post-record free-decay phase")
+    sr.add_argument("--out", default="",
+                    help="save freqs/maximax/positive/negative/pv to .npz")
+    sr.add_argument("--json", action="store_true")
+    sr.set_defaults(fn=cmd_srs)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -56,6 +56,11 @@ class GatewayConfig:
     #: also run spectral analysis on 0xC1 shock transients (the reference
     #: only uploads them raw; free-decay ring-down is prime damping data)
     analyze_shock: bool = False
+    #: compute a Shock Response Spectrum for every 0xC1 transient (Q=10
+    #: maximax SDOF bank, ``ops/srs.py``) - the standard damage-potential
+    #: characterization; peak SRS + pseudo-velocity land in the history
+    #: log, fft_results, and the alert webhook.  Implies shock analysis.
+    shock_srs: bool = False
     #: acquisition analysis strategy: "epoch" (reference parity: one
     #: spectrum per file, ``GT_FFT_v5.py:620-679``) or "welch" (segment the
     #: record, average segment power spectra, detect once on the averaged
@@ -204,6 +209,7 @@ class GatewayConfig:
                 taper=taper,
                 drift_alert_rel=float(gw.get("drift_alert_rel", 0.02)),
                 analyze_shock=bool(gw.get("analyze_shock", False)),
+                shock_srs=bool(gw.get("shock_srs", False)),
                 analysis=analysis,
                 welch_window=welch_window,
                 welch_hop=welch_hop,

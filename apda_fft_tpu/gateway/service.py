@@ -445,11 +445,13 @@ class GatewayService:
                      "message": f"shock event from {addr} at {header.time}"},
                     self.history,
                 )
-            if self.config.analyze_shock:
+            if self.config.analyze_shock or self.config.shock_srs:
                 # Beyond-reference: a shock transient is free-decay
                 # ring-down - prime modal/damping data the reference only
                 # uploads raw.  Peaks land in fft_results under the shock
                 # file's axis and in the sync report like any acquisition.
+                # shock_srs rides the same analysis batch (SRS needs the
+                # parsed record, not a detected peak).
                 if self.flush_mode == "immediate":
                     self._analyze_files([(addr, filename)])
                 else:
@@ -648,6 +650,8 @@ class GatewayService:
                                temperature=rec.temperature)
             if path.endswith("_shock.log") and rp.count:
                 self._shock_ringdown(addr, rec.axis, records[i][0], rec.fs)
+            if path.endswith("_shock.log") and self.config.shock_srs:
+                self._shock_srs(addr, rec.axis, records[i][0], rec.fs)
         if self.config.fdd_report or self.config.ssi_report:
             # Accumulate for the sync-boundary array reports (FDD and/or
             # SSI — both consume the same aligned multi-sensor groups; the
@@ -704,6 +708,46 @@ class GatewayService:
         self.history(
             f"\tShock ring-down: f={f0:.3f} Hz, zeta={zeta * 100.0:.2f}%\n"
         )
+
+    def _shock_srs(self, addr: str, axis: str, samples: np.ndarray, fs) -> None:
+        """Shock Response Spectrum for an analyzed 0xC1 transient.
+
+        Maximax Q=10 SDOF bank (``ops/srs.py``) - the standard
+        damage-potential characterization the reference's raw upload left
+        to the downstream engineer.  Sensor samples are in g, so the
+        pseudo-velocity proxy is converted to mm/s (x 9806.65 mm/s^2 per g).
+        """
+        from apda_fft_tpu.ops.srs import shock_response_spectrum
+
+        fs = float(fs)
+        if len(samples) < 3 or fs <= 0:
+            return
+        res = shock_response_spectrum(np.asarray(samples, np.float32), fs)
+        f_pk, a_pk = res.peak()
+        pv_mms = float(np.max(res.pseudo_velocity)) * 9806.65
+        entry = self.fft_results.get(addr, {}).get(axis)
+        if entry is not None:
+            entry["srs_peak_freq"] = round(f_pk, 4)
+            entry["srs_peak_g"] = round(a_pk, 5)
+            entry["srs_peak_pv_mms"] = round(pv_mms, 3)
+        self.history(
+            f"\tShock SRS: peak {a_pk:.4f} g @ {f_pk:.2f} Hz, "
+            f"PV {pv_mms:.1f} mm/s (Q={res.q:g})\n"
+        )
+        if self.alert_webhook is not None:
+            # The quantified follow-up to the raw shock notification:
+            # pseudo-velocity is the severity number a structural engineer
+            # acts on (the shock event itself already notified in _on_shock).
+            self.alert_webhook.notify(
+                {"ts": self.clock().isoformat(), "kind": "shock_srs",
+                 "addr": addr, "axis": axis,
+                 "srs_peak_freq": round(f_pk, 4),
+                 "srs_peak_g": round(a_pk, 5),
+                 "srs_peak_pv_mms": round(pv_mms, 3),
+                 "message": (f"shock SRS from {addr}: {a_pk:.3f} g @ "
+                             f"{f_pk:.2f} Hz, PV {pv_mms:.1f} mm/s")},
+                self.history,
+            )
 
     def _fdd_flush(self) -> None:
         """Array-level modal reports (FDD and/or SSI) at the sync boundary.

@@ -251,6 +251,46 @@ def test_shock_analysis_opt_in(tmp_path):
     assert "Shock ring-down" in open(svc2.config.logger_file).read()
 
 
+def test_shock_srs_opt_in(tmp_path):
+    """shock_srs computes the damage-potential SRS for a 0xC1 transient.
+
+    Implies analysis (no analyze_shock needed), writes the peak SRS +
+    pseudo-velocity to history and fft_results, and pushes a structured
+    "shock_srs" webhook event.
+    """
+    from apda_fft_tpu.gateway.egress import AlertWebhook
+
+    svc, transport, *_ = make_service(
+        tmp_path, gateway_extra={"shock_srs": True})
+    posted = []
+
+    def opener(req, timeout=None):
+        posted.append(json.loads(req.data.decode()))
+        return FakeResponse(200)
+
+    svc.alert_webhook = AlertWebhook("http://alerts.example/hook",
+                                     opener=opener)
+    t = np.arange(256) / 100.0  # shock records are written at 100 Hz
+    ring_down = (np.exp(-1.5 * t) * np.sin(2 * np.pi * 20.0 * t)).astype(np.float32)
+    SensorSimulator(MAC).shock_event(transport, ring_down)
+    svc.drain()
+
+    entry = svc.fft_results[MAC]["Unknown_axis"]
+    # The SRS of a 20 Hz ring-down peaks at a 20 Hz oscillator (resonant
+    # tracking), amplified well above the 1 g input amplitude by Q=10.
+    assert entry["srs_peak_freq"] == pytest.approx(20.0, rel=0.12)
+    assert entry["srs_peak_g"] > 1.5
+    assert entry["srs_peak_pv_mms"] > 0
+    history = open(svc.config.logger_file).read()
+    assert "Shock SRS: peak" in history
+    srs_events = [p for p in posted if p["kind"] == "shock_srs"]
+    assert len(srs_events) == 1
+    ev = srs_events[0]
+    assert ev["addr"] == MAC and ev["axis"] == "Unknown_axis"
+    assert ev["srs_peak_g"] == entry["srs_peak_g"]
+    assert ev["srs_peak_pv_mms"] == entry["srs_peak_pv_mms"]
+
+
 def test_reduced_data_flow(tmp_path):
     svc, transport, _, _ = make_service(tmp_path)
     sim = SensorSimulator(MAC, fs=250.0, axis="Y")
