@@ -149,6 +149,19 @@ def collect(fuzz_cases: int = 150, configs=(1, 2, 3, 4, 5), backend: str = "matm
         ok = False
     print(f"# ingest: {json.dumps(evidence['ingest'])}", file=sys.stderr, flush=True)
 
+    # 8) Shock Response Spectrum: f32 rotation-coordinate parallel scan vs
+    #    the float64 sequential lfilter oracle (guarded like the rest).
+    try:
+        from benchmarks.srs_fuzz import run_srs_fuzz
+
+        srs_ev = run_srs_fuzz(20)
+        evidence["srs_fuzz"] = srs_ev
+        ok &= bool(srs_ev.get("ok"))
+    except Exception as exc:  # noqa: BLE001
+        evidence["srs_fuzz"] = {"metric": "srs_fuzz", "error": str(exc)}
+        ok = False
+    print(f"# srs: {json.dumps(evidence['srs_fuzz'])}", file=sys.stderr, flush=True)
+
     evidence["ok"] = bool(ok)
     return evidence
 

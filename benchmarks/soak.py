@@ -90,6 +90,7 @@ def run_soak(
                 "ssi_damping_alert": 0.8,
                 "harmonic_check": True,
                 "modal_decimate": True,
+                "shock_srs": True,
             })
         json.dump({"gateway": gw_cfg}, fh)
     open(os.path.join(workdir, "config.txt"), "w").close()
@@ -226,6 +227,7 @@ def run_soak(
         "full_features": full_features,
         "fdd_lines": history.count("[FDD]"),
         "ssi_lines": history.count("[SSI]"),
+        "srs_lines": history.count("Shock SRS:"),
         "loop_errors": history.count("Error in main loop"),
     }
     faults = counts["dropped"] + counts["truncated"]
@@ -238,7 +240,9 @@ def run_soak(
         and modal_ok
         and (faults == 0 or result["anomalous_closures"] > 0)
         and (not full_features or (result["fdd_lines"] > 0
-                                   and result["ssi_lines"] > 0))
+                                   and result["ssi_lines"] > 0
+                                   and (counts["shock"] == 0
+                                        or result["srs_lines"] > 0)))
     )
     return result
 
