@@ -48,7 +48,26 @@ from apda_fft_tpu.models.ssi import (
     ssi,
 )
 from apda_fft_tpu.models.tracking import PeakTracker, Track, match_peaks
+from apda_fft_tpu.ops.integrate import (
+    G_TO_MMS2,
+    displacement,
+    integrate_acceleration,
+    velocity,
+    velocity_rms,
+)
+from apda_fft_tpu.ops.resample import (
+    decimate,
+    decimation_factor,
+    rational_factors,
+    resample_rational,
+)
 from apda_fft_tpu.ops.ringdown import ringdown_damping
+from apda_fft_tpu.ops.srs import (
+    SRSResult,
+    shock_response_spectrum,
+    smallwood_coefficients,
+    srs_frequencies,
+)
 from apda_fft_tpu.ops.fft import (
     center_and_pad,
     full_spectrum,
@@ -59,7 +78,7 @@ from apda_fft_tpu.ops.fft import (
 from apda_fft_tpu.ops.peaks_prominence import ProminencePeaks, prominence_peaks
 from apda_fft_tpu.ops.peaks_resolution import ResolutionPeaks, resolution_peaks
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 
 def __getattr__(name):
@@ -75,6 +94,8 @@ def __getattr__(name):
 __all__ = [
     "EpochResult",
     "FDDResult",
+    "G_TO_MMS2",
+    "SRSResult",
     "ModalTracker",
     "ModeTrack",
     "PeakTracker",
@@ -98,9 +119,13 @@ __all__ = [
     "correlation_blocks",
     "cross_psd",
     "csd_matrix",
+    "decimate",
+    "decimation_factor",
+    "displacement",
     "fdd",
     "frame_records",
     "default_k",
+    "integrate_acceleration",
     "modal_assurance",
     "full_spectrum",
     "halfspec_magnitudes",
@@ -108,10 +133,17 @@ __all__ = [
     "modal_phase_collinearity",
     "next_pow2",
     "prominence_peaks",
+    "rational_factors",
+    "resample_rational",
     "resolution_peaks",
     "ringdown_damping",
+    "shock_response_spectrum",
+    "smallwood_coefficients",
     "spectrogram",
+    "srs_frequencies",
     "ssi",
     "taper_window",
+    "velocity",
+    "velocity_rms",
     "welch_psd",
 ]

@@ -304,6 +304,10 @@ def cmd_srs(args) -> int:
     """
     from apda_fft_tpu.ops.srs import shock_response_spectrum
 
+    if args.per_octave < 1:
+        print(f"--per-octave must be >= 1, got {args.per_octave}",
+              file=sys.stderr)
+        return 1
     loaded = _load(args.files)
     if not loaded:
         print("no analyzable files", file=sys.stderr)
@@ -349,6 +353,102 @@ def cmd_srs(args) -> int:
             for i in range(len(res.freqs)):
                 print(f"  fn={res.freqs[i]:9.3f} Hz  maximax="
                       f"{res.maximax[i]:.5f}  pv={pv[i]:.6f}")
+    if args.out and out:
+        _save_npz(args.out, out)
+    return 0 if out else 1
+
+
+def cmd_severity(args) -> int:
+    """ISO 10816/20816 vibration severity: band-limited velocity RMS.
+
+    One number per record - the serviceability quantity a maintenance
+    standard acts on.  Computed from the omega-scaled spectrum via
+    Parseval (``ops/integrate.py:velocity_rms``), converted from the
+    sensors' g units to ISO mm/s.  The reference uploads raw traces and
+    leaves this to the server side.
+    """
+    from apda_fft_tpu.ops.integrate import G_TO_MMS2, velocity_rms
+
+    loaded = _load(args.files)
+    if not loaded:
+        print("no analyzable files", file=sys.stderr)
+        return 1
+
+    any_ok = False
+    for path, rec in loaded:
+        samples = np.asarray(rec.samples, np.float32)
+        if len(samples) < 8:
+            print(f"# skipping {path}: {len(samples)} samples < 8",
+                  file=sys.stderr)
+            continue
+        if args.flo >= rec.fs / 2:
+            print(f"# skipping {path}: band ({args.flo}, {args.fhi}) Hz "
+                  f"empty at fs={rec.fs}", file=sys.stderr)
+            continue
+        mms = float(velocity_rms(samples, rec.fs,
+                                 band=(args.flo, args.fhi))) * G_TO_MMS2
+        any_ok = True
+        over = args.limit > 0 and mms >= args.limit
+        if args.json:
+            out = {"file": path, "fs": rec.fs, "axis": rec.axis,
+                   "band_hz": [args.flo, min(args.fhi, rec.fs / 2)],
+                   "velocity_rms_mms": round(mms, 4)}
+            if args.limit > 0:
+                out["limit_mms"] = args.limit
+                out["over_limit"] = over
+            print(json.dumps(out))
+        else:
+            tag = "  ** OVER LIMIT **" if over else ""
+            print(f"{path} (fs={rec.fs} Hz, axis={rec.axis}): "
+                  f"{mms:.3f} mm/s RMS ({args.flo:g}-"
+                  f"{min(args.fhi, rec.fs / 2):g} Hz){tag}")
+    return 0 if any_ok else 1
+
+
+def cmd_integrate(args) -> int:
+    """Frequency-domain integration: velocity / displacement traces.
+
+    Omega-arithmetic with Tukey edge taper + soft high-pass
+    (``ops/integrate.py``); read results from the flat middle of the
+    record.  Units: input g -> g*s (velocity) or g*s^2 (displacement);
+    --mms converts to mm/s / mm.
+    """
+    from apda_fft_tpu.ops.integrate import G_TO_MMS2, integrate_acceleration
+
+    order = {"velocity": 1, "displacement": 2}[args.quantity]
+    loaded = _load(args.files)
+    if not loaded:
+        print("no analyzable files", file=sys.stderr)
+        return 1
+
+    out = {}
+    for path, rec in loaded:
+        samples = np.asarray(rec.samples, np.float32)
+        if len(samples) < 8:
+            print(f"# skipping {path}: {len(samples)} samples < 8",
+                  file=sys.stderr)
+            continue
+        y = np.asarray(integrate_acceleration(
+            samples, rec.fs, order=order,
+            f_highpass=args.highpass if args.highpass > 0 else None))
+        if args.mms:
+            y = y * G_TO_MMS2
+        out[path] = {args.quantity: y}
+        mid = slice(len(y) // 4, 3 * len(y) // 4)
+        peak = float(np.max(np.abs(y[mid])))
+        rms = float(np.sqrt(np.mean(np.square(y[mid]))))
+        unit = ("mm/s" if order == 1 else "mm") if args.mms \
+            else ("g*s" if order == 1 else "g*s^2")
+        if args.json:
+            print(json.dumps({
+                "file": path, "fs": rec.fs, "axis": rec.axis,
+                "quantity": args.quantity, "unit": unit,
+                "mid_peak": peak, "mid_rms": rms,
+            }))
+        else:
+            print(f"{path} (fs={rec.fs} Hz, axis={rec.axis}): "
+                  f"{args.quantity} mid-peak {peak:.6g} {unit}, "
+                  f"mid-RMS {rms:.6g} {unit}")
     if args.out and out:
         _save_npz(args.out, out)
     return 0 if out else 1
@@ -976,6 +1076,32 @@ def main(argv=None) -> int:
                     help="save freqs/maximax/positive/negative/pv to .npz")
     sr.add_argument("--json", action="store_true")
     sr.set_defaults(fn=cmd_srs)
+
+    sv = sub.add_parser("severity", help="ISO 10816/20816 vibration severity "
+                        "(band-limited velocity RMS, mm/s)")
+    sv.add_argument("files", nargs="+")
+    sv.add_argument("--flo", type=float, default=10.0,
+                    help="band low edge in Hz (ISO default 10)")
+    sv.add_argument("--fhi", type=float, default=1000.0,
+                    help="band high edge in Hz (clamped to Nyquist)")
+    sv.add_argument("--limit", type=float, default=0.0,
+                    help="flag records at/above this mm/s (0 = report only)")
+    sv.add_argument("--json", action="store_true")
+    sv.set_defaults(fn=cmd_severity)
+
+    ig = sub.add_parser("integrate", help="frequency-domain integration: "
+                        "velocity or displacement traces")
+    ig.add_argument("files", nargs="+")
+    ig.add_argument("--quantity", choices=("velocity", "displacement"),
+                    default="velocity")
+    ig.add_argument("--highpass", type=float, default=0.0,
+                    help="high-pass cut in Hz (0 = default 8 bins)")
+    ig.add_argument("--mms", action="store_true",
+                    help="convert g-based units to mm/s (or mm)")
+    ig.add_argument("--out", default="",
+                    help="save integrated traces to .npz")
+    ig.add_argument("--json", action="store_true")
+    ig.set_defaults(fn=cmd_integrate)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -118,6 +118,21 @@ class GatewayConfig:
     #: modal damping is the classic early cracking/loosening indicator,
     #: and SSI pole damping is reliable enough to trend; 0 disables
     ssi_damping_alert: float = 0.0
+    #: per-acquisition ISO 10816/20816 vibration severity: band-limited
+    #: velocity RMS (ops/integrate.py velocity_rms, Parseval on the
+    #: omega-scaled spectrum) in mm/s for every analyzed regular
+    #: acquisition, appended to the history line and fft_results (shock
+    #: transients keep their SRS pseudo-velocity instead - severity is a
+    #: steady-state quantity)
+    vibration_severity: bool = False
+    #: severity band (f_lo, f_hi) in Hz; f_hi clamps to Nyquist (ISO
+    #: 10816 default 10-1000 Hz)
+    severity_band_hz: tuple = (10.0, 1000.0)
+    #: severity alert threshold in mm/s (0 disables): crossing it writes
+    #: one [ALERT] line + webhook event per excursion (re-arms when the
+    #: sensor drops back below; ISO zone C/D boundaries are the natural
+    #: values, e.g. 4.5 / 7.1 mm/s for class II machines)
+    severity_alert_mms: float = 0.0
     #: optional HTTP endpoint for [ALERT] events (drift, FDD shape change,
     #: SSI damping rise): each alert POSTs one JSON event; failures queue
     #: and retry at the next sync, so a flaky link cannot lose an alert
@@ -193,6 +208,23 @@ class GatewayConfig:
                     f"ssi_damping_alert must be >= 0 (0 disables), "
                     f"got {ssi_damping_alert}"
                 )
+            band = gw.get("severity_band_hz", (10.0, 1000.0))
+            try:
+                severity_band = (float(band[0]), float(band[1]))
+            except (TypeError, ValueError, IndexError) as exc:
+                raise GatewayConfigError(
+                    f"severity_band_hz must be [f_lo, f_hi] in Hz, got {band!r}"
+                ) from exc
+            if not 0.0 < severity_band[0] < severity_band[1]:
+                raise GatewayConfigError(
+                    f"severity_band_hz needs 0 < f_lo < f_hi, got {severity_band}"
+                )
+            severity_alert_mms = float(gw.get("severity_alert_mms", 0.0))
+            if severity_alert_mms < 0:
+                raise GatewayConfigError(
+                    f"severity_alert_mms must be >= 0 (0 disables), "
+                    f"got {severity_alert_mms}"
+                )
             return cls(
                 ftp=FtpSettings(**cfg.get("ftp", {})),
                 fastapi_url=cfg.get("fastapi", {}).get("url", ""),
@@ -226,6 +258,9 @@ class GatewayConfig:
                     gw.get("drift_temp_compensate", False)
                 ),
                 ssi_damping_alert=ssi_damping_alert,
+                vibration_severity=bool(gw.get("vibration_severity", False)),
+                severity_band_hz=severity_band,
+                severity_alert_mms=severity_alert_mms,
                 alert_webhook_url=str(gw.get("alert_webhook_url", "")),
                 alert_webhook_timeout=float(gw.get("alert_webhook_timeout", 10.0)),
             )

@@ -116,6 +116,11 @@ class GatewayService:
         # files; the reference had nothing to persist).
         self.trackers: dict[tuple[str, str], PeakTracker] = {}
         self._alerted: set[tuple[str, str, int]] = set()
+        # Vibration-severity alert latch: (addr, axis) currently above the
+        # severity_alert_mms threshold.  Edge-triggered (one alert per
+        # excursion, re-armed when the sensor drops back below) so a
+        # persistently severe machine doesn't flood the webhook every epoch.
+        self._severity_over: set[tuple[str, str]] = set()
         self._drift_state_path = os.path.join(config.data_dir, "drift_tracks.json")
         self._drift_state_dirty = False
         self._load_drift_state()
@@ -652,6 +657,14 @@ class GatewayService:
                 self._shock_ringdown(addr, rec.axis, records[i][0], rec.fs)
             if path.endswith("_shock.log") and self.config.shock_srs:
                 self._shock_srs(addr, rec.axis, records[i][0], rec.fs)
+        if self.config.vibration_severity:
+            # ISO vibration severity is a steady-state quantity: regular
+            # acquisitions only (shock transients report SRS pseudo-velocity
+            # instead, _shock_srs above).
+            self._vibration_severity(
+                [(addr, rec.axis, records[i][0], float(rec.fs))
+                 for i, (addr, path, rec) in enumerate(loaded)
+                 if not path.endswith("_shock.log")])
         if self.config.fdd_report or self.config.ssi_report:
             # Accumulate for the sync-boundary array reports (FDD and/or
             # SSI — both consume the same aligned multi-sensor groups; the
@@ -748,6 +761,70 @@ class GatewayService:
                              f"{f_pk:.2f} Hz, PV {pv_mms:.1f} mm/s")},
                 self.history,
             )
+
+    def _vibration_severity(
+        self, items: list[tuple[str, str, np.ndarray, float]]
+    ) -> None:
+        """ISO 10816/20816 vibration severity for analyzed acquisitions.
+
+        Band-limited velocity RMS (``ops/integrate.py:velocity_rms``,
+        Parseval on the omega-scaled spectrum - one rfft per record, no
+        inverse transform) converted to ISO mm/s (sensor samples are g).
+        Records sharing a length and rate evaluate as one batched XLA
+        program, mirroring the epoch-batch analysis itself.  The value
+        lands in ``fft_results`` (-> history line, FastAPI summary) and a
+        crossing of ``severity_alert_mms`` raises one edge-triggered
+        [ALERT] + webhook event per excursion.
+
+        Beyond-reference: the reference uploads raw traces and leaves the
+        serviceability number to the server (``GT_FFT_v5.py:620-679``
+        stops at spectra + peaks).
+        """
+        from apda_fft_tpu.ops.integrate import G_TO_MMS2, velocity_rms
+
+        f_lo, f_hi = self.config.severity_band_hz
+        by_shape: dict[tuple[int, float], list[tuple[str, str, np.ndarray]]] = {}
+        for addr, axis, samples, fs in items:
+            if len(samples) < 8:
+                continue
+            if f_lo >= fs / 2.0:
+                self.history(
+                    f"\t[WARN] severity band ({f_lo}, {f_hi}) Hz empty at "
+                    f"fs={fs:g} for {addr}; skipping\n")
+                continue
+            by_shape.setdefault((len(samples), fs), []).append(
+                (addr, axis, samples))
+        for (_, fs), group in sorted(by_shape.items()):
+            x = np.stack([s for _, _, s in group])
+            mms = np.asarray(
+                velocity_rms(x, fs, band=(f_lo, f_hi))) * G_TO_MMS2
+            for (addr, axis, _), val in zip(group, mms):
+                self._store_severity(addr, axis, float(val))
+
+    def _store_severity(self, addr: str, axis: str, mms: float) -> None:
+        entry = self.fft_results.get(addr, {}).get(axis)
+        if entry is not None:
+            entry["velocity_rms_mms"] = round(mms, 4)
+        self.history(
+            f"\tVibration severity ({axis}): {mms:.3f} mm/s RMS "
+            f"({self.config.severity_band_hz[0]:g}-"
+            f"{self.config.severity_band_hz[1]:g} Hz)\n")
+        limit = self.config.severity_alert_mms
+        if limit <= 0:
+            return
+        key = (addr, axis)
+        if mms >= limit and key not in self._severity_over:
+            self._severity_over.add(key)
+            self._alert(
+                "severity",
+                f"\t[ALERT] {addr} {axis}-axis: vibration severity "
+                f"{mms:.3f} mm/s exceeds {limit:g} mm/s\n",
+                addr=addr, axis=axis,
+                velocity_rms_mms=round(mms, 4),
+                limit_mms=limit,
+            )
+        elif mms < limit:
+            self._severity_over.discard(key)
 
     def _fdd_flush(self) -> None:
         """Array-level modal reports (FDD and/or SSI) at the sync boundary.

@@ -62,6 +62,12 @@ def srs_frequencies(
     """
     if f_min <= 0 or f_max <= f_min:
         raise ValueError(f"need 0 < f_min < f_max, got ({f_min}, {f_max})")
+    if points_per_octave < 1:
+        # 0 would divide by zero below and produce an all-NaN bank that
+        # sails through the (0, fs/2) validation (NaN comparisons are
+        # False); fail at the argument instead.
+        raise ValueError(
+            f"points_per_octave must be >= 1, got {points_per_octave}")
     n_oct = math.log2(f_max / f_min)
     n = int(math.floor(n_oct * points_per_octave)) + 1
     freqs = f_min * (2.0 ** (np.arange(n) / points_per_octave))

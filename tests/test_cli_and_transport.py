@@ -197,3 +197,49 @@ def test_top_level_gateway_passthrough(monkeypatch):
     # and the subcommand is listed in --help (discoverability stub)
     with pytest.raises(SystemExit):
         top.main(["--help"])
+
+
+def test_cli_severity(log_file, tmp_path, capsys):
+    from apda_fft_tpu.__main__ import main
+
+    rc = main(["severity", log_file, "--json"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["velocity_rms_mms"] > 0
+    assert out["band_hz"] == [10.0, 250.0]  # fhi clamped to Nyquist
+
+    # Limit flagging: the two-mode signal is far above 0.001 mm/s.
+    rc = main(["severity", log_file, "--limit", "0.001"])
+    assert rc == 0
+    assert "** OVER LIMIT **" in capsys.readouterr().out
+
+    # Band entirely above Nyquist -> skipped, rc 1.
+    rc = main(["severity", log_file, "--flo", "400"])
+    assert rc == 1
+
+
+def test_cli_integrate(log_file, tmp_path, capsys):
+    import numpy as np
+
+    from apda_fft_tpu.__main__ import main
+
+    out_npz = str(tmp_path / "vel.npz")
+    rc = main(["integrate", log_file, "--json", "--mms", "--out", out_npz])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["quantity"] == "velocity" and out["unit"] == "mm/s"
+    assert out["mid_peak"] > 0
+    data = np.load(out_npz)
+    key = [k for k in data.files if k.endswith("velocity")][0]
+    assert data[key].shape == (1024,)
+
+    rc = main(["integrate", log_file, "--quantity", "displacement"])
+    assert rc == 0
+    assert "displacement mid-peak" in capsys.readouterr().out
+
+
+def test_cli_srs_rejects_bad_per_octave(log_file, capsys):
+    from apda_fft_tpu.__main__ import main
+
+    assert main(["srs", log_file, "--per-octave", "0"]) == 1
+    assert "per-octave" in capsys.readouterr().err

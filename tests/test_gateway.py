@@ -1171,3 +1171,85 @@ def test_shock_event_pushes_webhook(tmp_path):
     assert ev["file"].endswith("_shock.log")
     # no [ALERT] history line for shocks (reference wording preserved)
     assert "[ALERT]" not in open(svc.config.logger_file).read()
+
+
+def test_vibration_severity_wiring(tmp_path):
+    """vibration_severity: band-limited velocity RMS in ISO mm/s for every
+    analyzed regular acquisition - fft_results entry, history line, and an
+    edge-triggered webhook alert at severity_alert_mms.
+    """
+    from apda_fft_tpu.gateway.egress import AlertWebhook
+
+    svc, transport, *_ = make_service(
+        tmp_path, gateway_extra={
+            "vibration_severity": True,
+            "severity_band_hz": [10.0, 200.0],
+            "severity_alert_mms": 10.0,
+        })
+    posted = []
+
+    def opener(req, timeout=None):
+        posted.append(json.loads(req.data.decode()))
+        return FakeResponse(200)
+
+    svc.alert_webhook = AlertWebhook("http://alerts.example/hook", opener=opener)
+    fs, n, a0, f0 = 500.0, 1024, 0.5, 25.0
+    t = np.arange(n) / fs
+    loud = (a0 * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+    expect_mms = a0 / (2 * np.pi * f0) / np.sqrt(2) * 9806.65  # ~22.07
+
+    sim = SensorSimulator(MAC, fs=fs, axis="X", chunk=100)
+    sim.stream_acquisition(transport, loud)
+    svc.drain()
+
+    entry = svc.fft_results[MAC]["X"]
+    assert entry["velocity_rms_mms"] == pytest.approx(expect_mms, rel=0.02)
+    history = open(svc.config.logger_file).read()
+    assert "Vibration severity (X):" in history
+    alerts = [p for p in posted if p["kind"] == "severity"]
+    assert len(alerts) == 1
+    assert alerts[0]["addr"] == MAC and alerts[0]["axis"] == "X"
+    assert alerts[0]["velocity_rms_mms"] == entry["velocity_rms_mms"]
+    assert alerts[0]["limit_mms"] == 10.0
+
+    # Second loud acquisition: still over -> latched, no duplicate alert.
+    sim.stream_acquisition(transport, loud)
+    svc.drain()
+    assert len([p for p in posted if p["kind"] == "severity"]) == 1
+
+    # Quiet acquisition re-arms the latch ...
+    quiet = (0.01 * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+    sim.stream_acquisition(transport, quiet)
+    svc.drain()
+    assert svc.fft_results[MAC]["X"]["velocity_rms_mms"] < 1.0
+    # ... so the next excursion alerts again.
+    sim.stream_acquisition(transport, loud)
+    svc.drain()
+    assert len([p for p in posted if p["kind"] == "severity"]) == 2
+
+
+def test_vibration_severity_skips_shock_and_empty_band(tmp_path):
+    """Shock transients keep SRS pseudo-velocity (no steady-state severity);
+    a band entirely above Nyquist is skipped with a WARN, not a crash."""
+    svc, transport, *_ = make_service(
+        tmp_path, gateway_extra={
+            "vibration_severity": True,
+            "shock_srs": True,
+            "severity_band_hz": [80.0, 1000.0],  # above the 125 Hz Nyquist
+        })
+    t = np.arange(256) / 100.0
+    ring_down = (np.exp(-1.5 * t) * np.sin(2 * np.pi * 20.0 * t)).astype(np.float32)
+    SensorSimulator(MAC).shock_event(transport, ring_down)
+    svc.drain()
+    entry = svc.fft_results[MAC]["Unknown_axis"]
+    assert "velocity_rms_mms" not in entry
+    assert "srs_peak_pv_mms" in entry
+
+    # Regular acquisition at fs=125 with the 80 Hz band edge above
+    # Nyquist=62.5: skipped with a WARN.
+    x = two_mode_signal(512, 125.0)
+    SensorSimulator(MAC, fs=125.0, axis="X", chunk=100).stream_acquisition(
+        transport, x)
+    svc.drain()
+    assert "velocity_rms_mms" not in svc.fft_results[MAC]["X"]
+    assert "[WARN] severity band" in open(svc.config.logger_file).read()
