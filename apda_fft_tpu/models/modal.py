@@ -477,6 +477,8 @@ def fdd(
     efdd: bool = False,
     harmonics: bool = False,
     dtype=jnp.float32,
+    mesh=None,
+    mesh_axis: str | None = None,
 ) -> FDDResult:
     """Frequency-Domain Decomposition over ``[S, T]`` multi-sensor records.
 
@@ -503,6 +505,14 @@ def fdd(
     harmonic indicator per accepted mode (see :func:`harmonic_indicator`),
     filling ``kurtosis``; :meth:`FDDResult.harmonic_mask` then flags
     machinery harmonics masquerading as structural modes.
+
+    ``mesh`` (a ``jax.sharding.Mesh``) runs the per-bin power-iteration
+    SVD SPMD with the FREQUENCY axis sharded over ``mesh_axis`` (default:
+    the mesh's first axis) - each bin's eigenpair is independent, so the
+    heavy ``[H, S, S]`` stage scales linearly over ICI with no
+    collectives; the detector then runs with the SPMD-safe selection.
+    Decisions are identical to the single-device run (mesh-parity is
+    asserted in tests and the multichip dryrun).
     """
     records = jnp.asarray(records, dtype)
     if records.ndim != 2:
@@ -523,6 +533,17 @@ def fdd(
     freqs, gr, gi = csd_matrix(
         records, fs, window, hop, taper=taper, detrend=detrend, dtype=dtype
     )
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        axis = mesh_axis or mesh.axis_names[0]
+        sharding = NamedSharding(mesh, PartitionSpec(axis, None, None))
+        gr = jax.device_put(gr, sharding)
+        gi = jax.device_put(gi, sharding)
+        if selection == "auto":
+            # lax.top_k has no SPMD partitioning rule; the sharded s1
+            # spectrum must keep partitionable selection ops.
+            selection = "auto_spmd"
     s1, s2, vr, vi = sv_spectra(gr, gi, iters=iters)
 
     # Equivalent-magnitude spectrum: sqrt of the power-like s1, so the

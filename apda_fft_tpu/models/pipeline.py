@@ -24,6 +24,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from apda_fft_tpu.models.results import EpochResult
 from apda_fft_tpu.ops import fft as fft_ops
@@ -96,6 +97,12 @@ def last_dynamic_stats() -> dict:
 
 
 _DYNAMIC_FLOOR = 2
+
+
+def _is_multidevice(x) -> bool:
+    """True when ``x`` is committed across more than one device (sharded)."""
+    sharding = getattr(x, "sharding", None)
+    return sharding is not None and len(sharding.device_set) > 1
 
 #: Budget at or above which the flexible detect stage routes to the fused
 #: select+scan Pallas kernel on TPU (ops/detector_pallas.py).  Measured on
@@ -769,7 +776,11 @@ def analyze_epoch(
             batch_chunk=batch_chunk, lowlat=lowlat, taper=taper,
             precision=precision,
         )
-        if int(jax.device_get(jnp.min(flex.count))) > 0:
+        if _is_multidevice(flex.count):
+            any_empty = bool((np.asarray(jax.device_get(flex.count)) == 0).any())
+        else:
+            any_empty = int(jax.device_get(jnp.min(flex.count))) == 0
+        if not any_empty:
             return flex
         rig = _analyze_epoch_impl(
             samples, fs, lengths, half_corr, max_candidates=_DYNAMIC_FLOOR,
@@ -816,14 +827,27 @@ def analyze_epoch(
         # The per-grid counts feed the tier learning below (still one
         # transfer).
         nr = res.n_required
-        scalars = jax.device_get(
-            jnp.stack(
-                [jnp.max(nr), jnp.max(res.n_candidates)]
-                + [jnp.sum((nr > g).astype(jnp.int32)) for g in _TIER_GRID]
+        if _is_multidevice(nr):
+            # Host-side reduction for sharded epochs: an EAGER jnp.max/sum
+            # over a multi-device array dispatches an XLA:CPU all-reduce
+            # whose in-process rendezvous can time out and hard-abort when
+            # other mesh programs' threads are live (observed: 7/8
+            # participants, F rendezvous.cc:127).  Per-shard device_get has
+            # no collective at all, and the arrays are tiny ([B] int32).
+            nr_h = np.asarray(jax.device_get(nr)).ravel()
+            n_req = int(nr_h.max())
+            n_max = int(np.asarray(jax.device_get(res.n_candidates)).max())
+            grid_counts = [int((nr_h > g).sum()) for g in _TIER_GRID]
+        else:
+            # One fused device-side readback (single transfer on the tunnel).
+            scalars = jax.device_get(
+                jnp.stack(
+                    [jnp.max(nr), jnp.max(res.n_candidates)]
+                    + [jnp.sum((nr > g).astype(jnp.int32)) for g in _TIER_GRID]
+                )
             )
-        )
-        n_req, n_max = int(scalars[0]), int(scalars[1])
-        grid_counts = [int(v) for v in scalars[2:]]
+            n_req, n_max = int(scalars[0]), int(scalars[1])
+            grid_counts = [int(v) for v in scalars[2:]]
         if n_req <= budget or budget >= h:
             break
         # Any failure (budget too small, or tier capacity overflowed) falls

@@ -113,6 +113,56 @@ def analyze_epoch_sharded(
     return res
 
 
+def analyze_welch_sharded(
+    records,
+    fs,
+    window: int,
+    hop: int | None = None,
+    *,
+    mesh: Mesh | None = None,
+    batch_axis: str = "data",
+    **kwargs,
+):
+    """Welch-averaged analysis with the channel batch sharded over the mesh.
+
+    ``records`` is ``[C, T]`` (C sensor channels); segmenting, per-segment
+    FFT, power averaging, and the detector all run SPMD with the channel
+    axis sharded - the sharded counterpart of
+    :func:`apda_fft_tpu.models.streaming.analyze_welch`, with the same
+    defaults as :func:`analyze_epoch_sharded` (matmul backend and
+    ``auto_spmd`` selection: XLA's RFFT custom-call and ``lax.top_k`` have
+    no SPMD partitioning rules).  Uneven channel counts are edge-padded
+    (replicating the last channel) and sliced off the result.
+    """
+    from apda_fft_tpu.models.streaming import analyze_welch
+
+    if mesh is None:
+        mesh = make_mesh()
+    kwargs.setdefault("backend", "matmul")
+    kwargs.setdefault("selection", "auto_spmd")
+
+    jnp = jax.numpy
+    records = jnp.asarray(records)
+    if records.ndim != 2:
+        raise ValueError(f"records must be [C, T], got shape {records.shape}")
+    b = records.shape[0]
+    axis_size = mesh.shape[batch_axis]
+    pad = (-b) % axis_size
+    fs_arr = fs if isinstance(fs, jax.Array) else np.asarray(fs)
+    if pad:
+        records = jnp.pad(records, [(0, pad), (0, 0)], mode="edge")
+        if fs_arr.ndim >= 1:
+            pad_fn = jnp.pad if isinstance(fs_arr, jax.Array) else np.pad
+            fs_arr = pad_fn(fs_arr, [(0, pad)], mode="edge")
+    records = shard_batch(records, mesh, batch_axis)
+    if fs_arr.ndim >= 1 and isinstance(fs_arr, jax.Array):
+        fs_arr = shard_batch(fs_arr, mesh, batch_axis)
+    res = analyze_welch(records, fs_arr, window, hop, **kwargs)
+    if pad:
+        res = type(res)(*(x[:b] for x in res))
+    return res
+
+
 def correlation_blocks_sharded(
     records,
     n_lags: int,

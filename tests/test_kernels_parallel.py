@@ -242,3 +242,140 @@ def test_sharded_adaptive_uneven_batch_matches_single_device():
             np.asarray(getattr(sharded, name)), np.asarray(getattr(single, name)),
             rtol=1e-5, atol=1e-6, err_msg=name,
         )
+
+
+def _noisy_corpus(b, n, fs=500.0, seed=1234, noise=1.0):
+    """Noisy decaying-mode corpus (the two-tier trigger shape)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / fs
+    x = noise * rng.standard_normal((b, n)).astype(np.float64)
+    for f, a, zeta in ((12.3, 0.9, 0.01), (47.7, 0.7, 0.008),
+                       (88.4, 0.55, 0.015)):
+        phase = rng.uniform(0, 2 * np.pi, size=(b, 1))
+        x += a * np.sin(2 * np.pi * f * t[None, :] + phase) * np.exp(
+            -zeta * 2 * np.pi * f * t[None, :])
+    return x.astype(np.float32)
+
+
+def test_sharded_welch_matches_single_device():
+    """Welch-averaged analysis on a mesh: channel axis sharded (uneven),
+    decisions identical to the single-device run (VERDICT r3 item 3)."""
+    from apda_fft_tpu.models.streaming import analyze_welch
+    from apda_fft_tpu.parallel.mesh import analyze_welch_sharded
+
+    jax.clear_caches()  # headroom vs the jaxlib 0.9 accumulation abort (conftest)
+
+    mesh = make_mesh(8, ("data",))
+    c, t_len, window = 11, 8192, 1024  # 11 % 8 != 0: exercises padding
+    records = _noisy_corpus(c, t_len, noise=0.8, seed=21)
+    fs = np.full((c,), 500.0, np.float32)
+
+    sharded = analyze_welch_sharded(records, fs, window, mesh=mesh)
+    single = analyze_welch(records, fs, window, backend="matmul",
+                           selection="sort")
+    assert sharded.count.shape == (c,)
+    for name in ("count", "idx", "freq", "mag"):
+        assert np.array_equal(
+            np.asarray(getattr(sharded, name)), np.asarray(getattr(single, name))
+        ), name
+    for name in ("prominence", "damping", "q_factor"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(sharded, name)), np.asarray(getattr(single, name)),
+            rtol=1e-5, atol=1e-6, err_msg=name)
+
+
+def test_fdd_on_mesh_matches_single_device():
+    """FDD's per-bin power-iteration SVD under NamedSharding (frequency axis
+    sharded): identical modes, shapes, and singular spectra."""
+    from apda_fft_tpu.models.modal import fdd
+
+    jax.clear_caches()  # headroom vs the jaxlib 0.9 accumulation abort (conftest)
+
+    rng = np.random.default_rng(3)
+    fs, t_len, s = 200.0, 16384, 4
+    t = np.arange(t_len) / fs
+    shape1 = np.array([1.0, 0.8, 0.5, 0.2])
+    shape2 = np.array([1.0, -0.3, -0.9, 0.6])
+    drive1 = np.sin(2 * np.pi * 12.5 * t + rng.uniform(0, 6.28))
+    drive2 = np.sin(2 * np.pi * 33.8 * t + rng.uniform(0, 6.28))
+    records = (shape1[:, None] * drive1[None, :]
+               + 0.7 * shape2[:, None] * drive2[None, :]
+               + 0.05 * rng.standard_normal((s, t_len))).astype(np.float32)
+
+    mesh = make_mesh(8, ("data",))
+    res_mesh = fdd(records, fs, window=1024, mesh=mesh)
+    res_single = fdd(records, fs, window=1024, selection="sort")
+
+    assert res_mesh.count == res_single.count and res_mesh.count >= 2
+    np.testing.assert_array_equal(res_mesh.idx, res_single.idx)
+    np.testing.assert_array_equal(res_mesh.freq, res_single.freq)
+    np.testing.assert_allclose(res_mesh.sv1, res_single.sv1, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(res_mesh.shape_re, res_single.shape_re,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(res_mesh.shape_im, res_single.shape_im,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_dynamic_two_tier_budget_on_mesh():
+    """The dynamic candidate budget (scalar readback + learned two-tier
+    split) composes with the sharded epoch path: decisions match a flat
+    big-budget single-device run, and the tier actually engages."""
+    from apda_fft_tpu.models import pipeline
+    from apda_fft_tpu.models.pipeline import analyze_epoch, last_dynamic_stats
+
+    jax.clear_caches()  # headroom vs the jaxlib 0.9 accumulation abort (conftest)
+
+    pipeline._dynamic_budget.clear()
+    pipeline._dynamic_budget_hwm.clear()
+    pipeline._dynamic_tier.clear()
+    mesh = make_mesh(8, ("data",))
+    n = 4096
+    fs = np.full((64,), 500.0, np.float32)
+    x1 = _noisy_corpus(64, n, seed=11)
+
+    res1 = analyze_epoch_sharded(x1, fs, mesh=mesh, n_fft=n, mode="flexible")
+    ref1 = analyze_epoch(x1, fs, n_fft=n, mode="flexible", max_candidates=256,
+                         backend="matmul", selection="sort", batch_chunk=0)
+    for name in ("count", "idx", "freq", "mag"):
+        assert np.array_equal(
+            np.asarray(getattr(res1, name)), np.asarray(getattr(ref1, name))
+        ), name
+
+    # Second epoch rides whatever budget/tier the first one learned; the
+    # sharded dynamic path must still be decision-exact.
+    x2 = _noisy_corpus(64, n, seed=12)
+    res2 = analyze_epoch_sharded(x2, fs, mesh=mesh, n_fft=n, mode="flexible")
+    stats = dict(last_dynamic_stats())
+    ref2 = analyze_epoch(x2, fs, n_fft=n, mode="flexible", max_candidates=256,
+                         backend="matmul", selection="sort", batch_chunk=0)
+    for name in ("count", "idx", "freq", "mag"):
+        assert np.array_equal(
+            np.asarray(getattr(res2, name)), np.asarray(getattr(ref2, name))
+        ), name
+    # The dynamic machinery ran on the mesh path (budget tracked, one or
+    # two passes, learned state keyed like the single-device path).
+    assert stats.get("candidate_budget", 0) >= 2
+    assert (n, "flexible") in pipeline._dynamic_budget
+
+
+def test_fused_detector_routing_excludes_spmd(monkeypatch):
+    """The fused Pallas detector must never route on mesh paths:
+    pallas_call has no SPMD partitioning rule, so `auto_spmd` selection
+    (what every sharded entry point pins) bypasses it even on TPU with the
+    env knob on (models/pipeline.py routing contract)."""
+    from apda_fft_tpu.models import pipeline
+
+    monkeypatch.setenv("APDA_FUSED_DETECTOR", "1")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # All other gates open: lane-aligned H, budget past the crossover.
+    assert pipeline._route_fused_detector(2048, 32, "sort") is True
+    assert pipeline._route_fused_detector(2048, 32, "auto_spmd") is False
+    # And the sharded entry points do pin auto_spmd by default (the kwargs
+    # contract the routing exclusion depends on).
+    import inspect
+
+    from apda_fft_tpu.parallel import mesh as mesh_mod
+
+    for fn in (mesh_mod.analyze_epoch_sharded, mesh_mod.analyze_welch_sharded):
+        src = inspect.getsource(fn)
+        assert 'setdefault("selection", "auto_spmd")' in src, fn.__name__
