@@ -27,6 +27,44 @@ if _ROOT not in sys.path:
     sys.path.insert(0, _ROOT)
 
 
+def provenance(allow_dirty: bool = False) -> dict:
+    """Git SHA + timestamp for the artifact; refuse to measure a dirty tree.
+
+    VERDICT r3 weak #2: a PARITY artifact with no provenance can silently
+    go stale against HEAD.  Every artifact now records the exact SHA it
+    was measured at, and measuring an uncommitted tree is an error (the
+    artifact would attest to code that git cannot reproduce) unless
+    explicitly overridden for local iteration.
+    """
+    import datetime
+    import subprocess
+
+    def git(*args: str) -> str:
+        return subprocess.run(
+            ["git", *args], cwd=_ROOT, check=True, capture_output=True,
+            text=True,
+        ).stdout.strip()
+
+    sha = git("rev-parse", "HEAD")
+    dirty = [
+        line for line in git("status", "--porcelain").splitlines()
+        # The artifact itself (and driver bookkeeping) may already exist
+        # modified in the tree; only SOURCE changes invalidate provenance.
+        if not line[3:].startswith(("PARITY_", "BENCH_", "MULTICHIP_",
+                                    "ACCURACY_", "PROGRESS.jsonl"))
+    ]
+    if dirty and not allow_dirty:
+        print("evidence.py: working tree is dirty; commit first or pass "
+              "--allow-dirty:\n" + "\n".join(dirty), file=sys.stderr)
+        raise SystemExit(2)
+    return {
+        "git_sha": sha,
+        "git_dirty": bool(dirty),
+        "measured_utc": datetime.datetime.now(datetime.timezone.utc)
+        .isoformat(timespec="seconds"),
+    }
+
+
 def collect(fuzz_cases: int = 150, configs=(1, 2, 3, 4, 5), backend: str = "matmul") -> dict:
     import jax
 
@@ -136,6 +174,24 @@ def collect(fuzz_cases: int = 150, configs=(1, 2, 3, 4, 5), backend: str = "matm
         ok = False
     print(f"# soak: {json.dumps(evidence['soak'])}", file=sys.stderr, flush=True)
 
+    # 6b) Full-features soak: the ENTIRE beyond-reference monitoring surface
+    #     (drift + temp compensation, FDD + SSI + harmonic check, mixed-ODR
+    #     decimation, shock SRS, vibration severity + alert) coexisting
+    #     under faulted traffic, asserted by its own history-line gates.
+    try:
+        from benchmarks.soak import run_soak as _run_soak_ff
+
+        soak_ff = _run_soak_ff(n_sensors=16, epochs=8, analysis="epoch",
+                               seed=1, full_features=True)
+        evidence["soak_full_features"] = soak_ff
+        ok &= bool(soak_ff.get("ok"))
+    except Exception as exc:  # noqa: BLE001
+        evidence["soak_full_features"] = {
+            "metric": "gateway_fault_soak_full", "error": str(exc)}
+        ok = False
+    print(f"# soak_ff: {json.dumps(evidence['soak_full_features'])}",
+          file=sys.stderr, flush=True)
+
     # 7) Host ingest throughput: the fused native codec path must be live
     #    (a silent fallback to the pure-Python codec fails the floor).
     try:
@@ -168,11 +224,15 @@ def collect(fuzz_cases: int = 150, configs=(1, 2, 3, 4, 5), backend: str = "matm
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="PARITY_r03.json")
+    ap.add_argument("--out", default="PARITY_r04.json")
     ap.add_argument("--fuzz-cases", type=int, default=150)
     ap.add_argument("--backend", default="matmul")
     ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--allow-dirty", action="store_true",
+                    help="measure an uncommitted tree (artifact flagged)")
     args = ap.parse_args()
+
+    prov = provenance(allow_dirty=args.allow_dirty)
 
     from apda_fft_tpu.utils.watchdog import connect_with_watchdog
 
@@ -182,6 +242,7 @@ def main() -> None:
         configs=tuple(int(c) for c in args.configs.split(",")),
         backend=args.backend,
     )
+    evidence.update(prov)
     with open(args.out, "w") as fh:
         json.dump(evidence, fh, indent=1)
     print(json.dumps({"metric": "evidence", "out": args.out, "ok": evidence["ok"]}))

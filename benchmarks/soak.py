@@ -91,6 +91,12 @@ def run_soak(
                 "harmonic_check": True,
                 "modal_decimate": True,
                 "shock_srs": True,
+                # ISO vibration severity per acquisition; the 12.3 Hz unit
+                # tone integrates to ~90 mm/s, so the 50 mm/s threshold
+                # exercises the edge-triggered alert latch on every sensor.
+                "vibration_severity": True,
+                "severity_band_hz": [5.0, 100.0],
+                "severity_alert_mms": 50.0,
             })
         json.dump({"gateway": gw_cfg}, fh)
     open(os.path.join(workdir, "config.txt"), "w").close()
@@ -228,6 +234,8 @@ def run_soak(
         "fdd_lines": history.count("[FDD]"),
         "ssi_lines": history.count("[SSI]"),
         "srs_lines": history.count("Shock SRS:"),
+        "severity_lines": history.count("Vibration severity"),
+        "severity_alerts": history.count("vibration severity"),
         "loop_errors": history.count("Error in main loop"),
     }
     faults = counts["dropped"] + counts["truncated"]
@@ -241,6 +249,8 @@ def run_soak(
         and (faults == 0 or result["anomalous_closures"] > 0)
         and (not full_features or (result["fdd_lines"] > 0
                                    and result["ssi_lines"] > 0
+                                   and result["severity_lines"] > 0
+                                   and result["severity_alerts"] > 0
                                    and (counts["shock"] == 0
                                         or result["srs_lines"] > 0)))
     )

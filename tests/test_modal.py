@@ -849,3 +849,34 @@ def test_gateway_harmonic_check_tags_report(tmp_path):
     clean = [ln for ln in fdd_lines if "HARMONIC" not in ln]
     assert any("f=22." in ln for ln in harm), fdd_lines
     assert any("f=9." in ln and "kurt=" in ln for ln in clean), fdd_lines
+
+
+def test_mode_track_damping_estimate_aggregates():
+    """damping_estimate: mean/sem over valid observations (the 1/sqrt(n)
+    aggregation that reaches 2-3% damping precision - DESIGN.md
+    "Damping fidelity study"); NaN/zero draws excluded."""
+    from apda_fft_tpu.models.modal import ModeTrack
+
+    tr = ModeTrack(0, 0, 3.1, np.ones(4), damping=1.0)
+    rng = np.random.default_rng(0)
+    draws = 1.0 + 0.15 * rng.standard_normal(24)
+    for t, d in enumerate(draws, start=1):
+        tr.observe(t, 3.1, np.ones(4), float(d))
+    tr.observe(99, 3.1, np.ones(4), float("nan"))
+    tr.observe(100, 3.1, np.ones(4), 0.0)
+
+    mean, sem, n = tr.damping_estimate()
+    assert n == 25  # birth + 24 draws; nan and 0 excluded
+    expect = np.concatenate([[1.0], draws])
+    assert mean == pytest.approx(expect.mean(), rel=1e-12)
+    assert sem == pytest.approx(expect.std(ddof=1) / np.sqrt(25), rel=1e-12)
+    # windowed form
+    mean5, sem5, n5 = tr.damping_estimate(k=5)
+    assert n5 == 5 and mean5 == pytest.approx(draws[-5:].mean(), rel=1e-12)
+    # degenerate cases
+    empty = ModeTrack(1, 0, 3.1, np.ones(4), damping=float("nan"))
+    m, s, n0 = empty.damping_estimate()
+    assert n0 == 0 and np.isnan(m)
+    one = ModeTrack(2, 0, 3.1, np.ones(4), damping=2.0)
+    m1, s1, n1 = one.damping_estimate()
+    assert (m1, s1, n1) == (2.0, 0.0, 1)
