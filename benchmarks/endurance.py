@@ -1,0 +1,385 @@
+"""Endurance soak: hundreds of faulted epochs + a mid-soak hard restart.
+
+VERDICT r3 item 5: the committed fault soaks are <= 12 epochs; nothing
+proved the gateway holds its resource ceilings over a long deployment, or
+that a crash mid-deployment resumes without duplicate uploads or
+re-baselining the damage trackers.  This harness runs the full-features
+gateway (drift + temperature compensation, FDD + SSI + harmonic check,
+mixed-ODR decimation, shock SRS, vibration severity) through >= 200
+faulted epochs and asserts:
+
+* bounded RSS (no monotone leak after the compile warm-up),
+* zero fd growth,
+* bounded compiled-program count (the ``jax.clear_caches`` lesson:
+  executables must not accumulate per-epoch),
+* the modal/SSI tracker rosters honor the 64-key LRU cap while roster
+  churn from faulted traffic creates far more distinct keys,
+* a HARD mid-soak restart (the service object is abandoned without
+  ``stop()``, a new one starts on the same workdir) resumes: stranded
+  files requeue via orphan recovery, drift/modal tracker state reloads
+  (same track, same birth frequency - no re-baselining), the alert-dedup
+  set survives, and no file is ever uploaded twice.
+
+Reference recovery contract this extends: ``GT_FFT_v5.py:706-739`` and
+``:312-355`` (queue retry + cleanup), whose in-memory queues a restart
+destroys - files-as-checkpoint is the durability model here.
+
+Usage:
+    python benchmarks/endurance.py [--epochs 200] [--sensors 16] \
+        [--out ENDURANCE_r04.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
+
+def _rss_mb() -> float:
+    with open("/proc/self/status") as fh:
+        for line in fh:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024.0
+    return -1.0
+
+
+def _fd_count() -> int:
+    return len(os.listdir("/proc/self/fd"))
+
+
+def _compiled_count() -> int:
+    """Executable count across the hot jitted entry points.
+
+    Per-entry ``_cache_size()`` counts one executable per traced
+    (shape, static-args) signature - the quantity that accumulated into
+    the jaxlib 0.9 suite-scale crash (docs/ROUND3.md); a leak here means
+    some per-epoch value is being baked into a trace signature.
+    """
+    total = 0
+    from apda_fft_tpu.models import modal, pipeline, streaming
+    from apda_fft_tpu.ops import integrate
+
+    for fn in (
+        pipeline._analyze_epoch_impl,
+        streaming._welch_impl,
+        modal._csd_impl,
+        modal.sv_spectra,
+        integrate._integrate_impl,
+        integrate._severity_impl,
+    ):
+        try:
+            total += fn._cache_size()
+        except Exception:  # noqa: BLE001 - API drift must not kill the soak
+            return -1
+    return total
+
+
+class _TickingClock:
+    """Deterministic 1 s-per-reading clock (shared across restarts).
+
+    Wall-clock file naming is second-granular; a fast simulated epoch can
+    land two acquisitions from one sensor in the same real second, colliding
+    their filenames (observed as flaky duplicate-upload counts).  Real
+    deployments send minutes apart; the harness pins determinism instead.
+    """
+
+    def __init__(self):
+        import datetime
+
+        self._t = datetime.datetime(2026, 8, 19, 8, 0, 0)
+
+    def __call__(self):
+        import datetime
+
+        self._t += datetime.timedelta(seconds=1)
+        return self._t
+
+
+def _make_service(cfg_path, data_dir, uploads, clock):
+    from apda_fft_tpu.gateway.config import GatewayConfig
+    from apda_fft_tpu.gateway.egress import FtpSink, HttpSink
+    from apda_fft_tpu.gateway.service import GatewayService
+    from apda_fft_tpu.gateway.transport import LoopbackTransport
+
+    class RecordingFtp(FtpSink):
+        def upload(self, addr, files, log):
+            uploads.extend(files)
+            return list(files)
+
+    class RecordingHttp(HttpSink):
+        def upload(self, addr, files, local_dir, fft_result, log):
+            return list(files)
+
+    config = GatewayConfig.load(cfg_path)
+    transport = LoopbackTransport()
+    svc = GatewayService(
+        config, transport, flush_mode="on_sync", clock=clock,
+        ftp_sink=RecordingFtp(config.ftp, data_dir),
+        http_sink=RecordingHttp(""),
+    )
+    svc.start()
+    return svc, transport
+
+
+def run_endurance(
+    n_sensors: int = 16,
+    epochs: int = 200,
+    seed: int = 0,
+    workdir: str | None = None,
+    restart_epoch: int | None = None,
+    sample_every: int = 10,
+) -> dict:
+    from apda_fft_tpu.gateway.transport import SensorSimulator
+
+    rng = np.random.default_rng(seed)
+    workdir = workdir or tempfile.mkdtemp(prefix="apda_endurance_")
+    data_dir = os.path.join(workdir, "SHM_Data") + os.sep
+    os.makedirs(data_dir, exist_ok=True)
+    cfg_path = os.path.join(workdir, "gw.json")
+    with open(cfg_path, "w") as fh:
+        json.dump({"gateway": {
+            "logger_file": data_dir + "history.log",
+            "device_file": data_dir + "devices.txt",
+            "config_file": os.path.join(workdir, "config.txt"),
+            "data_dir": data_dir,
+            "is_flexibile_structure": True,
+            "analysis": "epoch",
+            "analyze_shock": True,
+            "drift_alert_rel": 0.02,
+            "drift_temp_compensate": True,
+            "fdd_report": True,
+            "fdd_window": 256,
+            "fdd_min_sensors": 2,
+            "ssi_report": True,
+            "ssi_block_rows": 12,
+            "ssi_damping_alert": 0.8,
+            "harmonic_check": True,
+            "modal_decimate": True,
+            "shock_srs": True,
+            "vibration_severity": True,
+            "severity_band_hz": [5.0, 100.0],
+            "severity_alert_mms": 50.0,
+        }}, fh)
+    open(os.path.join(workdir, "config.txt"), "w").close()
+
+    restart_epoch = epochs // 2 if restart_epoch is None else restart_epoch
+    uploads: list[str] = []
+    clock = _TickingClock()
+    svc, transport = _make_service(cfg_path, data_dir, uploads, clock)
+
+    macs = [f"0013a20041e7{i:04x}" for i in range(n_sensors)]
+    counts = {"clean": 0, "dropped": 0, "truncated": 0, "shock": 0,
+              "reduced": 0, "skipped": 0}
+    samples: list[dict] = []
+    roster_max = {"modal": 0, "ssi": 0, "drift": 0}
+    restart_report: dict = {}
+    t0 = time.perf_counter()
+
+    def epoch_traffic(epoch: int) -> None:
+        for i, mac in enumerate(macs):
+            # Faulted traffic mix + per-epoch delivery churn: ~15% of
+            # sensors skip each epoch, so the FDD/SSI roster (the set of
+            # sensors that delivered together) varies - the churn that
+            # must exercise, and stay inside, the 64-key tracker LRU.
+            if rng.random() < 0.15:
+                counts["skipped"] += 1
+                continue
+            axis = "XYZ"[i % 3]
+            fs_i = 125.0 if i % 2 else 250.0
+            temp_i = 20.0 + 8.0 * np.sin(2 * np.pi * epoch / 50.0) \
+                + float(rng.normal(0, 0.5))
+            sim = SensorSimulator(mac, fs=fs_i, axis=axis, chunk=200,
+                                  seed=seed * 7919 + epoch * 131 + i,
+                                  temperature=temp_i)
+            n = int(rng.choice([1000, 2048]))
+            t = np.arange(n) / fs_i
+            x = (np.sin(2 * np.pi * 12.3 * t)
+                 + 0.5 * np.sin(2 * np.pi * (47.7 if fs_i > 200 else 31.4) * t)
+                 + 0.3 * rng.standard_normal(n))
+            total_pkts = 1 + max(1, -(-(n - 200) // 200))
+            kind = rng.random()
+            if kind < 0.72:
+                sim.stream_acquisition(transport, x)
+                counts["clean"] += 1
+            elif kind < 0.82 and total_pkts >= 4:
+                sim.stream_acquisition(
+                    transport, x, drop_packets={int(rng.integers(2, total_pkts))})
+                counts["dropped"] += 1
+            elif kind < 0.90 and total_pkts >= 4:
+                sim.stream_acquisition(
+                    transport, x, truncate_after=int(rng.integers(2, total_pkts)))
+                counts["truncated"] += 1
+            elif kind < 0.96:
+                td = np.arange(256) / 250.0
+                sim.shock_event(
+                    transport, np.exp(-2.0 * td) * np.sin(2 * np.pi * 20.0 * td))
+                counts["shock"] += 1
+            else:
+                sim.reduced_data(transport, x[:500])
+                counts["reduced"] += 1
+        svc.drain()
+
+    def epoch_sync() -> None:
+        for mac in macs:
+            SensorSimulator(mac).heartbeat(transport)
+        svc.drain()
+
+    for epoch in range(epochs):
+        epoch_traffic(epoch)
+        if epoch == restart_epoch:
+            # HARD restart BETWEEN traffic and the sync flush: every file
+            # of this epoch is on disk but unuploaded (the queues holding
+            # them are in-memory and about to be destroyed) - the exact
+            # state the reference's restart loses files in.  Snapshot the
+            # damage baselines first to prove the new process resumes them.
+            pre_alerted = set(svc._alerted)
+            pre_tracks = {}
+            for key, tr in list(svc.trackers.items())[:4]:
+                live = tr.tracks()
+                if live:
+                    best = max(live, key=lambda t: len(t.freqs))
+                    pre_tracks[key] = (best.freqs[0], len(best.freqs))
+            pre_uploads = len(uploads)
+            del svc, transport
+            svc, transport = _make_service(cfg_path, data_dir, uploads, clock)
+            resumed, rebaselined = 0, 0
+            for key, (f0, ln) in pre_tracks.items():
+                tr = svc.trackers.get(key)
+                match = tr is not None and any(
+                    t.freqs and abs(t.freqs[0] - f0) < 1e-9 and len(t.freqs) >= ln
+                    for t in tr.tracks()
+                )
+                resumed += int(match)
+                rebaselined += int(not match)
+            restart_report = {
+                "epoch": epoch,
+                "alerted_preserved": pre_alerted <= set(svc._alerted),
+                "tracks_sampled": len(pre_tracks),
+                "tracks_resumed": resumed,
+                "tracks_rebaselined": rebaselined,
+                "uploads_before": pre_uploads,
+                "orphans_requeued": "[RECOVERY]" in open(
+                    svc.config.logger_file).read(),
+            }
+            print(f"# restart: {json.dumps(restart_report)}",
+                  file=sys.stderr, flush=True)
+        epoch_sync()
+        roster_max["modal"] = max(roster_max["modal"], len(svc._modal_trackers))
+        roster_max["ssi"] = max(roster_max["ssi"], len(svc._ssi_trackers))
+        roster_max["drift"] = max(roster_max["drift"], len(svc.trackers))
+        if epoch % sample_every == 0 or epoch == epochs - 1:
+            samples.append({
+                "epoch": epoch,
+                "rss_mb": round(_rss_mb(), 1),
+                "fds": _fd_count(),
+                "compiled": _compiled_count(),
+            })
+            print(f"# epoch {epoch}: {json.dumps(samples[-1])}",
+                  file=sys.stderr, flush=True)
+
+    # Drain: every sensor syncs until queues empty (sinks always succeed).
+    for _ in range(4):
+        for mac in macs:
+            SensorSimulator(mac).heartbeat(transport)
+        svc.drain()
+        if not any(svc.ftp_queue.get(m) or svc.api_queue.get(m) for m in macs):
+            break
+    svc.stop()
+
+    wall = time.perf_counter() - t0
+    history = open(svc.config.logger_file).read()
+    old = svc.config.logger_file + ".old"
+    if os.path.exists(old):
+        history = open(old).read() + history
+
+    dupes = len(uploads) - len(set(uploads))
+    from collections import Counter
+
+    dupe_names = sorted(
+        n for n, c in Counter(uploads).items() if c > 1)[:10]
+    still_open = {os.path.basename(p) for p in svc.open_file.values()}
+    stranded = [f for f in os.listdir(data_dir) if f.endswith(".log")
+                and not f.startswith("history") and f not in still_open]
+    # RSS ceiling: compare the steady-state tail against the post-warm-up
+    # quarter point; compile warm-up growth is expected, a monotone leak is
+    # not.
+    quarter = samples[max(1, len(samples) // 4)]
+    rss_growth = samples[-1]["rss_mb"] - quarter["rss_mb"]
+    compiled_max = max(s["compiled"] for s in samples)
+    fd_growth = samples[-1]["fds"] - samples[0]["fds"]
+
+    result = {
+        "metric": "gateway_endurance_soak",
+        "sensors": n_sensors,
+        "epochs": epochs,
+        "traffic": counts,
+        "wall_s": round(wall, 1),
+        "uploads": len(uploads),
+        "duplicate_uploads": dupes,
+        "duplicate_names": dupe_names,
+        "rss_mb_quarter": quarter["rss_mb"],
+        "rss_mb_final": samples[-1]["rss_mb"],
+        "rss_growth_mb": round(rss_growth, 1),
+        "fd_growth": fd_growth,
+        "compiled_max": compiled_max,
+        "roster_max": roster_max,
+        "restart": restart_report,
+        "critical_lines": history.count("CRITICAL"),
+        "loop_errors": history.count("Error in main loop"),
+        "stranded_files": len(stranded),
+        "severity_lines": history.count("Vibration severity"),
+        "srs_lines": history.count("Shock SRS:"),
+        "fdd_lines": history.count("[FDD]"),
+        "ssi_lines": history.count("[SSI]"),
+        "samples": samples,
+    }
+    result["ok"] = (
+        dupes == 0
+        and rss_growth < 200.0
+        and fd_growth <= 4
+        and 0 <= compiled_max <= 128
+        and roster_max["modal"] <= 64
+        and roster_max["ssi"] <= 64
+        and result["critical_lines"] == 0
+        and result["loop_errors"] == 0
+        and result["stranded_files"] == 0
+        and bool(restart_report)
+        and restart_report["tracks_rebaselined"] == 0
+        and restart_report["tracks_resumed"] >= 1
+        and restart_report["alerted_preserved"]
+        and restart_report["orphans_requeued"]
+        and result["severity_lines"] > 0
+        and result["fdd_lines"] > 0
+        and result["ssi_lines"] > 0
+    )
+    return result
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sensors", type=int, default=16)
+    ap.add_argument("--epochs", type=int, default=200)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+    result = run_endurance(n_sensors=args.sensors, epochs=args.epochs,
+                           seed=args.seed)
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(result, fh, indent=1)
+    print(json.dumps({k: v for k, v in result.items() if k != "samples"}))
+    raise SystemExit(0 if result["ok"] else 1)
+
+
+if __name__ == "__main__":
+    main()
