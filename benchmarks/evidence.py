@@ -50,8 +50,12 @@ def provenance(allow_dirty: bool = False) -> dict:
         line for line in git("status", "--porcelain").splitlines()
         # The artifact itself (and driver bookkeeping) may already exist
         # modified in the tree; only SOURCE changes invalidate provenance.
-        if not line[3:].startswith(("PARITY_", "BENCH_", "MULTICHIP_",
-                                    "ACCURACY_", "PROGRESS.jsonl"))
+        # (Parse the path by splitting, not by offset: the subprocess strip
+        # removes the first line's leading status space.)
+        if line.split(maxsplit=1)
+        and not line.split(maxsplit=1)[-1].startswith(
+            ("PARITY_", "BENCH_", "MULTICHIP_", "ACCURACY_", "ENDURANCE_",
+             "PROGRESS.jsonl"))
     ]
     if dirty and not allow_dirty:
         print("evidence.py: working tree is dirty; commit first or pass "
