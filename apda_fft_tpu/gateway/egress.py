@@ -118,21 +118,27 @@ def prepare_api_payload(
     current_rms = {"X": log.rms_x, "Y": log.rms_y, "Z": log.rms_z}.get(axis, 0.0)
 
     current_fft = fft_result.get(log.axis, {})
+    metriche = {
+        "temp": log.temperature,
+        "humidity": log.humidity,
+        "phi": phi,
+        "theta": theta,
+        "rms_asse": current_rms,
+        "fft_freqs": [current_fft.get(f"peak_freq_{i}", 0.0) for i in range(1, 5)],
+        "fft_mags": [current_fft.get(f"max_mag_{i}", 0.0) for i in range(1, 5)],
+    }
+    if "velocity_rms_mms" in current_fft:
+        # Beyond-reference, additive: the gateway's vibration_severity
+        # option computed the ISO serviceability number; ship it with the
+        # summary instead of making the server re-derive it from samples.
+        metriche["velocity_rms_mms"] = current_fft["velocity_rms_mms"]
     return {
         "mac": addr,
         "timestamp": ts.isoformat(),
         "asse": axis,
         "fs": log.fs,
         "sensitivity": log.sensitivity,
-        "metriche": {
-            "temp": log.temperature,
-            "humidity": log.humidity,
-            "phi": phi,
-            "theta": theta,
-            "rms_asse": current_rms,
-            "fft_freqs": [current_fft.get(f"peak_freq_{i}", 0.0) for i in range(1, 5)],
-            "fft_mags": [current_fft.get(f"max_mag_{i}", 0.0) for i in range(1, 5)],
-        },
+        "metriche": metriche,
         "samples": log.samples,
     }
 

@@ -1180,7 +1180,7 @@ def test_vibration_severity_wiring(tmp_path):
     """
     from apda_fft_tpu.gateway.egress import AlertWebhook
 
-    svc, transport, *_ = make_service(
+    svc, transport, _, api_posts = make_service(
         tmp_path, gateway_extra={
             "vibration_severity": True,
             "severity_band_hz": [10.0, 200.0],
@@ -1211,6 +1211,13 @@ def test_vibration_severity_wiring(tmp_path):
     assert alerts[0]["addr"] == MAC and alerts[0]["axis"] == "X"
     assert alerts[0]["velocity_rms_mms"] == entry["velocity_rms_mms"]
     assert alerts[0]["limit_mms"] == 10.0
+
+    # The severity value rides the FastAPI summary (additive metriche
+    # field) at the sync flush.
+    sim.heartbeat(transport)
+    svc.drain()
+    assert api_posts and api_posts[-1]["metriche"]["velocity_rms_mms"] == \
+        pytest.approx(expect_mms, rel=0.02)
 
     # Second loud acquisition: still over -> latched, no duplicate alert.
     sim.stream_acquisition(transport, loud)
