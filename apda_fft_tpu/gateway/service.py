@@ -792,7 +792,17 @@ class GatewayService:
                     f"\t[WARN] severity band ({f_lo}, {f_hi}) Hz empty at "
                     f"fs={fs:g} for {addr}; skipping\n")
                 continue
-            by_shape.setdefault((len(samples), fs), []).append(
+            # Quantize the record length DOWN to a coarse grid (same
+            # executable-count bound as the modal-group alignment in
+            # _fdd_flush): truncated/faulted acquisitions otherwise feed a
+            # long tail of distinct lengths into the jitted severity
+            # program; an RMS over >=256 samples loses nothing measurable
+            # to dropping < 256 trailing ones.
+            n = len(samples)
+            if n >= 256:
+                n -= n % 256
+                samples = samples[:n]
+            by_shape.setdefault((n, fs), []).append(
                 (addr, axis, samples))
         for (_, fs), group in sorted(by_shape.items()):
             x = np.stack([s for _, _, s in group])
@@ -883,6 +893,17 @@ class GatewayService:
             self._fdd_pending_age.pop((axis, fs), None)
             addrs = sorted(by_addr)
             t = min(len(by_addr[a][0]) for a in addrs)
+            # Quantize the aligned length DOWN to a coarse grid: faulted
+            # traffic (dropped/truncated packets) otherwise yields a long
+            # tail of distinct record lengths, and every new length is a
+            # fresh XLA trace signature for the CSD/correlation programs -
+            # a months-long gateway would accumulate executables without
+            # bound (the jaxlib accumulation lesson, docs/ROUND3.md;
+            # measured in the round-4 endurance soak: global executable
+            # count still climbing at epoch 150 before this fix).  Losing
+            # < 256 trailing samples is statistically negligible for
+            # Welch/correlation estimates.
+            t = max(t - (t % 256), min(t, 256))
             records = np.stack([by_addr[a][0][:t] for a in addrs])
             if self.config.fdd_report:
                 self._fdd_run(axis, fs, addrs, records)
