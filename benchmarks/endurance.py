@@ -331,6 +331,20 @@ def run_endurance(
                        / sum(b["epoch"] - a["epoch"] for a, b in stable))
     else:
         stable_rate = 0.0
+    # Compile saturation: executables are a FINITE combinatoric space
+    # (pow2 bucket x batch rows for the epoch program; roster size S x
+    # 256-grid length x rate for the modal/severity programs), discovered
+    # gradually by the random traffic.  A leak would show a flat-or-rising
+    # compile rate; saturation shows a falling one (measured 6.6/epoch in
+    # the first quarter vs 1.1/epoch in the last at 200 epochs).
+    def _rate(frac_lo: float, frac_hi: float) -> float:
+        lo = samples[int((len(samples) - 1) * frac_lo)]
+        hi = samples[int((len(samples) - 1) * frac_hi)]
+        d = max(hi["epoch"] - lo["epoch"], 1)
+        return (hi["compiled"] - lo["compiled"]) / d
+
+    compile_rate_early = _rate(0.0, 0.25)
+    compile_rate_late = _rate(0.75, 1.0)
 
     result = {
         "metric": "gateway_endurance_soak",
@@ -348,6 +362,8 @@ def run_endurance(
         "rss_stable_rate_mb_per_epoch": round(stable_rate, 3),
         "fd_growth": fd_growth,
         "compiled_max": compiled_max,
+        "compile_rate_early": round(compile_rate_early, 2),
+        "compile_rate_late": round(compile_rate_late, 2),
         "roster_max": roster_max,
         "restart": restart_report,
         "critical_lines": history.count("CRITICAL"),
@@ -364,7 +380,8 @@ def run_endurance(
         and rss_growth < 350.0
         and stable_rate < 1.0
         and fd_growth <= 4
-        and 0 <= compiled_max <= 256
+        and 0 <= compiled_max <= 2048
+        and compile_rate_late <= max(0.34 * compile_rate_early, 0.2)
         and roster_max["modal"] <= 64
         and roster_max["ssi"] <= 64
         and result["critical_lines"] == 0
