@@ -369,6 +369,10 @@ def cmd_severity(args) -> int:
     """
     from apda_fft_tpu.ops.integrate import G_TO_MMS2, velocity_rms
 
+    if args.flo >= args.fhi:
+        print(f"--flo must be < --fhi, got ({args.flo:g}, {args.fhi:g})",
+              file=sys.stderr)
+        return 1
     loaded = _load(args.files)
     if not loaded:
         print("no analyzable files", file=sys.stderr)
@@ -412,6 +416,12 @@ def cmd_integrate(args) -> int:
     (``ops/integrate.py``); read results from the flat middle of the
     record.  Units: input g -> g*s (velocity) or g*s^2 (displacement);
     --mms converts to mm/s / mm.
+
+    Default high-pass is 8 analysis bins (``8*fs/T``) with a one-octave
+    raised-cosine roll-off, so the accurate passband starts near
+    ``2.5x`` that (~20 bins).  Long-record low-mode displacement whose
+    modes sit below that edge needs an explicit lower ``--highpass``
+    (accepting more 1/w^2 noise amplification in exchange).
     """
     from apda_fft_tpu.ops.integrate import G_TO_MMS2, integrate_acceleration
 

@@ -825,6 +825,7 @@ class GatewayService:
         key = (addr, axis)
         if mms >= limit and key not in self._severity_over:
             self._severity_over.add(key)
+            self._drift_state_dirty = True  # latch persists with drift state
             self._alert(
                 "severity",
                 f"\t[ALERT] {addr} {axis}-axis: vibration severity "
@@ -833,8 +834,9 @@ class GatewayService:
                 velocity_rms_mms=round(mms, 4),
                 limit_mms=limit,
             )
-        elif mms < limit:
+        elif mms < limit and key in self._severity_over:
             self._severity_over.discard(key)
+            self._drift_state_dirty = True  # re-armed: persist the edge
 
     def _fdd_flush(self) -> None:
         """Array-level modal reports (FDD and/or SSI) at the sync boundary.
@@ -1205,6 +1207,7 @@ class GatewayService:
                 addr, _, axis = key.partition("/")
                 trackers[(addr, axis)] = PeakTracker.from_dict(tr_d)
             alerted = {(a, x, int(tid)) for a, x, tid in state.get("alerted", [])}
+            severity_over = {(a, x) for a, x in state.get("severity_over", [])}
         except FileNotFoundError:
             return
         except Exception as exc:  # noqa: BLE001 - corrupt state starts fresh
@@ -1212,6 +1215,10 @@ class GatewayService:
             return
         self.trackers = trackers
         self._alerted = alerted
+        # The severity latch persists with the other alert-dedup state:
+        # without it, a persistently-over sensor re-fires one duplicate
+        # severity alert per gateway restart (edge-trigger re-armed).
+        self._severity_over = severity_over
 
     def _save_drift_state(self) -> None:
         # Drop alert markers whose tracks no longer exist anywhere (pruned
@@ -1229,6 +1236,7 @@ class GatewayService:
                 for (addr, axis), tr in self.trackers.items()
             },
             "alerted": [[a, x, tid] for a, x, tid in sorted(self._alerted)],
+            "severity_over": [[a, x] for a, x in sorted(self._severity_over)],
         }
         tmp = self._drift_state_path + ".tmp"
         try:

@@ -375,6 +375,14 @@ def run_endurance(
         "ssi_lines": history.count("[SSI]"),
         "samples": samples,
     }
+    if compiled_max < 0:
+        # Distinguish probe loss from a real ceiling breach: the count
+        # comes from a private jax API (_get_cpp_global_cache); on drift
+        # the gate failure must say so, not misdiagnose an executable leak.
+        result["compile_gate_error"] = (
+            "compiled-count probe unavailable (jax private API drift); "
+            "compile gates not evaluated"
+        )
     result["ok"] = (
         dupes == 0
         and rss_growth < 350.0

@@ -46,16 +46,30 @@ def provenance(allow_dirty: bool = False) -> dict:
         ).stdout.strip()
 
     sha = git("rev-parse", "HEAD")
+
+    # The artifact itself (and driver bookkeeping) may already exist
+    # modified in the tree; only SOURCE changes invalidate provenance.
+    # Match exact artifact FILENAMES, not path prefixes: a source file that
+    # merely starts with a prefix (e.g. BENCH_utils.py) must still count as
+    # dirty.  Rename lines ("R old -> new") are bookkeeping only when BOTH
+    # sides are artifacts.
+    import re
+
+    artifact = re.compile(
+        r"^(?:(?:PARITY|BENCH|MULTICHIP|ACCURACY|ENDURANCE|SCALE)_r?\d+\.json"
+        r"|PROGRESS\.jsonl)$"
+    )
+
+    def _is_bookkeeping(line: str) -> bool:
+        parts = line.split(maxsplit=1)
+        if not parts:
+            return True  # blank status line
+        paths = parts[-1].split(" -> ")
+        return all(artifact.match(p.strip().strip('"')) for p in paths)
+
     dirty = [
         line for line in git("status", "--porcelain").splitlines()
-        # The artifact itself (and driver bookkeeping) may already exist
-        # modified in the tree; only SOURCE changes invalidate provenance.
-        # (Parse the path by splitting, not by offset: the subprocess strip
-        # removes the first line's leading status space.)
-        if line.split(maxsplit=1)
-        and not line.split(maxsplit=1)[-1].startswith(
-            ("PARITY_", "BENCH_", "MULTICHIP_", "ACCURACY_", "ENDURANCE_",
-             "PROGRESS.jsonl"))
+        if not _is_bookkeeping(line)
     ]
     if dirty and not allow_dirty:
         print("evidence.py: working tree is dirty; commit first or pass "

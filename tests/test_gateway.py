@@ -1235,6 +1235,53 @@ def test_vibration_severity_wiring(tmp_path):
     assert len([p for p in posted if p["kind"] == "severity"]) == 2
 
 
+def test_severity_latch_survives_restart(tmp_path):
+    """The severity edge-trigger latch persists with the drift state: a
+    persistently-over sensor must NOT re-fire one duplicate alert per
+    gateway restart (exactly-once per excursion across restarts)."""
+    from apda_fft_tpu.gateway.egress import AlertWebhook
+
+    extra = {
+        "vibration_severity": True,
+        "severity_band_hz": [10.0, 200.0],
+        "severity_alert_mms": 10.0,
+        "drift_alert_rel": 0.02,
+    }
+    posted = []
+
+    def opener(req, timeout=None):
+        posted.append(json.loads(req.data.decode()))
+        return FakeResponse(200)
+
+    fs, n = 500.0, 1024
+    t = np.arange(n) / fs
+    loud = (0.5 * np.sin(2 * np.pi * 25.0 * t)).astype(np.float32)
+
+    svc, transport, *_ = make_service(tmp_path, gateway_extra=extra)
+    svc.alert_webhook = AlertWebhook("http://alerts.example/hook", opener=opener)
+    sim = SensorSimulator(MAC, fs=fs, axis="X", chunk=100)
+    sim.stream_acquisition(transport, loud)
+    svc.drain()
+    assert len([p for p in posted if p["kind"] == "severity"]) == 1
+    assert (MAC, "X") in svc._severity_over
+
+    # Restart: new process, same data_dir. Still-over traffic must not
+    # re-alert; the latch came back from drift_tracks.json.
+    svc2, transport2, *_ = make_service(tmp_path, gateway_extra=extra)
+    svc2.alert_webhook = AlertWebhook("http://alerts.example/hook", opener=opener)
+    assert (MAC, "X") in svc2._severity_over
+    sim.stream_acquisition(transport2, loud)
+    svc2.drain()
+    assert len([p for p in posted if p["kind"] == "severity"]) == 1
+
+    # Quiet re-arms, next excursion alerts again (edge semantics intact).
+    quiet = (0.01 * np.sin(2 * np.pi * 25.0 * t)).astype(np.float32)
+    sim.stream_acquisition(transport2, quiet)
+    sim.stream_acquisition(transport2, loud)
+    svc2.drain()
+    assert len([p for p in posted if p["kind"] == "severity"]) == 2
+
+
 def test_vibration_severity_skips_shock_and_empty_band(tmp_path):
     """Shock transients keep SRS pseudo-velocity (no steady-state severity);
     a band entirely above Nyquist is skipped with a WARN, not a crash."""
