@@ -68,6 +68,16 @@ class GatewayConfig:
     #: Shock transients always use the epoch path: Welch-averaging a
     #: decaying transient smears the ring-down.
     analysis: str = "epoch"
+    #: what feeds the analysis batch: "memory" (default) hands the pipeline
+    #: the in-memory decoded record, quantized through the same "%8.6f"
+    #: contract the on-disk format imposes, as packets stream in - the log
+    #: file is still written (durability + upload artifact) but never
+    #: re-parsed on the analysis hot path; "file" restores the reference's
+    #: write-then-re-parse round-trip (``GT_FFT_v5.py:627``), kept as the
+    #: parity/diagnostic mode.  Recovery paths (files without a live
+    #: in-memory record, e.g. after a mid-acquisition fault) re-parse the
+    #: file in both modes; decisions are bit-identical (tests/test_memfeed).
+    analysis_feed: str = "memory"
     #: Welch segment length in samples (padded to the next power of two)
     welch_window: int = 1024
     #: Welch hop in samples; 0 = 50% overlap (the standard Welch choice)
@@ -166,6 +176,12 @@ class GatewayConfig:
                     f"unknown analysis {analysis!r} in {config_path}; "
                     "expected 'epoch' or 'welch'"
                 )
+            analysis_feed = gw.get("analysis_feed", "memory")
+            if analysis_feed not in ("memory", "file"):
+                raise GatewayConfigError(
+                    f"unknown analysis_feed {analysis_feed!r} in {config_path}; "
+                    "expected 'memory' or 'file'"
+                )
             welch_window = int(gw.get("welch_window", 1024))
             welch_hop = int(gw.get("welch_hop", 0))
             welch_taper = gw.get("welch_taper", "hann")
@@ -243,6 +259,7 @@ class GatewayConfig:
                 analyze_shock=bool(gw.get("analyze_shock", False)),
                 shock_srs=bool(gw.get("shock_srs", False)),
                 analysis=analysis,
+                analysis_feed=analysis_feed,
                 welch_window=welch_window,
                 welch_hop=welch_hop,
                 welch_taper=welch_taper,

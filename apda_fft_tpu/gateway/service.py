@@ -38,10 +38,11 @@ from apda_fft_tpu.gateway.transport import Transport
 from apda_fft_tpu.io import native, packets
 from apda_fft_tpu.io.halffloat import decode_payload, format_samples
 from apda_fft_tpu.io.logfile import (
+    SensorLogBuilder,
+    acquisition_header_lines,
     append_marker,
     append_sample_values,
     load_sensor_log,
-    write_acquisition_header,
 )
 from apda_fft_tpu.models.batching import analyze_records, analyze_records_welch
 from apda_fft_tpu.models.pipeline import PipelineConfig, SpectralPipeline
@@ -108,6 +109,14 @@ class GatewayService:
         self.baseline: dict[str, float] = {}
         # Pending epoch batch: (addr, path) of completed, unanalyzed files.
         self.pending_analysis: list[tuple[str, str]] = []
+        # In-memory analysis feed (analysis_feed="memory"): per-open-file
+        # record builders keyed by PATH, fed the quantized samples as each
+        # packet lands, consumed (popped) by _analyze_files.  The log file
+        # is still written - durability + upload artifact - but the analysis
+        # hot path no longer re-parses it (the reference's write-then-
+        # re-parse round-trip, GT_FFT_v5.py:627 -> load_data.py:29-82, was
+        # pure overhead: host ingest ~1 Msamp/s vs device ~12 Gsamp/s).
+        self._mem_records: dict[str, "object"] = {}
         # Modal drift monitoring (beyond-reference): per-(sensor, axis)
         # peak tracks; a sustained relative drift past the configured
         # threshold writes one [ALERT] history line per track.  Tracker
@@ -256,6 +265,9 @@ class GatewayService:
                 self.ftp_queue.setdefault(addr, []).append(
                     os.path.basename(self.open_file[addr])
                 )
+                # Force-closed files upload as-is and are never analyzed:
+                # their in-memory record has no consumer.
+                self._mem_records.pop(self.open_file[addr], None)
                 self.open_file.pop(addr)
                 self.baseline.pop(addr, None)
             elif n_pack > expected:
@@ -272,18 +284,34 @@ class GatewayService:
 
     def _append_stream_samples(self, payload: bytes, offset: int, addr: str,
                                first_value: float) -> None:
-        if addr in self.open_file and os.path.exists(self.open_file[addr]):
-            raw = payload[offset:]
+        if not (addr in self.open_file and os.path.exists(self.open_file[addr])):
+            self.history(f"\t[WARN] write attempted on closed file for sensor {addr}\n")
+            return
+        path = self.open_file[addr]
+        raw = payload[offset:]
+        builder = self._mem_records.get(path)
+        try:
+            if builder is not None:
+                # Fused ingest + memory feed: one native call decodes,
+                # renders the "%8.6f;" tokens, appends them to the log
+                # file, and returns the finite quantized samples the
+                # analysis will consume - no re-parse later.
+                q = native.append_half_payload_quantized(path, raw, first_value)
+                if q is None:  # native unavailable: Python two-step
+                    vals = decode_payload(raw, first_value)
+                    append_sample_values(path, vals)
+                    q = native.quantize_parse(vals)
+                builder.append(q)
             # Fused native ingest (decode + "%8.6f;" render + append in one
             # call); the Python two-step is the parity-tested fallback.
-            if native.append_half_payload(
-                self.open_file[addr], raw, first_value
-            ) is None:
-                append_sample_values(
-                    self.open_file[addr], decode_payload(raw, first_value)
-                )
-        else:
-            self.history(f"\t[WARN] write attempted on closed file for sensor {addr}\n")
+            elif native.append_half_payload(path, raw, first_value) is None:
+                append_sample_values(path, decode_payload(raw, first_value))
+        except OSError:
+            # Bytes may be partially on disk; the in-memory record can no
+            # longer be trusted to mirror the file. Drop it - analysis (if
+            # the stream still completes) re-parses the file instead.
+            self._mem_records.pop(path, None)
+            raise
 
     # -- handlers ------------------------------------------------------------
 
@@ -305,8 +333,7 @@ class GatewayService:
         )
         self.open_file[addr] = filename
         self.expected_packet[addr] = 1
-        write_acquisition_header(
-            filename,
+        header_lines = acquisition_header_lines(
             header.time,
             header.range,
             header.odr,
@@ -316,6 +343,10 @@ class GatewayService:
             humidity=self.last_humidity.get(addr, 0.0),
             baselines=header.baselines,
         )
+        with open(filename, "w+") as fh:
+            fh.writelines(header_lines)
+        if self.config.analysis_feed == "memory":
+            self._register_mem_record(filename, header_lines)
         self._append_stream_samples(payload, 31, addr, first_value=0.0)
 
     def _on_mid(self, payload: bytes, addr: str) -> None:
@@ -354,6 +385,20 @@ class GatewayService:
         self.open_file.pop(addr, None)
         self.baseline.pop(addr, None)
         self.expected_packet[addr] = 0
+
+    _MEM_RECORDS_CAP = 256  # stranded-builder backstop (dead mid-stream sensors)
+
+    def _register_mem_record(self, path: str, header_lines: list[str]) -> None:
+        """Start the in-memory twin of a just-created acquisition file.
+
+        Bounded: a sensor that dies mid-stream leaves its builder with no
+        consumer; past the cap the oldest stranded builder is dropped
+        (its acquisition, if it ever completes, falls back to the file
+        re-parse - correctness is unaffected).
+        """
+        self._mem_records[path] = SensorLogBuilder(header_lines)
+        while len(self._mem_records) > self._MEM_RECORDS_CAP:
+            self._mem_records.pop(next(iter(self._mem_records)))
 
     def _open_recovery_file(self, addr: str, n_pck: int) -> None:
         """Anomalous-closure recovery file with inline gap marker (:421-426)."""
@@ -419,17 +464,26 @@ class GatewayService:
             filename = os.path.join(
                 self.config.data_dir, f"{addr}_{t.strftime('%d_%m_%Y_%H_%M_%S')}_shock.log"
             )
-            with open(filename, "w+") as fh:
+            shock_header_lines = [
                 # "100 Hz" with the standard spacing: the reference wrote
                 # "100Hz", which its parser's strip(" Hz") cannot convert.
-                fh.write(f"{header.time};2g;100 Hz;Unknown_axis; \n")
+                f"{header.time};2g;100 Hz;Unknown_axis; \n",
                 # 5-token summary row: the reference wrote "0;0;0;0;" whose
-                # missing humidity token made float(summary[4]) raise inside its
-                # own load_sensor, so shock files could never be served
+                # missing humidity token made float(summary[4]) raise inside
+                # its own load_sensor, so shock files could never be served
                 # (GT_FFT_v5.py:531-535 + utils/load_data.py:58).  Divergence
                 # documented in docs/PARITY.md.
-                fh.write("Asynced;\n0;0;0;0;0;\n0;0;0;\n")
+                "Asynced;\n", "0;0;0;0;0;\n", "0;0;0;\n",
+            ]
+            with open(filename, "w+") as fh:
+                fh.writelines(shock_header_lines)
             self.open_file[addr] = filename
+            if self.config.analysis_feed == "memory" and (
+                self.config.analyze_shock or self.config.shock_srs
+            ):
+                # Only analyzed files need the in-memory twin; raw-upload
+                # shock files would strand their builders.
+                self._register_mem_record(filename, shock_header_lines)
             self._append_stream_samples(payload, 4, addr, first_value=0.0)
 
             name = os.path.basename(filename)
@@ -586,7 +640,15 @@ class GatewayService:
         loaded = []
         for addr, path in batch:
             try:
-                rec = load_sensor_log(path)
+                # Memory feed first: the record accumulated while packets
+                # streamed in (already "%8.6f"-quantized).  Files without a
+                # live builder - recovery files, feed="file" mode, builders
+                # dropped after a mid-write fault - re-parse from disk, the
+                # reference's original (and now cold) path.
+                builder = self._mem_records.pop(path, None)
+                rec = builder.finish() if builder is not None else None
+                if rec is None:
+                    rec = load_sensor_log(path)
             except Exception as exc:  # noqa: BLE001 - malformed header fields
                 self.history(f"\t[WARN] file {path} unparseable ({exc}), skipping FFT\n")
                 continue

@@ -42,7 +42,10 @@ class SensorLog:
     first_x: float
     first_y: float
     first_z: float
-    samples: list[float]
+    #: list[float] from the file loader; float64 ndarray from the in-memory
+    #: builder (identical values either way - both sides of the "%8.6f"
+    #: quantization contract).
+    samples: list[float] | np.ndarray
 
     def as_dict(self) -> dict:
         """Reference-shaped {"metadata", "summary", "samples"} dict."""
@@ -69,31 +72,18 @@ class SensorLog:
         }
 
 
-def load_sensor_log(filepath: str | os.PathLike) -> SensorLog | None:
-    """Parse a gateway log file; None if under 5 lines (integrity check).
+def _from_header_lines(lines: list[str], samples) -> SensorLog:
+    """Build a SensorLog from the 4 header rows + parsed samples.
 
-    Parity with ``utils/load_data.py:29-82`` including: ``" Hz"`` strip on fs,
-    ``" axis"`` strip + space->underscore on the axis label, non-numeric
-    tokens skipped, non-finite samples dropped.
+    The one place the header-field derivation lives: the file loader and the
+    in-memory builder both call it, so the memory-fed analysis path cannot
+    drift from ``utils/load_data.py:40-64`` semantics (``" Hz"`` strip on fs,
+    ``" axis"`` strip + space->underscore on the axis label, ...).
     """
-    with open(filepath, "r", encoding="utf-8") as fh:
-        lines = fh.readlines()
-    if len(lines) < 5:
-        return None
-
     header = lines[0].strip().split(";")
     sync_raw = lines[1].strip().replace(";", "")
     summary = lines[2].strip().split(";")
     firsts = lines[3].strip().split(";")
-
-    # Sample region (rows 4+): hot path, natively parsed when the C++
-    # data-loader is available (csrc/apda_io.cc); parse_samples itself
-    # carries the NumPy fallback, so the token rules live in exactly two
-    # places (C and the fallback), not three.
-    from apda_fft_tpu.io import native
-
-    samples = native.parse_samples("".join(lines[4:])).tolist()
-
     return SensorLog(
         timestamp=header[0],
         sensitivity=header[1].replace(" ", ""),
@@ -113,6 +103,93 @@ def load_sensor_log(filepath: str | os.PathLike) -> SensorLog | None:
     )
 
 
+def load_sensor_log(filepath: str | os.PathLike) -> SensorLog | None:
+    """Parse a gateway log file; None if under 5 lines (integrity check).
+
+    Parity with ``utils/load_data.py:29-82`` including: ``" Hz"`` strip on fs,
+    ``" axis"`` strip + space->underscore on the axis label, non-numeric
+    tokens skipped, non-finite samples dropped.
+    """
+    with open(filepath, "r", encoding="utf-8") as fh:
+        lines = fh.readlines()
+    if len(lines) < 5:
+        return None
+
+    # Sample region (rows 4+): hot path, natively parsed when the C++
+    # data-loader is available (csrc/apda_io.cc); parse_samples itself
+    # carries the NumPy fallback, so the token rules live in exactly two
+    # places (C and the fallback), not three.
+    from apda_fft_tpu.io import native
+
+    samples = native.parse_samples("".join(lines[4:])).tolist()
+    return _from_header_lines(lines, samples)
+
+
+class SensorLogBuilder:
+    """In-memory twin of an acquisition log file being written.
+
+    The reference analyzes by re-parsing the file it just wrote from
+    already-decoded samples (``work_flow_fft`` -> ``load_sensor``,
+    ``GT_FFT_v5.py:627`` -> ``utils/load_data.py:29-82``) - pure overhead on
+    the analysis critical path.  The builder accumulates the SAME record in
+    memory while packets stream in: it holds the exact header LINES the file
+    got and the samples quantized through the on-disk ``"%8.6f"`` contract
+    (``io/native.py:append_half_payload_quantized``), so :meth:`finish`
+    returns a SensorLog bit-identical to what ``load_sensor_log(path)``
+    would parse back.  The file stays on disk as the durability/upload
+    artifact only; re-parse happens only on recovery paths.
+    """
+
+    __slots__ = ("_header_lines", "_chunks", "_n")
+
+    def __init__(self, header_lines: list[str]):
+        self._header_lines = list(header_lines)
+        self._chunks: list[np.ndarray] = []
+        self._n = 0
+
+    def append(self, quantized: np.ndarray) -> None:
+        """Add one packet's quantized finite samples (may be empty)."""
+        if len(quantized):
+            self._chunks.append(np.asarray(quantized, np.float64))
+            self._n += len(quantized)
+
+    def __len__(self) -> int:
+        return self._n
+
+    def finish(self) -> SensorLog | None:
+        """The record a file re-parse would return; None when no sample
+        bytes were ever appended (mirror of the loader's 5-line integrity
+        check - a header-only file has 4 lines and loads as None)."""
+        if not self._chunks:
+            return None
+        samples = (
+            np.concatenate(self._chunks)
+            if len(self._chunks) > 1 else self._chunks[0]
+        )
+        return _from_header_lines(self._header_lines, samples)
+
+
+def acquisition_header_lines(
+    time_str: str,
+    range_str: str,
+    odr_str: str,
+    axis_file: str,
+    sync: str,
+    means: list[str],
+    humidity: float,
+    baselines: tuple[float, float, float],
+) -> list[str]:
+    """The 4 header rows as written to disk (``GT_FFT_v5.py:402-406``) -
+    shared by the file writer and the in-memory :class:`SensorLogBuilder`
+    so both sides of the memory-fed analysis parity hold by construction."""
+    return [
+        f"{time_str};{range_str};{odr_str};{axis_file};\n",
+        f"{sync};\n",
+        f"{';'.join(means)};{humidity};\n",
+        f"{baselines[0]};{baselines[1]};{baselines[2]};\n",
+    ]
+
+
 def write_acquisition_header(
     filepath: str | os.PathLike,
     time_str: str,
@@ -126,9 +203,10 @@ def write_acquisition_header(
 ) -> None:
     """Create a log file with the 4 header rows (``GT_FFT_v5.py:402-406``)."""
     with open(filepath, "w+") as fh:
-        fh.write(f"{time_str};{range_str};{odr_str};{axis_file};\n{sync};\n")
-        fh.write(f"{';'.join(means)};{humidity};\n")
-        fh.write(f"{baselines[0]};{baselines[1]};{baselines[2]};\n")
+        fh.writelines(acquisition_header_lines(
+            time_str, range_str, odr_str, axis_file, sync,
+            means, humidity, baselines,
+        ))
 
 
 def append_samples(filepath: str | os.PathLike, formatted: list[str]) -> None:

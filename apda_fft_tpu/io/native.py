@@ -87,6 +87,14 @@ def load() -> ctypes.CDLL | None:
                 ctypes.c_char_p, ctypes.c_long, ctypes.c_double,
                 ctypes.c_char_p,
             ]
+            # out param as c_void_p: lets the per-packet hot path pass the
+            # raw ndarray.ctypes.data integer (data_as(POINTER(...)) costs
+            # ~2 us/call in object churn - measurable at packet rate).
+            lib.apda_append_half_payload_q.restype = ctypes.c_long
+            lib.apda_append_half_payload_q.argtypes = [
+                ctypes.c_char_p, ctypes.c_long, ctypes.c_double,
+                ctypes.c_char_p, ctypes.c_void_p,
+            ]
             _lib = lib
         except Exception:  # noqa: BLE001 - fall back to NumPy implementations
             _load_failed = True
@@ -147,6 +155,51 @@ def append_half_payload(path: str | os.PathLike, raw: bytes,
     if n == -2:
         raise OSError(f"native sample append failed mid-write on {path}")
     return None if n < 0 else n
+
+
+def append_half_payload_quantized(
+    path: str | os.PathLike, raw: bytes, first_value: float = 0.0
+) -> np.ndarray | None:
+    """Fused ingest + in-memory analysis feed.
+
+    Decodes the binary16 payload, appends the "%8.6f;" token stream to the
+    log file (durability artifact), AND returns the finite samples exactly
+    as a re-parse of those tokens would yield them - the gateway's
+    memory-fed analysis path (kills the reference's write-then-re-parse
+    round-trip, ``GT_FFT_v5.py:627``).
+
+    Returns the quantized sample array, or ``None`` when the native library
+    is unavailable / formatting failed with the file untouched (caller runs
+    the Python two-step + :func:`quantize_parse` fallback).  Raises
+    ``OSError`` on an I/O failure after the file was opened (bytes may be
+    partial; the caller must drop its in-memory record for this file).
+    """
+    lib = load()
+    if lib is None:
+        return None
+    if not isinstance(raw, bytes):
+        raw = bytes(raw)
+    out = np.empty(max(len(raw) // 2, 1), np.float64)
+    n = lib.apda_append_half_payload_q(
+        raw, len(raw), first_value, os.fspath(path).encode(),
+        out.ctypes.data,
+    )
+    if n == -2:
+        raise OSError(f"native sample append failed mid-write on {path}")
+    return None if n < 0 else out[:n]
+
+
+def quantize_parse(values: np.ndarray) -> np.ndarray:
+    """Round-trip values through the "%8.6f" token contract, dropping
+    non-finite results - the pure-Python twin of the quantized feed (what a
+    format + file re-parse of ``values`` would return)."""
+    toks = [f"{v:8.6f}" for v in np.asarray(values, np.float64)]
+    out = []
+    for t in toks:
+        v = float(t)
+        if np.isfinite(v):
+            out.append(v)
+    return np.asarray(out, np.float64)
 
 
 def parse_samples(text: str) -> np.ndarray:

@@ -45,8 +45,16 @@ static inline double decode_half_word(uint16_t w) {
 // product is exact while it fits.  Ties round to even, matching IEEE-754
 // correctly-rounded conversions (glibc and CPython both implement this).
 //
+// When q_out is non-null it also receives the QUANTIZED value - the double
+// a correctly-rounded parse of the rendered decimal would return.  For
+// ip < 2^53 both ip and 1e6 are exact doubles, so IEEE division ip/1e6 is
+// the correctly-rounded value of the rational ip/10^6, i.e. exactly what
+// strtod("w.ffffff") computes - no string re-parse needed.  (Larger ip
+// falls back to strtod in the caller; binary16-derived samples never get
+// there.)  NAN signals "caller must strtod".
+//
 // Returns bytes written (no NUL), or -1 if the fast path does not apply.
-static long format_fixed6_fast(double v, char* out, long cap) {
+static long format_fixed6_fast(double v, char* out, long cap, double* q_out) {
   if (!std::isfinite(v)) return -1;
   const double a = std::fabs(v);
   if (a >= 9.2e12) return -1;  // v * 1e6 near 2^63: snprintf handles it
@@ -76,6 +84,11 @@ static long format_fixed6_fast(double v, char* out, long cap) {
       if (r > half || (r == half && (ip & 1))) ++ip;  // ties to even
     }
   }
+  if (q_out) {
+    *q_out = (ip < (1ull << 53))
+                 ? (std::signbit(v) ? -((double)ip / 1e6) : (double)ip / 1e6)
+                 : NAN;  // not exactly divisible: caller re-parses the token
+  }
   const uint64_t whole = ip / 1000000u;
   const uint64_t fracd = ip % 1000000u;
   char* p = out;
@@ -104,14 +117,17 @@ static long format_fixed6_fast(double v, char* out, long cap) {
 }
 
 // One "%8.6f;" token: fast path, else snprintf.  Returns bytes written or
-// -1 on overflow (mirrors apda_format_samples' contract).
-static long format_token(double v, char* out, long cap) {
-  long k = format_fixed6_fast(v, out, cap);
+// -1 on overflow (mirrors apda_format_samples' contract).  q_out (optional)
+// receives the quantized value, NAN meaning "re-parse the token" (snprintf
+// path or ip >= 2^53).
+static long format_token(double v, char* out, long cap, double* q_out = nullptr) {
+  long k = format_fixed6_fast(v, out, cap, q_out);
   if (k >= 0) {
     if (k + 1 > cap) return -1;
     out[k] = ';';
     return k + 1;
   }
+  if (q_out) *q_out = NAN;
   const int w = snprintf(out, (size_t)cap, "%8.6f;", v);
   if (w < 0 || (long)w >= cap) return -1;
   return w;
@@ -187,6 +203,60 @@ long apda_append_half_payload(const uint8_t* buf, long n_bytes, double first,
   free(out);
   if (fclose(f) != 0 || wrote != (size_t)used) return -2;
   return n;
+}
+
+// Fused ingest + in-memory feed: like apda_append_half_payload, but ALSO
+// returns the samples as the analysis path will see them - parsed back from
+// the exact "%8.6f" tokens just written (the on-disk quantization contract),
+// with non-finite values dropped (load_data.py:76-77 semantics).  This is
+// what lets the gateway analyze from memory while keeping the log file as a
+// durability artifact only: one decode+format pass serves both, and the
+// write-then-re-parse round-trip (reference GT_FFT_v5.py:627) disappears.
+//
+// out_q must hold n_bytes/2 doubles.  Returns the number of FINITE quantized
+// samples written to out_q (>= 0 success; the file append covered all
+// n_bytes/2 tokens), -1 formatting/allocation failure with the file
+// untouched, -2 I/O failure after opening (file may hold partial bytes; the
+// caller must drop its in-memory record and fall back to re-parsing).
+long apda_append_half_payload_q(const uint8_t* buf, long n_bytes, double first,
+                                const char* path, double* out_q) {
+  const long n = n_bytes / 2;
+  const long cap = 64 * n + 16;
+  char* out = (char*)malloc((size_t)cap);
+  if (!out) return -1;
+  long used = 0;
+  long nq = 0;
+  for (long i = 0; i < n; ++i) {
+    const uint16_t w = (uint16_t)((buf[2 * i] << 8) | buf[2 * i + 1]);
+    const double v = decode_half_word(w) + first;
+    double q = NAN;
+    const long k = format_token(v, out + used, cap - used, &q);
+    if (k < 0) {
+      free(out);
+      return -1;
+    }
+    // Quantized value: computed arithmetically inside the fast formatter
+    // (exactly what a correctly-rounded parse of the token returns); the
+    // rare snprintf/huge-ip path re-parses the just-rendered token with
+    // strtod (it stops at the trailing ';').
+    if (std::isfinite(v)) {
+      if (!std::isfinite(q)) {
+        char* end = nullptr;
+        q = strtod(out + used, &end);
+      }
+      if (std::isfinite(q)) out_q[nq++] = q;
+    }
+    used += k;
+  }
+  FILE* f = fopen(path, "a");
+  if (!f) {
+    free(out);
+    return -1;
+  }
+  const size_t wrote = fwrite(out, 1, (size_t)used, f);
+  free(out);
+  if (fclose(f) != 0 || wrote != (size_t)used) return -2;
+  return nq;
 }
 
 // Parse a ';'-separated sample region (log-file rows 4+): numeric tokens
