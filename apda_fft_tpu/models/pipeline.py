@@ -529,6 +529,76 @@ def _detect_from_mags(
     )
 
 
+@functools.lru_cache(maxsize=256)
+def _detect_jit(n_fft: int, mode: str, k: int, mc, refine: bool, selection: str):
+    """Cached jitted detector stage (one executable per static signature;
+    mc is the flat int budget or the two-tier tuple)."""
+    return jax.jit(functools.partial(
+        _detect_from_mags, n_fft=n_fft, mode=mode, k=k, max_candidates=mc,
+        refine=refine, selection=selection,
+    ))
+
+
+def detect_from_mags(
+    mags,
+    fs,
+    *,
+    n_fft: int,
+    mode: str = "flexible",
+    k: int | None = None,
+    max_candidates: int | str | None = None,
+    refine: bool = True,
+    selection: str = "auto",
+) -> EpochResult:
+    """Detector + finalize stage over precomputed half-spectrum magnitudes.
+
+    The flagship composition for sequence-parallel meshes: feed
+    ``parallel.distributed_fft.distributed_halfspec_magnitudes`` output
+    (``[B, H]``, sharded or not) here to run the SAME refined,
+    dynamic-budget detector the single-device pipeline runs (BASELINE
+    cfg2/cfg5) on top of the all_to_all FFT - ``max_candidates`` None /
+    ``"dynamic"`` engages the sticky-budget overflow loop
+    (:func:`_run_dynamic`, shared tables with :func:`analyze_epoch`), an
+    int pins a static budget.  Multi-device inputs keep their sharding;
+    the budget readback uses collective-free per-shard ``device_get``.
+
+    ``mags`` must be the un-normalized half-spectrum magnitudes
+    (``|FFT|[:, :n_fft//2]``, DC zeroed) the pipeline's front end produces.
+    The rigid non-dyadic wipe-correction table is not applied on this
+    surface (dyadic rates are exact; non-dyadic rates use the banker's
+    snap, as under an outer trace).
+    """
+    mags = jnp.asarray(mags)
+    if mags.ndim != 2:
+        raise ValueError(f"mags must be [B, H], got shape {mags.shape}")
+    if mode not in MODES:
+        raise ValueError(f"unknown mode {mode!r}; expected one of {MODES}")
+    if k is None:
+        k = default_k(mode)
+    fs_flat = jnp.broadcast_to(
+        jnp.asarray(fs, mags.dtype), mags.shape[:1]
+    )
+    traced = isinstance(mags, jax.core.Tracer) or isinstance(fs_flat, jax.core.Tracer)
+    dynamic = (
+        max_candidates in (None, "dynamic")
+        and mode in ("flexible", "adaptive")
+        and not traced
+        and mags.shape[0] > 0
+    )
+    if max_candidates == "dynamic" and traced:
+        raise ValueError("max_candidates='dynamic' cannot run under an outer jit trace")
+    if not dynamic:
+        if not isinstance(max_candidates, int):
+            max_candidates = default_max_candidates(n_fft)
+        return _detect_jit(n_fft, mode, k, max_candidates, refine, selection)(
+            mags, fs_flat
+        )
+    return _run_dynamic(
+        lambda mc: _detect_jit(n_fft, mode, k, mc, refine, selection)(mags, fs_flat),
+        n_fft=n_fft, mode=mode, n_windows=mags.shape[0],
+    )
+
+
 def analyze_epoch(
     samples,
     fs,
@@ -801,12 +871,32 @@ def analyze_epoch(
             n_required=flex.n_required,
         )
 
-    h = n_fft // 2
-    key = (n_fft, mode)
-    budget = min(_dynamic_budget.get(key, _DYNAMIC_FLOOR), max(h, 1))
     n_windows = 1
     for d in samples.shape[:-1]:
         n_windows *= d
+    return _run_dynamic(
+        lambda mc: _analyze_epoch_impl(
+            samples, fs, lengths, half_corr, max_candidates=mc, **kwargs
+        ),
+        n_fft=n_fft, mode=mode, n_windows=n_windows,
+    )
+
+
+def _run_dynamic(run_pass, *, n_fft: int, mode: str, n_windows: int) -> EpochResult:
+    """The dynamic-budget host loop around one epoch pass.
+
+    ``run_pass(mc)`` runs the epoch at candidate budget ``mc`` (a flat int
+    or the private two-tier tuple) and returns an :class:`EpochResult`
+    whose ``n_required`` implements the exactness contract (reports past
+    the budget whenever any window's decisions are not reference-exact).
+    Shared by :func:`analyze_epoch` (samples in) and
+    :func:`detect_from_mags` (precomputed - possibly sequence-parallel -
+    magnitudes in); both learn into the same sticky per-(n_fft, mode)
+    budget/tier tables.
+    """
+    h = n_fft // 2
+    key = (n_fft, mode)
+    budget = min(_dynamic_budget.get(key, _DYNAMIC_FLOOR), max(h, 1))
     s_cap = _tier_capacity(n_windows)
     tier = _dynamic_tier.get(key)
     passes = 0
@@ -818,9 +908,7 @@ def analyze_epoch(
         # are not reference-exact (including straggler-capacity overflow), so
         # the loop below re-runs on exactly the right condition.
         mc = _effective_mc(budget, h, n_windows, tier)
-        res = _analyze_epoch_impl(
-            samples, fs, lengths, half_corr, max_candidates=mc, **kwargs
-        )
+        res = run_pass(mc)
         # One fused readback: the epoch is exact iff every window's walk
         # either completed within the budget prefix or saw all its candidates
         # (n_required <= budget); n_candidates stays for observability only.

@@ -379,3 +379,102 @@ def test_fused_detector_routing_excludes_spmd(monkeypatch):
     for fn in (mesh_mod.analyze_epoch_sharded, mesh_mod.analyze_welch_sharded):
         src = inspect.getsource(fn)
         assert 'setdefault("selection", "auto_spmd")' in src, fn.__name__
+
+
+def test_flagship_refined_dynamic_on_dpxsp_mesh():
+    """VERDICT r4 item 3: the sequence-parallel FFT feeding the REFINED,
+    DYNAMIC-BUDGET detector (the program BASELINE cfg2/cfg5 describe) -
+    full-decision parity + sub-bin refined frequencies vs the single-device
+    flagship, on the 2D dp x sp mesh."""
+    from apda_fft_tpu.models.pipeline import (
+        analyze_epoch,
+        detect_from_mags,
+        last_dynamic_stats,
+    )
+
+    mesh = make_mesh(8, ("data", "seq"), shape=(4, 2))
+    n, b, fs = 4096, 16, 500.0
+    xs = fft_ops.center_and_pad(_windows(b, n, fs=fs), n)
+    mags = distributed_halfspec_magnitudes(shard_windows_2d(xs, mesh), mesh)
+    fs_b = np.full((b,), fs, np.float32)
+
+    got = jax.block_until_ready(detect_from_mags(
+        mags, fs_b, n_fft=n, mode="flexible", refine=True, selection="sort"))
+    stats = dict(last_dynamic_stats())
+    ref = jax.block_until_ready(analyze_epoch(
+        _windows(b, n, fs=fs), fs_b, n_fft=n, mode="flexible",
+        center="always", refine=True, backend="matmul", selection="sort",
+        max_candidates=256))
+
+    cnt, idx = np.asarray(got.count), np.asarray(got.idx)
+    rcnt, ridx = np.asarray(ref.count), np.asarray(ref.idx)
+    assert np.array_equal(cnt, rcnt)
+    assert cnt.min() >= 1
+    for row in range(b):
+        c = int(rcnt[row])
+        assert np.array_equal(idx[row, :c], ridx[row, :c]), row
+        np.testing.assert_allclose(
+            np.asarray(got.refined_freq)[row, :c],
+            np.asarray(ref.refined_freq)[row, :c], rtol=1e-4, atol=1e-4)
+    # The dynamic loop actually ran (budget learned, >= the floor).
+    assert stats.get("candidate_budget", 0) >= 2
+    assert stats.get("budget_passes", 0) >= 1
+
+
+def test_detect_from_mags_static_and_validation():
+    """Static-budget path + arg validation of the public mags surface."""
+    from apda_fft_tpu.models.pipeline import analyze_epoch, detect_from_mags
+
+    n, b, fs = 1024, 4, 500.0
+    xs = fft_ops.center_and_pad(_windows(b, n), n)
+    mags = fft_ops.halfspec_magnitudes(xs, backend="matmul")
+    fs_b = np.full((b,), fs, np.float32)
+    got = detect_from_mags(mags, fs_b, n_fft=n, mode="rigid",
+                           max_candidates=32, refine=False)
+    ref = analyze_epoch(_windows(b, n), fs_b, n_fft=n, mode="rigid",
+                        center="always", max_candidates=32)
+    assert np.array_equal(np.asarray(got.count), np.asarray(ref.count))
+    assert np.array_equal(np.asarray(got.idx), np.asarray(ref.idx))
+    with pytest.raises(ValueError, match="mags must be"):
+        detect_from_mags(mags[0], fs_b, n_fft=n)
+    with pytest.raises(ValueError, match="unknown mode"):
+        detect_from_mags(mags, fs_b, n_fft=n, mode="nope")
+    with pytest.raises(ValueError, match="outer jit trace"):
+        jax.jit(lambda m: detect_from_mags(
+            m, fs_b, n_fft=n, max_candidates="dynamic"))(mags)
+
+
+def test_sharded_severity_srs_ringdown_parity():
+    """VERDICT r4 item 4: severity / SRS / ring-down under NamedSharding on
+    the dp mesh - kwargs + collective-free readback contracts, parity vs the
+    unsharded op."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from apda_fft_tpu.ops.integrate import velocity_rms
+    from apda_fft_tpu.ops.ringdown import ringdown_damping
+    from apda_fft_tpu.ops.srs import shock_response_spectrum
+
+    mesh = make_mesh(8, ("data",))
+    sh = NamedSharding(mesh, P("data", None))
+    b, fs = 16, 500.0
+    rng = np.random.default_rng(5)
+    x = np.asarray(_windows(b, 2048, fs=fs))
+
+    sev_ref = np.asarray(velocity_rms(x, fs, band=(5.0, 100.0)))
+    sev_sh = np.asarray(velocity_rms(jax.device_put(x, sh), fs,
+                                     band=(5.0, 100.0)))
+    np.testing.assert_allclose(sev_sh, sev_ref, rtol=1e-6)
+
+    td = np.arange(512) / fs
+    shocks = (np.exp(-2.0 * td)[None, :] * np.sin(2 * np.pi * 20.0 * td)
+              * (1.0 + 0.1 * rng.standard_normal((b, 1)))).astype(np.float32)
+    srs_ref = shock_response_spectrum(shocks, fs)
+    srs_sh = shock_response_spectrum(jax.device_put(shocks, sh), fs)
+    np.testing.assert_allclose(srs_sh.maximax, srs_ref.maximax, rtol=1e-5)
+    np.testing.assert_allclose(srs_sh.pseudo_velocity,
+                               srs_ref.pseudo_velocity, rtol=1e-5)
+
+    rd_ref = np.asarray(ringdown_damping(shocks, fs, 20.0))
+    rd_sh = np.asarray(ringdown_damping(jax.device_put(shocks, sh), fs, 20.0))
+    assert np.isfinite(rd_ref).all()
+    np.testing.assert_allclose(rd_sh, rd_ref, rtol=1e-5)
