@@ -146,6 +146,8 @@ class GatewayService:
         # silently re-baseline a degraded structure as healthy.
         self._modal_trackers: dict = {}
         self._ssi_trackers: dict = {}
+        #: modal/SSI roster-tracker LRU drops (see _lru_tracker)
+        self.tracker_evictions = 0
         self._modal_state_path = os.path.join(config.data_dir, "modal_tracks.json")
         self._load_modal_state()
         # Background egress (the capability GT_FFT_v5.py:109-113 stubbed).
@@ -868,8 +870,17 @@ class GatewayService:
                 (addr, axis, samples))
         for (_, fs), group in sorted(by_shape.items()):
             x = np.stack([s for _, _, s in group])
+            # Pow2 row padding (replicate-last, rows are independent): the
+            # executable space per record length drops from "every group
+            # size seen" to log2(S) - the same bound the epoch batcher
+            # uses (models/batching.py batch_pad="pow2"); at 256-sensor
+            # scale the exact-size grid was the largest compile family.
+            b = x.shape[0]
+            bp = 1 << max(b - 1, 0).bit_length()
+            if bp != b:
+                x = np.concatenate([x, np.repeat(x[-1:], bp - b, axis=0)])
             mms = np.asarray(
-                velocity_rms(x, fs, band=(f_lo, f_hi))) * G_TO_MMS2
+                velocity_rms(x, fs, band=(f_lo, f_hi)))[:b] * G_TO_MMS2
             for (addr, axis, _), val in zip(group, mms):
                 self._store_severity(addr, axis, float(val))
 
@@ -1187,8 +1198,7 @@ class GatewayService:
 
     _DRIFT_TRACK_KEEP = 512  # archived-track cap per (sensor, axis)
 
-    @staticmethod
-    def _lru_tracker(trackers: dict, key, factory, cap: int = 64):
+    def _lru_tracker(self, trackers: dict, key, factory, cap: int = 64):
         """Fetch-or-create ``trackers[key]``, bounding the dict LRU-style.
 
         Re-inserts the touched key at the end (dicts preserve insertion
@@ -1196,6 +1206,9 @@ class GatewayService:
         never be the one dropped — a plain ``setdefault`` + pop-oldest
         would evict a long-lived active roster whose key happened to be
         insertion-oldest, silently destroying its damage baseline.
+        ``tracker_evictions`` counts drops (observability: at array scale
+        roster churn past the cap is expected and must stay bounded, not
+        silent - benchmarks/scale_soak.py gates on it).
         """
         mt = trackers.pop(key, None)
         if mt is None:
@@ -1203,6 +1216,7 @@ class GatewayService:
         trackers[key] = mt
         while len(trackers) > cap:
             trackers.pop(next(iter(trackers)))
+            self.tracker_evictions += 1
         return mt
 
     @staticmethod

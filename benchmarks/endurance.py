@@ -168,7 +168,8 @@ def compiled_bound(n_sensors: int, max_record: int = 2048) -> dict:
     fams = {
         "epoch_detector": sum(
             rows * max(n.bit_length() - 2, 1) for n in n_ffts),
-        "severity": s * t_grid,
+        # severity rows pad to pow2 (service.py:_vibration_severity)
+        "severity": rows * t_grid,
         "fdd_csd": max(s - 1, 1) * t_grid,
         "fdd_svd": max(s - 1, 1) * t_grid,
         "ssi_correlation": max(s - 1, 1) * t_grid,
@@ -201,7 +202,7 @@ class _TickingClock:
         return self._t
 
 
-def _make_service(cfg_path, data_dir, uploads, clock):
+def _make_service(cfg_path, data_dir, uploads, clock, async_uploads=False):
     from apda_fft_tpu.gateway.config import GatewayConfig
     from apda_fft_tpu.gateway.egress import FtpSink, HttpSink
     from apda_fft_tpu.gateway.service import GatewayService
@@ -209,7 +210,7 @@ def _make_service(cfg_path, data_dir, uploads, clock):
 
     class RecordingFtp(FtpSink):
         def upload(self, addr, files, log):
-            uploads.extend(files)
+            uploads.extend(files)  # GIL-atomic append; worker-thread safe
             return list(files)
 
     class RecordingHttp(HttpSink):
@@ -222,6 +223,7 @@ def _make_service(cfg_path, data_dir, uploads, clock):
         config, transport, flush_mode="on_sync", clock=clock,
         ftp_sink=RecordingFtp(config.ftp, data_dir),
         http_sink=RecordingHttp(""),
+        async_uploads=async_uploads,
     )
     svc.start()
     return svc, transport
@@ -234,6 +236,7 @@ def run_endurance(
     workdir: str | None = None,
     restart_epoch: int | None = None,
     sample_every: int = 10,
+    async_uploads: bool = False,
 ) -> dict:
     from apda_fft_tpu.gateway.transport import SensorSimulator
 
@@ -280,7 +283,8 @@ def run_endurance(
     uploads: list[str] = []
     pre_upload_set: set[str] = set()  # uploads completed before the restart
     clock = _TickingClock()
-    svc, transport = _make_service(cfg_path, data_dir, uploads, clock)
+    svc, transport = _make_service(cfg_path, data_dir, uploads, clock,
+                                   async_uploads=async_uploads)
 
     macs = [f"0013a20041e7{i:04x}" for i in range(n_sensors)]
     counts = {"clean": 0, "dropped": 0, "truncated": 0, "shock": 0,
@@ -288,6 +292,7 @@ def run_endurance(
     samples: list[dict] = []
     roster_max = {"modal": 0, "ssi": 0, "drift": 0}
     restart_report: dict = {}
+    evictions_before_restart = 0
     t0 = time.perf_counter()
 
     def epoch_traffic(epoch: int) -> None:
@@ -356,8 +361,10 @@ def run_endurance(
                     pre_tracks[key] = (best.freqs[0], len(best.freqs))
             pre_uploads = len(uploads)
             pre_upload_set = set(uploads)
+            evictions_before_restart = svc.tracker_evictions
             del svc, transport
-            svc, transport = _make_service(cfg_path, data_dir, uploads, clock)
+            svc, transport = _make_service(cfg_path, data_dir, uploads, clock,
+                                           async_uploads=async_uploads)
             resumed, rebaselined = 0, 0
             for key, (f0, ln) in pre_tracks.items():
                 tr = svc.trackers.get(key)
@@ -492,6 +499,8 @@ def run_endurance(
         "program_rate_early": round(program_rate_early, 3),
         "program_rate_late": round(program_rate_late, 3),
         "roster_max": roster_max,
+        "tracker_evictions": evictions_before_restart + svc.tracker_evictions,
+        "async_uploads": async_uploads,
         "restart": restart_report,
         "critical_lines": history.count("CRITICAL"),
         "loop_errors": history.count("Error in main loop"),
