@@ -571,16 +571,15 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="")
     args = ap.parse_args()
+    # Provenance FIRST: the artifact must attest the SHA the soak actually
+    # measured (a multi-minute soak's end-of-run HEAD may have moved), and
+    # a dirty tree must refuse BEFORE spending the soak time, not after.
+    from benchmarks.evidence import provenance
+
+    prov = provenance()
     result = run_endurance(n_sensors=args.sensors, epochs=args.epochs,
                            seed=args.seed)
-    try:
-        from benchmarks.evidence import provenance
-
-        result.update(provenance())
-    except SystemExit:
-        raise
-    except Exception as exc:  # noqa: BLE001 - provenance is additive
-        result["provenance_error"] = str(exc)
+    result.update(prov)
     if args.out:
         with open(args.out, "w") as fh:
             json.dump(result, fh, indent=1)

@@ -66,15 +66,13 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="")
     args = ap.parse_args()
-    result = run_scale(args.sensors, args.epochs, args.seed)
-    try:
-        from benchmarks.evidence import provenance
+    # Provenance FIRST: attest the measured SHA, refuse dirt before the
+    # soak spends its wall-time (see benchmarks/endurance.py main).
+    from benchmarks.evidence import provenance
 
-        result.update(provenance())
-    except SystemExit:
-        raise
-    except Exception as exc:  # noqa: BLE001 - provenance is additive
-        result["provenance_error"] = str(exc)
+    prov = provenance()
+    result = run_scale(args.sensors, args.epochs, args.seed)
+    result.update(prov)
     if args.out:
         with open(args.out, "w") as fh:
             json.dump(result, fh, indent=1)
