@@ -1178,16 +1178,24 @@ class GatewayService:
                     if tr.damping_alerted:
                         continue
                     tr.damping_alerted = True
+                    # Window aggregates: the alert fired on these (the rise
+                    # cleared 2 combined standard errors - single-epoch SSI
+                    # damping is ~15% CoV noise, docs/DESIGN.md), so the
+                    # event carries the resolved numbers, not single draws.
+                    (mb, sb, _), (mr, sr, _) = tr.damping_windows()
                     self._alert(
                         "ssi_damping",
                         f"\t[ALERT] SSI damping increase: {axis} "
                         f"f={tr.last_freq:.4f} Hz "
-                        f"damping {tr.birth_damping:.3f}% -> "
-                        f"{tr.sustained_damping():.3f}% "
+                        f"damping {mb:.3f}%(+-{sb:.3f}) -> "
+                        f"{mr:.3f}%(+-{sr:.3f}) "
                         f"(track {tr.track_id})\n",
                         axis=axis, freq=round(float(tr.last_freq), 4),
                         damping_birth_pct=round(float(tr.birth_damping), 3),
-                        damping_now_pct=round(float(tr.sustained_damping()), 3),
+                        damping_base_pct=round(mb, 3),
+                        damping_base_sem=round(sb, 3),
+                        damping_now_pct=round(mr, 3),
+                        damping_now_sem=round(sr, 3),
                         track=tr.track_id,
                     )
             except Exception as exc:  # noqa: BLE001 - report-only path

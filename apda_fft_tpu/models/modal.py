@@ -667,6 +667,29 @@ class ModeTrack:
         sem = float(d.std(ddof=1) / np.sqrt(n)) if n >= 2 else 0.0
         return mean, sem, n
 
+    def damping_windows(self, k: int = 5):
+        """Disjoint (baseline, recent) damping aggregates for trend tests.
+
+        Baseline = the first ``min(k, n//2)`` valid observations (the
+        healthy condition the track was born in), recent = the last
+        ``min(k, n - nb)``; each returns ``(mean_pct, sem_pct, n)``.  None
+        when fewer than 2 valid observations exist.  Disjointness matters:
+        overlapping windows would dilute a real rise with its own baseline.
+        """
+        d = np.asarray(self.dampings, np.float64)
+        d = d[np.isfinite(d) & (d > 0)]
+        if d.size < 2:
+            return None
+        nb = max(1, min(k, d.size // 2))
+        nr = max(1, min(k, d.size - nb))
+
+        def agg(x: np.ndarray):
+            m = float(x.mean())
+            s = float(x.std(ddof=1) / np.sqrt(x.size)) if x.size >= 2 else 0.0
+            return m, s, int(x.size)
+
+        return agg(d[:nb]), agg(d[-nr:])
+
     def observe(self, t, freq: float, shape: np.ndarray, damping: float,
                 history_cap: int = 0) -> None:
         shape = np.asarray(shape, np.complex128)
@@ -876,21 +899,39 @@ class ModalTracker:
         return mt
 
     def damping_alerts(self, rel_increase: float = 0.5,
-                       min_epochs: int = 5) -> list[ModeTrack]:
-        """Tracks whose sustained damping rose ≥ ``rel_increase`` vs birth.
+                       min_epochs: int = 5, sem_z: float = 2.0) -> list[ModeTrack]:
+        """Tracks whose damping rose ≥ ``rel_increase`` AND whose rise is
+        statistically resolved.
 
         The second classic damage/condition indicator alongside shape
         change: cracking and loosening connections typically RAISE modal
-        damping well before frequency moves measurably.  Compares the
-        median-of-3 recent damping against the track's birth damping; a
-        zero/invalid birth damping (FDD's rejected-width zeros) never
+        damping well before frequency moves measurably.  Single-epoch SSI
+        damping is variance-bound at the output-only information floor
+        ``CoV ~ 1/sqrt(2 zeta w0 T)`` — ~15% per epoch at zeta=0.5%
+        (measured, docs/DESIGN.md "Damping fidelity study" + the round-5
+        50-seed bias fit) — so the trigger compares DISJOINT baseline and
+        recent window means (:meth:`ModeTrack.damping_windows`) and
+        additionally requires the rise to clear ``sem_z`` combined
+        standard errors: ``recent - base > sem_z*sqrt(sem_b^2 + sem_r^2)``
+        (a noisy epoch pair can otherwise fake a +50% rise).  Windows of
+        one observation carry sem 0, degenerating to the relative test.
+        A zero/invalid birth damping (FDD's rejected-width zeros) never
         alerts — feed SSI results for trustworthy damping tracking.
         """
-        return [
-            tr for tr in self._tracks
-            if tr.observed >= min_epochs and tr.birth_damping > 0
-            and tr.sustained_damping() >= (1.0 + rel_increase) * tr.birth_damping
-        ]
+        out = []
+        for tr in self._tracks:
+            if tr.observed < min_epochs or tr.birth_damping <= 0:
+                continue
+            w = tr.damping_windows()
+            if w is None:
+                continue
+            (mb, sb, _), (mr, sr, _) = w
+            if mr < (1.0 + rel_increase) * mb:
+                continue
+            if (mr - mb) <= sem_z * float(np.hypot(sb, sr)):
+                continue
+            out.append(tr)
+        return out
 
 
 def modal_assurance(a, b) -> np.ndarray:

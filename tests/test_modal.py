@@ -689,24 +689,29 @@ def test_lru_tracker_never_evicts_active_roster():
     from apda_fft_tpu.gateway.service import GatewayService
     from apda_fft_tpu.models.modal import ModalTracker
 
+    class _Svc:  # the method only touches the eviction counter
+        tracker_evictions = 0
+
+    svc = _Svc()
+    lru = lambda *a, **k: GatewayService._lru_tracker(svc, *a, **k)  # noqa: E731
     trackers: dict = {}
     active = ("X", 125.0, ("aaaa", "bbbb"))
-    born = GatewayService._lru_tracker(trackers, active, ModalTracker, cap=64)
+    born = lru(trackers, active, ModalTracker, cap=64)
     for i in range(63):
-        GatewayService._lru_tracker(trackers, ("X", 125.0, (f"s{i}",)),
-                                    ModalTracker, cap=64)
+        lru(trackers, ("X", 125.0, (f"s{i}",)), ModalTracker, cap=64)
     assert len(trackers) == 64 and next(iter(trackers)) == active
     # Touching the oldest (= active) key keeps the SAME tracker object and
     # moves it to most-recent; nothing is evicted at exactly cap.
-    again = GatewayService._lru_tracker(trackers, active, ModalTracker, cap=64)
+    again = lru(trackers, active, ModalTracker, cap=64)
     assert again is born and len(trackers) == 64
     assert list(trackers)[-1] == active
+    assert svc.tracker_evictions == 0
     # A genuinely new 65th key evicts the least-recently-used ("s0"),
-    # never the active roster.
-    GatewayService._lru_tracker(trackers, ("Y", 125.0, ("new",)),
-                                ModalTracker, cap=64)
+    # never the active roster - and the eviction is counted.
+    lru(trackers, ("Y", 125.0, ("new",)), ModalTracker, cap=64)
     assert active in trackers and ("X", 125.0, ("s0",)) not in trackers
     assert len(trackers) == 64
+    assert svc.tracker_evictions == 1
 
 
 # ------------------------------------------------------ harmonic indicator

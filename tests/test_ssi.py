@@ -672,3 +672,40 @@ def test_cli_ssi_harmonics(tmp_path, capsys):
     assert by_f[32]["harmonic"] is True and by_f[32]["kurtosis"] < 2.0
     assert main(["ssi", *paths, "--block-rows", "30", "--harmonics"]) == 0
     assert "HARMONIC" in capsys.readouterr().out
+
+
+def test_damping_alert_requires_statistical_resolution():
+    """VERDICT r4 item 7: a nominal +rel damping rise that does NOT clear
+    sem_z=2 combined standard errors stays silent (single-epoch SSI damping
+    is variance-bound at ~15% CoV - docs/DESIGN.md); the same means with
+    tight windows alert."""
+    from apda_fft_tpu.models.modal import ModalTracker
+    from apda_fft_tpu.models.ssi import SSIMode, SSIResult
+
+    def mk_res(freq, damping):
+        shape = np.asarray([1.0, 0.5, -0.3], complex)
+        m = SSIMode(freq=freq, damping=damping, shape=shape, order=20,
+                    n_orders=10, freq_std=0.01, damping_std=0.05, mpc=1.0)
+        return SSIResult(modes=[m], diagram=[], orders=np.asarray([20]),
+                         hankel_sv=np.ones(9), n_sensors=3)
+
+    # Noisy windows: base mean 1.0 (sem .29), recent mean 1.6 (sem .58):
+    # +60% nominal but 0.6 < 2*sqrt(.29^2+.58^2) - unresolved, no alert.
+    tr = ModalTracker()
+    for d in (0.5, 1.5, 1.0, 0.6, 2.6, 1.6):
+        tr.update(mk_res(9.3, d))
+    assert not tr.damping_alerts(rel_increase=0.5)
+    # sem_z=0 disables the resolution test: the relative rule alone fires.
+    assert len(tr.damping_alerts(rel_increase=0.5, sem_z=0.0)) == 1
+
+    # Same means, tight spread: resolved -> alerts.
+    tr2 = ModalTracker()
+    for d in (0.99, 1.0, 1.01, 1.59, 1.6, 1.61):
+        tr2.update(mk_res(9.3, d))
+    assert len(tr2.damping_alerts(rel_increase=0.5)) == 1
+    w = tr2.tracks()[0].damping_windows()
+    (mb, sb, nb), (mr, sr, nr) = w
+    assert nb == 3 and nr == 3
+    assert mb == pytest.approx(1.0, abs=1e-6)
+    assert mr == pytest.approx(1.6, abs=1e-6)
+    assert 0 < sb < 0.01 and 0 < sr < 0.01
