@@ -56,8 +56,8 @@ def provenance(allow_dirty: bool = False) -> dict:
     import re
 
     artifact = re.compile(
-        r"^(?:(?:PARITY|BENCH|MULTICHIP|ACCURACY|ENDURANCE|SCALE)_r?\d+\.json"
-        r"|PROGRESS\.jsonl)$"
+        r"^(?:(?:PARITY|BENCH|MULTICHIP|ACCURACY|ENDURANCE|SCALE|SSIBIAS)"
+        r"_r?\d+\.json|PROGRESS\.jsonl)$"
     )
 
     def _is_bookkeeping(line: str) -> bool:
