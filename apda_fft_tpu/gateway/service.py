@@ -966,24 +966,69 @@ class GatewayService:
                 continue
             del self._fdd_pending[(axis, fs)]
             self._fdd_pending_age.pop((axis, fs), None)
-            addrs = sorted(by_addr)
-            t = min(len(by_addr[a][0]) for a in addrs)
-            # Quantize the aligned length DOWN to a coarse grid: faulted
-            # traffic (dropped/truncated packets) otherwise yields a long
-            # tail of distinct record lengths, and every new length is a
-            # fresh XLA trace signature for the CSD/correlation programs -
-            # a months-long gateway would accumulate executables without
-            # bound (the jaxlib accumulation lesson, docs/ROUND3.md;
-            # measured in the round-4 endurance soak: global executable
-            # count still climbing at epoch 150 before this fix).  Losing
-            # < 256 trailing samples is statistically negligible for
-            # Welch/correlation estimates.
-            t = max(t - (t % 256), min(t, 256))
-            records = np.stack([by_addr[a][0][:t] for a in addrs])
+
+            def aligned(min_len: int):
+                """Roster + aligned records for a consumer needing at least
+                ``min_len`` common samples.
+
+                Records shorter than the consumer's own minimum are dropped
+                from ITS roster instead of dragging the whole group's common
+                length below the threshold - at array scale one truncated or
+                rate-decimated record otherwise silently kills every FDD
+                report (observed: 0 decompositions in a 256-sensor soak).
+                The common length is then quantized DOWN to the 256 grid:
+                faulted traffic otherwise yields a long tail of distinct
+                lengths, and every new length is a fresh XLA trace signature
+                for the CSD/correlation programs - a months-long gateway
+                would accumulate executables without bound (the jaxlib
+                accumulation lesson, docs/ROUND3.md).  Losing < 256 trailing
+                samples is statistically negligible for Welch/correlation
+                estimates.
+                """
+                sel = sorted(a for a in by_addr
+                             if len(by_addr[a][0]) >= min_len)
+                if len(sel) < self.config.fdd_min_sensors:
+                    return None, None
+                t = min(len(by_addr[a][0]) for a in sel)
+                t = max(t - (t % 256), min(t, 256))
+                return sel, np.stack([by_addr[a][0][:t] for a in sel])
+
+            n_group = len(by_addr)
             if self.config.fdd_report:
-                self._fdd_run(axis, fs, addrs, records)
+                sel, records = aligned(2 * self.config.fdd_window)
+                if sel is None:
+                    self.history(
+                        f"\t[FDD] {axis}: {n_group} sensors but fewer than "
+                        f"{self.config.fdd_min_sensors} carry the "
+                        f"{2 * self.config.fdd_window} common samples "
+                        f"(2*window) a decomposition needs, skipping\n"
+                    )
+                else:
+                    if len(sel) < n_group:
+                        self.history(
+                            f"\t[FDD] {axis}: {n_group - len(sel)} record(s) "
+                            f"shorter than 2*window={2 * self.config.fdd_window} "
+                            f"dropped from the decomposition roster\n"
+                        )
+                    self._fdd_run(axis, fs, sel, records)
             if self.config.ssi_report:
-                self._ssi_run(axis, fs, addrs, records)
+                sel, records = aligned(8 * self.config.ssi_block_rows)
+                if sel is None:
+                    self.history(
+                        f"\t[SSI] {axis}: {n_group} sensors but fewer than "
+                        f"{self.config.fdd_min_sensors} carry the "
+                        f"{8 * self.config.ssi_block_rows} common samples "
+                        f"(8*block_rows) identification needs, skipping\n"
+                    )
+                else:
+                    if len(sel) < n_group:
+                        self.history(
+                            f"\t[SSI] {axis}: {n_group - len(sel)} record(s) "
+                            f"shorter than 8*block_rows="
+                            f"{8 * self.config.ssi_block_rows} dropped from "
+                            f"the identification roster\n"
+                        )
+                    self._ssi_run(axis, fs, sel, records)
         if self._modal_trackers or self._ssi_trackers:
             # One durability flush per sync boundary (same policy as the
             # drift state): the trackers' birth baselines must survive a

@@ -50,7 +50,11 @@ def run_scale(n_sensors: int = 256, epochs: int = 20, seed: int = 0) -> dict:
     result["scale_ok"] = (
         bool(result["ok"])
         and result["tracker_evictions"] > 0
-        and max(result["roster_max"]["modal"], result["roster_max"]["ssi"]) == 64
+        # BOTH tracker families must have been driven to the LRU cap (a
+        # 0 here means the stage never actually ran at scale - the round-5
+        # per-consumer alignment fix was found exactly this way)
+        and result["roster_max"]["modal"] == 64
+        and result["roster_max"]["ssi"] == 64
         and result["async_uploads"]
         and result["fdd_lines"] > 0
         and result["ssi_lines"] > 0

@@ -885,3 +885,33 @@ def test_mode_track_damping_estimate_aggregates():
     one = ModeTrack(2, 0, 3.1, np.ones(4), damping=2.0)
     m1, s1, n1 = one.damping_estimate()
     assert (m1, s1, n1) == (2.0, 0.0, 1)
+
+
+def test_fdd_drops_short_record_instead_of_whole_group(tmp_path):
+    """Per-consumer group alignment: ONE short (faulted/decimated) record
+    must not drag the common length below 2*window and kill the whole
+    array's FDD report - it is dropped from the decomposition roster and
+    the remaining sensors decompose (at 256-sensor scale the old behavior
+    produced ZERO decompositions)."""
+    from apda_fft_tpu.gateway.transport import SensorSimulator
+    from tests.test_gateway import make_service
+    from tests.signals import modal_signal
+
+    fs = 125.0
+    svc, transport, _, _ = make_service(
+        tmp_path,
+        gateway_extra={"fdd_report": True, "fdd_window": 256,
+                       "fdd_min_sensors": 2},
+    )
+    macs = [f"0013a20041e7f6e{i}" for i in range(3)]
+    lengths = (1024, 1024, 300)  # the 300-sample record is FDD-incapable
+    for mac, n in zip(macs, lengths):
+        SensorSimulator(mac, fs=fs, axis="X", chunk=100).stream_acquisition(
+            transport, modal_signal(n, fs, seed=3).astype(np.float32))
+    SensorSimulator(macs[0]).heartbeat(transport)
+    svc.drain()
+    history = open(svc.config.logger_file).read()
+    assert "dropped from the decomposition roster" in history
+    # The decomposition ran with the two capable sensors.
+    assert "[FDD] X: 2 sensors" in history
+    assert "skipping" not in history
