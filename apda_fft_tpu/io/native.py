@@ -17,9 +17,34 @@ import numpy as np
 
 from apda_fft_tpu.io import halffloat
 
-_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_SRC = os.path.join(_ROOT, "csrc", "apda_io.cc")
-_BUILD_DIR = os.path.join(_ROOT, "csrc", "build")
+_PKG_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_ROOT = os.path.dirname(_PKG_DIR)
+
+
+def _locate_source() -> str:
+    """The canonical C++ source: repo layout first (csrc/apda_io.cc, where
+    development happens), else the copy shipped inside the wheel as package
+    data (apda_fft_tpu/_csrc/, see setup.py)."""
+    for cand in (os.path.join(_ROOT, "csrc", "apda_io.cc"),
+                 os.path.join(_PKG_DIR, "_csrc", "apda_io.cc")):
+        if os.path.exists(cand):
+            return cand
+    return os.path.join(_ROOT, "csrc", "apda_io.cc")
+
+
+def _locate_build_dir() -> str:
+    """Where the compiled .so lives: csrc/build in the repo layout; an
+    XDG cache dir for an installed wheel (site-packages is often
+    read-only, and per-user caching is the right scope for a
+    toolchain-built artifact anyway)."""
+    if os.path.isdir(os.path.join(_ROOT, "csrc")):
+        return os.path.join(_ROOT, "csrc", "build")
+    base = os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache"))
+    return os.path.join(base, "apda_fft_tpu")
+
+
+_SRC = _locate_source()
+_BUILD_DIR = _locate_build_dir()
 _LIB_PATH = os.path.join(_BUILD_DIR, "libapda_io.so")
 
 _lock = threading.Lock()
