@@ -18,6 +18,7 @@ from apda_fft_tpu.models.pipeline import (
     SpectralPipeline,
     analyze_epoch,
     default_k,
+    detect_from_mags,
 )
 from apda_fft_tpu.models.batching import RecordPeaks, analyze_records
 from apda_fft_tpu.models.results import EpochResult
@@ -109,6 +110,7 @@ __all__ = [
     "Track",
     "analyze_epoch",
     "analyze_epochs_pipelined",
+    "detect_from_mags",
     "analyze_records",
     "analyze_stream",
     "analyze_welch",
