@@ -117,6 +117,12 @@ class GatewayService:
         # re-parse round-trip, GT_FFT_v5.py:627 -> load_data.py:29-82, was
         # pure overhead: host ingest ~1 Msamp/s vs device ~12 Gsamp/s).
         self._mem_records: dict[str, "object"] = {}
+        # Per-in-flight-acquisition O_APPEND fds for the native ingest path:
+        # the per-packet fopen/fwrite/fclose was the dominant host ingest
+        # cost (~3 syscalls + stream setup per packet); one kept fd turns it
+        # into a single write(2).  Closed when the file completes (or on
+        # fault paths); the endurance fd-growth gate guards leaks.
+        self._sample_fds: dict[str, int] = {}
         # Modal drift monitoring (beyond-reference): per-(sensor, axis)
         # peak tracks; a sustained relative drift past the configured
         # threshold writes one [ALERT] history line per track.  Tracker
@@ -209,6 +215,8 @@ class GatewayService:
             # cleanup rule applies to every known sensor.
             for addr in set(self.ftp_queue) | set(self.api_queue) | set(self.influx_queue):
                 self._cleanup_files(addr)
+        for path in list(self._sample_fds):
+            self._close_sample_fd(path)
         self.transport.stop(self.history)
 
     def run_forever(self) -> None:
@@ -270,6 +278,7 @@ class GatewayService:
                 # Force-closed files upload as-is and are never analyzed:
                 # their in-memory record has no consumer.
                 self._mem_records.pop(self.open_file[addr], None)
+                self._close_sample_fd(self.open_file[addr])
                 self.open_file.pop(addr)
                 self.baseline.pop(addr, None)
             elif n_pack > expected:
@@ -293,26 +302,31 @@ class GatewayService:
         raw = payload[offset:]
         builder = self._mem_records.get(path)
         try:
-            if builder is not None:
-                # Fused ingest + memory feed: one native call decodes,
-                # renders the "%8.6f;" tokens, appends them to the log
-                # file, and returns the finite quantized samples the
-                # analysis will consume - no re-parse later.
-                q = native.append_half_payload_quantized(path, raw, first_value)
-                if q is None:  # native unavailable: Python two-step
-                    vals = decode_payload(raw, first_value)
-                    append_sample_values(path, vals)
+            # Fused ingest (+ memory feed when a builder is live): one
+            # native call decodes, renders the "%8.6f;" tokens, appends
+            # them through the acquisition's kept O_APPEND fd, and (memory
+            # feed) returns the finite quantized samples the analysis will
+            # consume - no re-parse later.  The Python two-step is the
+            # parity-tested fallback.
+            q = None
+            if native.available():
+                q = native.append_half_payload_quantized_fd(
+                    self._sample_fd(path), raw, first_value,
+                    quantize=builder is not None,
+                )
+            if q is None:
+                vals = decode_payload(raw, first_value)
+                append_sample_values(path, vals)
+                if builder is not None:
                     q = native.quantize_parse(vals)
+            if builder is not None:
                 builder.append(q)
-            # Fused native ingest (decode + "%8.6f;" render + append in one
-            # call); the Python two-step is the parity-tested fallback.
-            elif native.append_half_payload(path, raw, first_value) is None:
-                append_sample_values(path, decode_payload(raw, first_value))
         except OSError:
             # Bytes may be partially on disk; the in-memory record can no
             # longer be trusted to mirror the file. Drop it - analysis (if
             # the stream still completes) re-parses the file instead.
             self._mem_records.pop(path, None)
+            self._close_sample_fd(path)
             raise
 
     # -- handlers ------------------------------------------------------------
@@ -333,6 +347,9 @@ class GatewayService:
             self.config.data_dir,
             f"{addr}_{header.axis_label}_{t.strftime('%d_%m_%Y_%H_%M_%S')}.log",
         )
+        # Same-second filename collision: "w+" below truncates; a stale fd
+        # must not keep appending past the truncation point.
+        self._close_sample_fd(filename)
         self.open_file[addr] = filename
         self.expected_packet[addr] = 1
         header_lines = acquisition_header_lines(
@@ -374,6 +391,9 @@ class GatewayService:
         if self.open_file.get(addr):
             path = self.open_file[addr]
             name = os.path.basename(path)
+            # Acquisition complete: release its kept fd before anything
+            # reads the file (analysis fallback, egress).
+            self._close_sample_fd(path)
             self.ftp_queue.setdefault(addr, []).append(name)
             if self.flush_mode == "immediate":
                 self._analyze_files([(addr, path)])
@@ -389,6 +409,29 @@ class GatewayService:
         self.expected_packet[addr] = 0
 
     _MEM_RECORDS_CAP = 256  # stranded-builder backstop (dead mid-stream sensors)
+
+    def _sample_fd(self, path: str) -> int:
+        """The kept O_APPEND fd for ``path``, opened lazily.
+
+        Bounded like the builders: a stranded fd (dead mid-stream sensor)
+        is closed oldest-first past the cap; its acquisition, if it ever
+        resumes, just reopens.
+        """
+        fd = self._sample_fds.get(path)
+        if fd is None:
+            fd = os.open(path, os.O_WRONLY | os.O_APPEND)
+            self._sample_fds[path] = fd
+            while len(self._sample_fds) > self._MEM_RECORDS_CAP:
+                self._close_sample_fd(next(iter(self._sample_fds)))
+        return fd
+
+    def _close_sample_fd(self, path: str) -> None:
+        fd = self._sample_fds.pop(path, None)
+        if fd is not None:
+            try:
+                os.close(fd)
+            except OSError:
+                pass
 
     def _register_mem_record(self, path: str, header_lines: list[str]) -> None:
         """Start the in-memory twin of a just-created acquisition file.
@@ -425,6 +468,7 @@ class GatewayService:
         # the in-progress stream (defect-8 fix: save/restore around the
         # self-contained fast-path file).
         prev_open = self.open_file.get(addr)
+        filename = None
         try:
             header = packets.parse_reduced_header(list(payload))
             filename = os.path.join(
@@ -449,6 +493,8 @@ class GatewayService:
         finally:
             # Restore even if the handler raised (step()'s catch-all would
             # otherwise leave the stream pointing at the fast-path file).
+            if filename is not None:
+                self._close_sample_fd(filename)
             if prev_open is not None:
                 self.open_file[addr] = prev_open
             else:
@@ -461,6 +507,7 @@ class GatewayService:
         # reference destroyed (defect-8 fix, see _on_reduced).
         prev_open = self.open_file.get(addr)
         prev_baseline = self.baseline.get(addr)
+        filename = None
         try:
             header = packets.parse_shock_header(list(payload))
             filename = os.path.join(
@@ -519,6 +566,8 @@ class GatewayService:
                     self.pending_analysis.append((addr, filename))
         finally:
             # Restore even if the handler raised (see _on_reduced).
+            if filename is not None:
+                self._close_sample_fd(filename)
             if prev_open is not None:
                 self.open_file[addr] = prev_open
             else:
@@ -625,8 +674,10 @@ class GatewayService:
         for filename in names:
             if filename.startswith(addr) and filename.endswith(".log"):
                 if filename not in still_pending:
+                    path = os.path.join(self.config.data_dir, filename)
+                    self._close_sample_fd(path)  # never hold a deleted inode
                     try:
-                        os.remove(os.path.join(self.config.data_dir, filename))
+                        os.remove(path)
                     except OSError as exc:
                         self.history(f"\t[ERROR] cleanup failed for {filename}: {exc}")
 

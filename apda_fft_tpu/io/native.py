@@ -120,6 +120,11 @@ def load() -> ctypes.CDLL | None:
                 ctypes.c_char_p, ctypes.c_long, ctypes.c_double,
                 ctypes.c_char_p, ctypes.c_void_p,
             ]
+            lib.apda_append_half_payload_qfd.restype = ctypes.c_long
+            lib.apda_append_half_payload_qfd.argtypes = [
+                ctypes.c_char_p, ctypes.c_long, ctypes.c_double,
+                ctypes.c_int, ctypes.c_void_p,
+            ]
             _lib = lib
         except Exception:  # noqa: BLE001 - fall back to NumPy implementations
             _load_failed = True
@@ -212,6 +217,38 @@ def append_half_payload_quantized(
     if n == -2:
         raise OSError(f"native sample append failed mid-write on {path}")
     return None if n < 0 else out[:n]
+
+
+def append_half_payload_quantized_fd(
+    fd: int, raw: bytes, first_value: float = 0.0,
+    quantize: bool = True,
+) -> np.ndarray | int | None:
+    """Fused ingest onto an already-open ``O_APPEND`` fd (the gateway keeps
+    one per in-flight acquisition): per-packet fopen/fwrite/fclose - the
+    dominant cost of the path-based call - collapses to one write(2).
+
+    Returns the quantized sample array (``quantize=True``) or the appended
+    sample count (``quantize=False``); ``None`` when the native library is
+    unavailable or formatting failed with the fd untouched (caller falls
+    back to the path-based Python two-step).  Raises ``OSError`` on a write
+    failure (bytes may be partial).
+    """
+    lib = load()
+    if lib is None:
+        return None
+    if not isinstance(raw, bytes):
+        raw = bytes(raw)
+    if quantize:
+        out = np.empty(max(len(raw) // 2, 1), np.float64)
+        n = lib.apda_append_half_payload_qfd(
+            raw, len(raw), first_value, fd, out.ctypes.data)
+    else:
+        n = lib.apda_append_half_payload_qfd(raw, len(raw), first_value, fd, None)
+    if n == -2:
+        raise OSError(f"native sample append failed mid-write on fd {fd}")
+    if n < 0:
+        return None
+    return out[:n] if quantize else n
 
 
 def quantize_parse(values: np.ndarray) -> np.ndarray:

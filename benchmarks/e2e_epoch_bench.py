@@ -30,11 +30,16 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _ROOT not in sys.path:
     sys.path.insert(0, _ROOT)
 
-#: memory feed must beat the file feed end-to-end by at least this factor
-#: (measured ~1.5-2x on this host at N=4096; the gate sits well below so
-#: host scheduling noise cannot flake it, while a regression that
-#: reintroduces the re-parse - parse cost ~= append cost - still fails).
-MIN_SPEEDUP = 1.15
+#: memory feed must beat the file feed end-to-end by at least this factor.
+#: Measured 1.15-1.25x at N=4096 on this host AFTER the kept-fd ingest
+#: landed (the fd cache sped BOTH feeds' appends, compressing the ratio;
+#: pre-fd it was ~1.2-1.5x): the gate sits below the measured band so
+#: scheduling noise cannot flake it, while reintroducing the re-parse on
+#: the hot path still fails it together with the absolute floor below.
+MIN_SPEEDUP = 1.05
+#: absolute end-to-end floor for the memory feed on this host (packets in
+#: -> decisions stored, analysis included; measured ~1.5-1.6 Msamp/s).
+MIN_MEM_SAMPLES_PER_SEC = 1_000_000.0
 
 
 def _run_feed(feed: str, n_sensors: int, n_samples: int, rounds: int) -> dict:
@@ -100,6 +105,7 @@ def run_e2e(n_sensors: int = 32, n_samples: int = 4096,
             native.available()
             and mem["tracked"] > 0 and fil["tracked"] > 0
             and speedup >= MIN_SPEEDUP
+            and mem["samples_per_sec"] >= MIN_MEM_SAMPLES_PER_SEC
         ),
     }
 

@@ -12,11 +12,13 @@
 // quirks: truncated subnormal constant 0.00006103515 (not 2^-14) and +inf
 // regardless of sign bit.
 
+#include <cerrno>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <unistd.h>
 
 // One binary16 word with the reference quirks (truncated subnormal scale,
 // +inf regardless of sign bit) - shared by the decode and fused-append paths.
@@ -257,6 +259,58 @@ long apda_append_half_payload_q(const uint8_t* buf, long n_bytes, double first,
   free(out);
   if (fclose(f) != 0 || wrote != (size_t)used) return -2;
   return nq;
+}
+
+// Fused ingest onto an ALREADY-OPEN O_APPEND fd: the gateway keeps one fd
+// per in-flight acquisition, so the per-packet fopen/fwrite/fclose of the
+// path-based variant (~3 syscalls + libc stream setup, the dominant cost of
+// the whole ingest call) collapses to one write(2).  Durability is
+// unchanged: both variants leave the bytes in the page cache with no fsync;
+// O_APPEND keeps interleaved marker appends (separate opens) consistent.
+//
+// out_q may be NULL (append-only, no quantized feed).  Returns the number
+// of finite quantized samples written to out_q (or n_bytes/2 when out_q is
+// NULL), -1 on formatting/allocation failure with the fd untouched, -2 on
+// a write error (bytes may be partial - caller must drop its in-memory
+// record and let the file re-parse decide).
+long apda_append_half_payload_qfd(const uint8_t* buf, long n_bytes,
+                                  double first, int fd, double* out_q) {
+  const long n = n_bytes / 2;
+  const long cap = 64 * n + 16;
+  char* out = (char*)malloc((size_t)cap);
+  if (!out) return -1;
+  long used = 0;
+  long nq = 0;
+  for (long i = 0; i < n; ++i) {
+    const uint16_t w = (uint16_t)((buf[2 * i] << 8) | buf[2 * i + 1]);
+    const double v = decode_half_word(w) + first;
+    double q = NAN;
+    const long k = format_token(v, out + used, cap - used, out_q ? &q : nullptr);
+    if (k < 0) {
+      free(out);
+      return -1;
+    }
+    if (out_q && std::isfinite(v)) {
+      if (!std::isfinite(q)) {
+        char* end = nullptr;
+        q = strtod(out + used, &end);
+      }
+      if (std::isfinite(q)) out_q[nq++] = q;
+    }
+    used += k;
+  }
+  long done = 0;
+  while (done < used) {
+    const ssize_t w = write(fd, out + done, (size_t)(used - done));
+    if (w < 0) {
+      if (errno == EINTR) continue;
+      free(out);
+      return -2;  // partial-write risk either way
+    }
+    done += w;
+  }
+  free(out);
+  return out_q ? nq : n;
 }
 
 // Parse a ';'-separated sample region (log-file rows 4+): numeric tokens

@@ -181,3 +181,46 @@ def test_gateway_stream_uses_fused_ingest_with_exact_file(tmp_path):
         return logs[0].read_bytes()
 
     assert run("native", False) == run("fallback", True)
+
+
+def test_fd_append_variant_byte_and_value_parity(tmp_path):
+    """The kept-fd fused ingest (apda_append_half_payload_qfd) writes the
+    SAME bytes as the path-based call and returns the same quantized
+    samples; quantize=False appends without the feed."""
+    import os
+
+    rng = np.random.default_rng(9)
+    raw = bytes(halffloat.encode_halves(rng.normal(0.0, 0.4, 150)))
+    specials = np.array([0x7C00, 0xFC00, 0x7C01, 0x0001, 0x8001],
+                        np.uint16).astype(">u2").tobytes()
+    p1, p2 = tmp_path / "fd.log", tmp_path / "path.log"
+    p1.touch(); p2.touch()
+    fd = os.open(p1, os.O_WRONLY | os.O_APPEND)
+    try:
+        q1 = native.append_half_payload_quantized_fd(fd, raw + specials, 0.25)
+        n = native.append_half_payload_quantized_fd(fd, raw, 0.25,
+                                                    quantize=False)
+    finally:
+        os.close(fd)
+    q2 = native.append_half_payload_quantized(str(p2), raw + specials, 0.25)
+    native.append_half_payload(str(p2), raw, 0.25)
+    assert np.array_equal(q1, q2)
+    assert n == 150
+    assert p1.read_bytes() == p2.read_bytes()
+    reparsed = native.parse_samples(p1.read_text())
+    assert np.array_equal(reparsed[: len(q1)], q1)
+
+
+def test_fd_append_write_failure_raises(tmp_path):
+    """A write failure on the fd surfaces as OSError (partial-write risk:
+    the caller must drop its in-memory record)."""
+    import os
+
+    raw = bytes(halffloat.encode_halves(np.asarray([1.0, 2.0])))
+    p = tmp_path / "ro.log"; p.touch()
+    fd = os.open(p, os.O_RDONLY)  # write() will fail with EBADF
+    try:
+        with pytest.raises(OSError):
+            native.append_half_payload_quantized_fd(fd, raw, 0.0)
+    finally:
+        os.close(fd)
