@@ -159,6 +159,93 @@ def test_memory_vs_file_feed_parity_python_fallback(tmp_path, monkeypatch):
     _assert_same_decisions(mem, fil)
 
 
+def _drive_eviction(tmp_path, feed: str, n_sensors: int = 280):
+    """n_sensors in-flight acquisitions (start packet only) - past the
+    256 stranded-builder/fd cap - then complete the FIRST (evicted from
+    both the builder and fd rosters) and the LAST (still resident)."""
+    from apda_fft_tpu.io import packets as pk
+
+    sub = tmp_path / f"evict_{feed}"
+    sub.mkdir()
+    svc, transport, _, _ = make_service(
+        sub, flush_mode="on_sync", gateway_extra={"analysis_feed": feed})
+    fs = 250.0
+    macs = [f"0013a20041e8{i:04x}" for i in range(n_sensors)]
+    t = np.arange(200) / fs
+    x = np.sin(2 * np.pi * 30.0 * t) + 0.2 * np.sin(2 * np.pi * 71.0 * t)
+    for mac in macs:
+        sim = SensorSimulator(mac, fs=fs, axis="X", chunk=100)
+        # 0xD1 only: the acquisition stays open (a dead mid-stream sensor)
+        sim.stream_acquisition(transport, x, truncate_after=1, now=WIRE_T0)
+    svc.drain()
+    caps = (len(svc._sample_fds), len(svc._mem_records))
+    for mac in (macs[0], macs[-1]):
+        transport.push(pk.encode_end_stream(x[100:], 2), mac)
+    svc.drain()
+    # Sync from an unrelated sensor flushes the epoch batch without popping
+    # either completed sensor's decision entry.
+    SensorSimulator(macs[1]).heartbeat(transport)
+    svc.drain()
+    results = {
+        "evicted": copy.deepcopy(svc.fft_results.get(macs[0], {}).get("X")),
+        "resident": copy.deepcopy(svc.fft_results.get(macs[-1], {}).get("X")),
+    }
+    svc.stop()
+    return caps, results
+
+
+def test_stranded_builder_cap_evicts_and_falls_back(tmp_path):
+    """Past the 256-acquisition cap the oldest stranded builders/fds are
+    dropped; an evicted acquisition that later completes is analyzed via
+    the file re-parse with decisions identical to the memory-fed one."""
+    caps, mem = _drive_eviction(tmp_path, "memory")
+    assert caps[0] <= 256, f"kept-fd roster leaked past the cap: {caps[0]}"
+    assert caps[1] == 256, f"builder roster should sit at the cap: {caps[1]}"
+    _, fil = _drive_eviction(tmp_path, "file")
+    for slot in ("evicted", "resident"):
+        m, f = mem[slot], fil[slot]
+        assert m is not None and f is not None, slot
+        assert {k: v for k, v in m.items() if k not in _METRIC_KEYS} == \
+               {k: v for k, v in f.items() if k not in _METRIC_KEYS}, slot
+        assert abs(m["peak_freq_1"] - 30.0) < 0.7, (slot, m["peak_freq_1"])
+
+
+def _drive_same_second_restart(tmp_path, feed: str):
+    """An interrupted acquisition restarted within the same second reuses
+    the same filename: the 0xD1 truncates the file, the stale kept fd must
+    be closed, and analysis must see ONLY the new acquisition."""
+    sub = tmp_path / f"coll_{feed}"
+    sub.mkdir()
+    svc, transport, _, _ = make_service(
+        sub, flush_mode="on_sync", gateway_extra={"analysis_feed": feed})
+    fs = 250.0
+    mac = "0013a20041e90001"
+    t = np.arange(400) / fs
+    x_old = np.sin(2 * np.pi * 12.0 * t)   # interrupted acquisition
+    x_new = np.sin(2 * np.pi * 30.0 * t)   # same-second restart
+    sim = SensorSimulator(mac, fs=fs, axis="X", chunk=100)
+    sim.stream_acquisition(transport, x_old, truncate_after=2, now=WIRE_T0)
+    sim.stream_acquisition(transport, x_new, now=WIRE_T0)  # same filename
+    svc.drain()
+    SensorSimulator("0013a20041e90002").heartbeat(transport)
+    svc.drain()
+    entry = copy.deepcopy(svc.fft_results.get(mac, {}).get("X"))
+    svc.stop()
+    return entry
+
+
+def test_same_second_restart_analyzes_only_new_acquisition(tmp_path):
+    mem = _drive_same_second_restart(tmp_path, "memory")
+    fil = _drive_same_second_restart(tmp_path, "file")
+    assert mem is not None and fil is not None
+    assert {k: v for k, v in mem.items() if k not in _METRIC_KEYS} == \
+           {k: v for k, v in fil.items() if k not in _METRIC_KEYS}
+    # The old 12 Hz acquisition is gone; only the 30 Hz restart is analyzed.
+    assert abs(mem["peak_freq_1"] - 30.0) < 0.7, mem["peak_freq_1"]
+    freqs = [v for k, v in mem.items() if k.startswith("peak_freq_")]
+    assert not any(abs(f - 12.0) < 0.7 for f in freqs), freqs
+
+
 def test_builder_matches_file_reparse_bitwise(tmp_path):
     """Unit-level: a builder fed quantized appends returns the exact record
     load_sensor_log parses back from the file, including special values
