@@ -122,11 +122,20 @@ if __name__ == "__main__":
     # tunnel's ~25 ms dispatch floor would only add equal noise to both.
     ap.add_argument("--platform", default="cpu",
                     help="jax platform ('default' = leave untouched)")
+    ap.add_argument("--out", default="",
+                    help="also write the result (with git provenance) here")
     args = ap.parse_args()
     if args.platform != "default":
         import jax
 
         jax.config.update("jax_platforms", args.platform)
     out = run_e2e(args.sensors, args.samples, args.rounds)
+    if args.out:
+        # Provenance like every other committed artifact (refuses dirt).
+        from benchmarks.evidence import provenance
+
+        out.update(provenance())
+        with open(args.out, "w") as fh:
+            json.dump(out, fh, indent=1)
     print(json.dumps(out))
     sys.exit(0 if out["ok"] else 1)
