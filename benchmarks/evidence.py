@@ -56,7 +56,7 @@ def provenance(allow_dirty: bool = False) -> dict:
     import re
 
     artifact = re.compile(
-        r"^(?:(?:PARITY|BENCH|MULTICHIP|ACCURACY|ENDURANCE|SCALE|SSIBIAS)"
+        r"^(?:(?:PARITY|BENCH|MULTICHIP|ACCURACY|ENDURANCE|SCALE|SSIBIAS|E2E)"
         r"_r?\d+\.json|PROGRESS\.jsonl)$"
     )
 
