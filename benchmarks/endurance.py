@@ -570,7 +570,19 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=200)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="")
+    # HOST-side gateway soak: pin local CPU like e2e_epoch_bench (the axon
+    # remote-TPU tunnel would put a ~25 ms dispatch floor under every epoch
+    # program AND grow client-side transfer buffers that the RSS leak gate
+    # then misreads as a gateway leak - measured 4.3x wall / ~0.7 MB-per-
+    # cache-entry RSS vs CPU's ~0.06 on an otherwise identical 500-epoch
+    # run).  The compile/RSS/fd invariants under test are platform-local.
+    ap.add_argument("--platform", default="cpu",
+                    help="jax platform ('default' = leave untouched)")
     args = ap.parse_args()
+    if args.platform != "default":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     # Provenance FIRST: the artifact must attest the SHA the soak actually
     # measured (a multi-minute soak's end-of-run HEAD may have moved), and
     # a dirty tree must refuse BEFORE spending the soak time, not after.

@@ -69,7 +69,14 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="")
+    # Host-side soak: pin local CPU (see benchmarks/endurance.py main).
+    ap.add_argument("--platform", default="cpu",
+                    help="jax platform ('default' = leave untouched)")
     args = ap.parse_args()
+    if args.platform != "default":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     # Provenance FIRST: attest the measured SHA, refuse dirt before the
     # soak spends its wall-time (see benchmarks/endurance.py main).
     from benchmarks.evidence import provenance
