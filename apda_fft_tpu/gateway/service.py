@@ -121,8 +121,11 @@ class GatewayService:
         # the per-packet fopen/fwrite/fclose was the dominant host ingest
         # cost (~3 syscalls + stream setup per packet); one kept fd turns it
         # into a single write(2).  Closed when the file completes (or on
-        # fault paths); the endurance fd-growth gate guards leaks.
+        # fault paths), and reaped at the sync boundary once idle across
+        # two generations; the endurance fd-growth gate guards leaks.
         self._sample_fds: dict[str, int] = {}
+        self._fd_generation = 0
+        self._fd_last_write: dict[str, int] = {}
         # Modal drift monitoring (beyond-reference): per-(sensor, axis)
         # peak tracks; a sustained relative drift past the configured
         # threshold writes one [ALERT] history line per track.  Tracker
@@ -413,9 +416,13 @@ class GatewayService:
     def _sample_fd(self, path: str) -> int:
         """The kept O_APPEND fd for ``path``, opened lazily.
 
-        Bounded like the builders: a stranded fd (dead mid-stream sensor)
-        is closed oldest-first past the cap; its acquisition, if it ever
-        resumes, just reopens.
+        Bounded two ways: oldest-first past the cap (like the builders),
+        and reaped at the sync boundary once idle across two generations
+        (:meth:`_reap_idle_fds`) - at array scale stranded mid-stream
+        acquisitions otherwise accumulate hundreds of open fds until the
+        cap (measured 24->51 over a 28-epoch 256-sensor soak; the
+        endurance fd gate allows growth <= 4).  A reaped acquisition that
+        resumes just reopens.
         """
         fd = self._sample_fds.get(path)
         if fd is None:
@@ -423,15 +430,31 @@ class GatewayService:
             self._sample_fds[path] = fd
             while len(self._sample_fds) > self._MEM_RECORDS_CAP:
                 self._close_sample_fd(next(iter(self._sample_fds)))
+        self._fd_last_write[path] = self._fd_generation
         return fd
 
     def _close_sample_fd(self, path: str) -> None:
+        self._fd_last_write.pop(path, None)
         fd = self._sample_fds.pop(path, None)
         if fd is not None:
             try:
                 os.close(fd)
             except OSError:
                 pass
+
+    def _reap_idle_fds(self) -> None:
+        """Close kept ingest fds with no write across two sync boundaries.
+
+        A streaming acquisition writes packets continuously, so a fd idle
+        for two whole sync generations belongs to a stalled/dead stream;
+        closing it costs one lazy reopen if the stream ever resumes.
+        Keeps the steady-state open-fd count at "currently bursting
+        acquisitions" instead of "every stranded stream since startup".
+        """
+        self._fd_generation += 1
+        cutoff = self._fd_generation - 2
+        for path in [p for p, g in self._fd_last_write.items() if g <= cutoff]:
+            self._close_sample_fd(path)
 
     def _register_mem_record(self, path: str, header_lines: list[str]) -> None:
         """Start the in-memory twin of a just-created acquisition file.
@@ -597,6 +620,10 @@ class GatewayService:
         # queues: anything a flaky endpoint left pending goes out now.
         if self.alert_webhook is not None and self.alert_webhook.pending:
             self.alert_webhook.flush(self.history)
+
+        # Reap kept ingest fds idle across two sync boundaries (stranded
+        # mid-stream acquisitions; see _reap_idle_fds).
+        self._reap_idle_fds()
 
         # Batch boundary: run any pending epoch analysis before reporting.
         if self.pending_analysis:

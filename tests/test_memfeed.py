@@ -210,6 +210,46 @@ def test_stranded_builder_cap_evicts_and_falls_back(tmp_path):
         assert abs(m["peak_freq_1"] - 30.0) < 0.7, (slot, m["peak_freq_1"])
 
 
+def test_idle_fd_reap_at_sync_boundary(tmp_path):
+    """Kept ingest fds of stalled mid-stream acquisitions close after two
+    sync generations (the 256-sensor-scale fd accumulation, SCALE_r05);
+    a reaped acquisition that resumes reopens lazily and analyzes fine."""
+    import pytest
+
+    from apda_fft_tpu.io import packets as pk
+
+    if not native.available():
+        pytest.skip("kept-fd path requires the native codec")
+    svc, transport, _, _ = make_service(
+        tmp_path, flush_mode="on_sync",
+        gateway_extra={"analysis_feed": "memory"})
+    fs = 250.0
+    macs = [f"0013a20041e8{i:04x}" for i in range(8)]
+    t = np.arange(200) / fs
+    x = np.sin(2 * np.pi * 30.0 * t)
+    for mac in macs:
+        sim = SensorSimulator(mac, fs=fs, axis="X", chunk=100)
+        sim.stream_acquisition(transport, x, truncate_after=1, now=WIRE_T0)
+    svc.drain()
+    assert len(svc._sample_fds) == len(macs)
+    hb = SensorSimulator("0013a20041e9ffff")
+    hb.heartbeat(transport)
+    svc.drain()  # generation 1: written at gen 0, not yet idle-2 -> kept
+    assert len(svc._sample_fds) == len(macs)
+    hb.heartbeat(transport)
+    svc.drain()  # generation 2: idle across two boundaries -> reaped
+    assert len(svc._sample_fds) == 0
+    # A reaped acquisition resumes: lazy reopen, decisions unaffected.
+    transport.push(pk.encode_end_stream(x[100:], 2), macs[0])
+    svc.drain()
+    hb.heartbeat(transport)
+    svc.drain()
+    entry = svc.fft_results.get(macs[0], {}).get("X")
+    assert entry is not None
+    assert abs(entry["peak_freq_1"] - 30.0) < 0.7, entry["peak_freq_1"]
+    svc.stop()
+
+
 def _drive_same_second_restart(tmp_path, feed: str):
     """An interrupted acquisition restarted within the same second reuses
     the same filename: the 0xD1 truncates the file, the stale kept fd must
